@@ -1,0 +1,242 @@
+"""BGZF (blocked gzip) reader/writer.
+
+Replaces the htslib bgzf layer used by the reference (bgzf_mt at
+blockjoin.c:576-578, 3046). BGZF is a series of gzip members, each with an
+FEXTRA 'BC' subfield carrying the compressed block size; random access uses
+virtual offsets voffset = (compressed_offset << 16) | within_block_offset.
+
+The decompression/compression hot loops release the GIL inside zlib, so a
+thread pool gives real parallelism (the TPU-era analog of htslib's bgzf
+worker pool); a C++ fast path can replace this later without API change.
+"""
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+import struct
+import zlib
+
+# 28-byte empty BGZF block used as EOF marker (fixed by the SAM spec).
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_HDR = struct.Struct("<4BI2BH")  # magic(4) mtime xfl os xlen
+
+
+def is_bgzf(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(18)
+    if len(head) < 18:
+        return False
+    if head[0] != 0x1F or head[1] != 0x8B or head[3] & 4 == 0:
+        return False
+    # look for BC subfield
+    xlen = struct.unpack_from("<H", head, 10)[0]
+    return xlen >= 6 and head[12:14] == b"BC"
+
+
+def _parse_block_header(buf: bytes, off: int):
+    """Return (data_start, bsize_total) for block at byte offset `off`."""
+    if buf[off] != 0x1F or buf[off + 1] != 0x8B:
+        raise ValueError("not a gzip block")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    xoff = off + 12
+    xend = xoff + xlen
+    bsize = None
+    while xoff + 4 <= xend:
+        si1, si2, slen = buf[xoff], buf[xoff + 1], struct.unpack_from("<H", buf, xoff + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            bsize = struct.unpack_from("<H", buf, xoff + 4)[0] + 1
+        xoff += 4 + slen
+    if bsize is None:
+        raise ValueError("BGZF block missing BC subfield")
+    return xend, bsize
+
+
+def _inflate_block(buf: bytes, off: int):
+    """Inflate one BGZF block at `off`; return (payload_bytes, next_off)."""
+    data_start, bsize = _parse_block_header(buf, off)
+    # deflate payload sits between the header and the trailing CRC32+ISIZE
+    comp = buf[data_start : off + bsize - 8]
+    payload = zlib.decompress(comp, wbits=-15)
+    return payload, off + bsize
+
+
+class BgzfReader:
+    """Random-access BGZF reader over an mmap-style in-memory byte buffer.
+
+    The whole compressed file is read into memory once (compressed BAMs are
+    the small side of the pipeline; per-block decompression is lazy + cached).
+    """
+
+    def __init__(self, path: str, threads: int = 1):
+        self.path = path
+        with open(path, "rb") as f:
+            self._raw = f.read()
+        self._threads = max(1, threads)
+        self._cache_off = -1
+        self._cache_data = b""
+        # current logical position
+        self._block_off = 0
+        self._within = 0
+
+    # ---- virtual offset API ----
+    def seek_virtual(self, voffset: int) -> None:
+        self._block_off = voffset >> 16
+        self._within = voffset & 0xFFFF
+
+    def tell_virtual(self) -> int:
+        return (self._block_off << 16) | self._within
+
+    def _block(self, off: int) -> bytes:
+        if off == self._cache_off:
+            return self._cache_data
+        payload, _ = _inflate_block(self._raw, off)
+        self._cache_off = off
+        self._cache_data = payload
+        return payload
+
+    def read(self, n: int) -> bytes:
+        out = []
+        need = n
+        while need > 0:
+            if self._block_off >= len(self._raw):
+                break
+            data = self._block(self._block_off)
+            if self._within >= len(data):
+                # advance to next block (empty block or exhausted)
+                _, bsize = _parse_block_header(self._raw, self._block_off)
+                self._block_off += bsize
+                self._within = 0
+                if len(data) == 0 and self._block_off >= len(self._raw):
+                    break
+                continue
+            take = data[self._within : self._within + need]
+            out.append(take)
+            self._within += len(take)
+            need -= len(take)
+        return b"".join(out)
+
+    def at_eof(self) -> bool:
+        while True:
+            if self._block_off >= len(self._raw):
+                return True
+            data = self._block(self._block_off)
+            if self._within < len(data):
+                return False
+            _, bsize = _parse_block_header(self._raw, self._block_off)
+            self._block_off += bsize
+            self._within = 0
+
+    # ---- bulk decompression ----
+    def read_all(self) -> bytes:
+        """Decompress the entire file with a thread pool (GIL released in zlib)."""
+        offs = []
+        off = 0
+        raw = self._raw
+        n = len(raw)
+        while off < n:
+            _, bsize = _parse_block_header(raw, off)
+            offs.append(off)
+            off += bsize
+        if self._threads > 1 and len(offs) > 8:
+            with _fut.ThreadPoolExecutor(self._threads) as ex:
+                parts = list(ex.map(lambda o: _inflate_block(raw, o)[0], offs))
+        else:
+            parts = [_inflate_block(raw, o)[0] for o in offs]
+        return b"".join(parts)
+
+    def block_offsets(self):
+        """Byte offsets of every block plus per-block uncompressed sizes."""
+        offs = []
+        sizes = []
+        off = 0
+        raw = self._raw
+        n = len(raw)
+        while off < n:
+            _, bsize = _parse_block_header(raw, off)
+            isize = struct.unpack_from("<I", raw, off + bsize - 4)[0]
+            offs.append(off)
+            sizes.append(isize)
+            off += bsize
+        return offs, sizes
+
+
+def _deflate_block(payload: bytes, level: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    bsize = len(comp) + 26  # 18 header + comp + 8 trailer
+    if bsize > 0x10000:
+        raise ValueError("BGZF block too large after compression")
+    hdr = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6)
+        + b"BC"
+        + struct.pack("<H", 2)
+        + struct.pack("<H", bsize - 1)
+    )
+    return hdr + comp + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) & 0xFFFFFFFF)
+
+
+class BgzfWriter:
+    """BGZF writer with optional multithreaded block compression."""
+
+    BLOCK = 0xFF00  # uncompressed payload per block (htslib default)
+
+    def __init__(self, path: str, level: int = 6, threads: int = 1):
+        self._f = open(path, "wb")
+        self._level = level
+        self._buf = bytearray()
+        self._threads = max(1, threads)
+        self._pool = _fut.ThreadPoolExecutor(self._threads) if self._threads > 1 else None
+        self._pending = []
+        self._closed = False
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self.BLOCK:
+            chunk = bytes(self._buf[: self.BLOCK])
+            del self._buf[: self.BLOCK]
+            self._submit(chunk)
+
+    def tell_virtual(self) -> int:
+        # only meaningful at block boundaries when pool is drained
+        self._drain()
+        return (self._f.tell() << 16) | len(self._buf)
+
+    def flush_block(self) -> None:
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._submit(chunk)
+
+    def _submit(self, chunk: bytes) -> None:
+        if self._pool is not None:
+            self._pending.append(self._pool.submit(_deflate_block, chunk, self._level))
+            # bound memory: drain when a lot queued
+            if len(self._pending) >= self._threads * 8:
+                self._drain(keep=self._threads * 2)
+        else:
+            self._f.write(_deflate_block(chunk, self._level))
+
+    def _drain(self, keep: int = 0) -> None:
+        while len(self._pending) > keep:
+            self._f.write(self._pending.pop(0).result())
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self.flush_block()
+        self._drain()
+        if self._pool is not None:
+            self._pool.shutdown()
+        self._f.write(BGZF_EOF)
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

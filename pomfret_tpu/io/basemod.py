@@ -1,0 +1,288 @@
+"""Base-modification decoding: MM/ML tag parsing + read→reference lifting.
+
+Reimplements the semantics of the reference's meth decode path:
+- 5mC-at-CpG extraction + qual classing: blockjoin.c:794-908
+  (fill_read_meth_record_from_bam_line)
+- read→ref coordinate lifting with implicit-call insertion:
+  blockjoin.c:605-792 (get_mod_poss_on_ref)
+
+The reference relies on htslib's bam_parse_basemod/bam_mods_at_next_pos for
+MM/ML decoding; here we parse the tags directly. Quirks of the original are
+preserved deliberately (they are behavior-defining for output parity):
+
+- "implicit mode" is inferred from seeing any 5mC call outside CpG context in
+  the stored read sequence, NOT from the MM header's '?' flag;
+- a mod call at position 0 or len-1 of the read is ignored entirely;
+- consecutive duplicate reference positions are deduped against only the
+  immediately preceding emitted call;
+- CIGAR 'N' and a trailing soft clip terminate the lift early.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bam import BamRecord
+
+_COMPL = str.maketrans("ACGTUacgtuNn", "TGCAAtgcaann")
+
+UINT32_MAX = 0xFFFFFFFF
+
+# qual classes (mod_t.quals, blockjoin.c:426)
+CALL_METH = 0
+CALL_UNMETH = 1
+CALL_NOCALL = 2
+
+
+def revcomp(s: str) -> str:
+    return s.translate(_COMPL)[::-1]
+
+
+def parse_mm_items(mm: str):
+    """Parse an MM tag value into items.
+
+    Returns list of (base, strand, codes, implicit, deltas) where codes is a
+    list of single-char or '(NNN)' chebi codes in written order.
+    """
+    items = []
+    for part in mm.split(";"):
+        if not part:
+            continue
+        fields = part.split(",")
+        head = fields[0]
+        base = head[0]
+        strand = head[1]
+        rest = head[2:]
+        implicit = True
+        if rest.endswith("?"):
+            implicit = False
+            rest = rest[:-1]
+        elif rest.endswith("."):
+            rest = rest[:-1]
+        codes: List[str] = []
+        if rest and rest[0].isdigit():
+            codes.append(f"({rest})")  # ChEBI numeric code
+        else:
+            codes.extend(rest)
+        deltas = [int(x) for x in fields[1:] if x != ""]
+        items.append((base, strand, codes, implicit, deltas))
+    return items
+
+
+def mods_per_stored_position(rec: BamRecord):
+    """Decode MM/ML into {stored_pos: [(canonical_base, code, qual), ...]}.
+
+    Mirrors what htslib's bam_mods_at_next_pos exposes to the reference:
+    positions are in stored-sequence coordinates; canonical_base/code are as
+    written in MM; qual comes from ML (255 if ML missing).
+    """
+    mm = rec.get_tag("MM")
+    if mm is None:
+        mm = rec.get_tag("Mm")
+    if not mm:
+        return {}
+    ml = rec.get_tag("ML")
+    if ml is None:
+        ml = rec.get_tag("Ml")
+    ml_vals = ml[1] if ml else None
+
+    stored = rec.seq()
+    L = rec.l_seq
+    if rec.is_reverse:
+        original = revcomp(stored)
+    else:
+        original = stored
+
+    out = {}
+    ml_i = 0
+    for base, strand, codes, implicit, deltas in parse_mm_items(mm):
+        ncodes = max(1, len(codes))
+        if strand != "+":
+            # '-' strand mods are not produced by current basecallers; skip
+            # the item but keep ML cursor in sync.
+            ml_i += len(deltas) * ncodes
+            continue
+        # occurrences of `base` in the original read orientation
+        if base == "N":
+            occ = np.arange(L)
+        else:
+            occ = np.frombuffer(original.encode(), dtype=np.uint8)
+            occ = np.flatnonzero(occ == ord(base))
+        idx = -1
+        for d in deltas:
+            idx += d + 1
+            quals = []
+            for _ in range(ncodes):
+                q = ml_vals[ml_i] if ml_vals is not None and ml_i < len(ml_vals) else 255
+                quals.append(q)
+                ml_i += 1
+            if idx >= len(occ):
+                continue  # malformed tag: ran off the end
+            orig_pos = int(occ[idx])
+            stored_pos = (L - 1 - orig_pos) if rec.is_reverse else orig_pos
+            lst = out.setdefault(stored_pos, [])
+            for code, q in zip(codes if codes else ["?"], quals):
+                lst.append((base, code, q))
+    return out
+
+
+def extract_cpg_5mc_calls(rec: BamRecord, qual_lo: int, qual_hi: int):
+    """5mC-at-CpG calls in stored-seq coordinates with qual classes.
+
+    Returns (positions ascending, qual classes, has_implicit) mirroring
+    fill_read_meth_record_from_bam_line's buf_mod_poss/buf_mod_quals.
+    """
+    mods = mods_per_stored_position(rec)
+    if not mods:
+        return [], [], False
+    stored = rec.seq()
+    L = rec.l_seq
+    poss: List[int] = []
+    quals: List[int] = []
+    has_implicit = False
+    for pos in sorted(mods):
+        for base, code, q in mods[pos]:
+            if base == "C" and code == "m" and 0 < pos < L - 1:
+                if not (stored[pos + 1] == "G" if stored[pos] == "C"
+                        else stored[pos - 1] == "C"):
+                    has_implicit = True
+                    continue
+                poss.append(pos)
+                quals.append(
+                    CALL_UNMETH if q < qual_lo else (CALL_METH if q >= qual_hi else CALL_NOCALL)
+                )
+    return poss, quals, has_implicit
+
+
+def lift_mod_positions_to_ref(
+    cigar: Tuple[int, ...],
+    qs: int,
+    strand: int,
+    mod_poss: List[int],
+    mod_quals: List[int],
+    seq: Optional[str],
+    aln_len: int,
+) -> Tuple[List[int], List[int]]:
+    """Map stored-seq mod positions to reference coords, optionally inserting
+    implicit-unmethylated calls at every CpG in the read when `seq` is given.
+
+    A faithful reimplementation of get_mod_poss_on_ref (blockjoin.c:605-792);
+    see module docstring for the quirks preserved.
+    """
+    calls: List[int] = []
+    quals: List[int] = []
+    if not cigar or not mod_poss:
+        return calls, quals
+    cgoffset = -1 if strand else 0
+    mod_l = len(mod_poss)
+
+    i_read = 0
+    i_ref = qs
+    i_trigger = 0
+    next_trigger = mod_poss[0]
+    next_qual = mod_quals[0]
+
+    def _is_cpg(i: int) -> bool:
+        return i < aln_len - 1 and seq[i] == "C" and seq[i + 1] == "G"
+
+    i_cigar = 0
+    if (cigar[0] & 0xF) == 4:  # leading soft clip
+        i_read = cigar[0] >> 4
+        while next_trigger < i_read:
+            i_trigger += 1
+            if i_trigger < mod_l:
+                next_trigger = mod_poss[i_trigger]
+                next_qual = mod_quals[i_trigger]
+            else:
+                break
+        if next_trigger == i_read:
+            calls.append(i_ref + cgoffset)
+            quals.append(next_qual)
+            i_trigger += 1
+            if i_trigger < mod_l:
+                next_trigger = mod_poss[i_trigger]
+                next_qual = mod_quals[i_trigger]
+            # else: stale next_trigger kept on purpose (reference behavior)
+        i_ref -= cigar[0] >> 4
+        i_cigar = 1
+
+    offset = 0
+    while i_cigar < len(cigar):
+        action = cigar[i_cigar] & 0xF
+        length = cigar[i_cigar] >> 4
+        if action <= 1:  # M or I
+            pos_canonical = i_read
+            while next_trigger != UINT32_MAX and i_read + length >= next_trigger:
+                if action == 0:
+                    if seq is not None:
+                        until = min(next_trigger - 1, i_read + length)
+                        tmpi = pos_canonical
+                        while tmpi < until:
+                            if _is_cpg(tmpi):
+                                pos_cano = i_ref + tmpi + offset
+                                if not (calls and calls[-1] == pos_cano):
+                                    calls.append(pos_cano)
+                                    quals.append(CALL_UNMETH)
+                                tmpi += 1  # skip the G
+                            tmpi += 1
+                    pos_trigger = i_ref + next_trigger + cgoffset + offset
+                    if calls and calls[-1] == pos_trigger:
+                        quals[-1] = next_qual
+                    else:
+                        calls.append(pos_trigger)
+                        quals.append(next_qual)
+                    pos_canonical = next_trigger + 1 if cgoffset == 0 else next_trigger + 2
+                i_trigger += 1
+                if i_trigger >= mod_l:
+                    next_trigger = UINT32_MAX
+                    break
+                next_trigger = mod_poss[i_trigger]
+                next_qual = mod_quals[i_trigger]
+            if action == 0:
+                if seq is not None:
+                    until = i_read + length
+                    tmpi = pos_canonical
+                    while tmpi < until:
+                        if _is_cpg(tmpi):
+                            pos_cano = i_ref + tmpi + offset
+                            if not (calls and calls[-1] == pos_cano):
+                                calls.append(pos_cano)
+                                quals.append(CALL_UNMETH)
+                            tmpi += 1
+                        tmpi += 1
+                i_read += length
+            else:
+                i_read += length
+                offset -= length
+        elif action == 2:  # D
+            offset += length
+        elif action == 3:  # N
+            break
+        elif action == 4:  # trailing S
+            break
+        elif action == 5:  # H — the reference errors out; tolerate by stopping
+            break
+        else:
+            raise ValueError(f"unknown cigar op {action}")
+        i_cigar += 1
+
+    return calls, quals
+
+
+def read_meth_calls(rec: BamRecord, qual_lo: int, qual_hi: int):
+    """Full decode for one read: (ref positions, qual classes, has_implicit).
+
+    Mirrors fill_read_meth_record_from_bam_line + get_mod_poss_on_ref.
+    Returns ([], [], has_implicit) when the read has no usable call.
+    """
+    poss, quals, has_implicit = extract_cpg_5mc_calls(rec, qual_lo, qual_hi)
+    if not poss:
+        # reference: stat=0 from get_mod_poss_on_ref when mod_l==0
+        return [], [], has_implicit
+    seq = rec.seq() if has_implicit else None
+    calls, cquals = lift_mod_positions_to_ref(
+        rec.cigar, rec.pos, 1 if rec.is_reverse else 0,
+        list(poss), list(quals), seq, rec.l_seq,
+    )
+    return calls, cquals, has_implicit

@@ -151,8 +151,10 @@ def test_merge_and_lift_flow():
     assert fl.get(rg, 60) == 0        # before first gap
     assert fl.get(rg, 500) == 0       # after joined cis gap: flip 0
     fl2 = FlipLookup()
-    assert fl2.get(rg, 1350) == 0     # between gap1(end 1100) and gap2 start
+    assert fl2.get(rg, 1200) == 0     # between gap1(end 1100) and gap2 start
     assert fl2.get(rg, 1500) == 1     # after the trans gap
+    fl3 = FlipLookup()
+    assert fl3.get(rg, 1350) == 1     # inside the trans gap: falls through to last flip
 
 
 def test_all_no_join_keeps_blocks():

@@ -1,0 +1,227 @@
+"""Methmer engine: site selection, directional windows, per-read extraction.
+
+Reimplements blockjoin.c:3106-3567:
+- get_methmer_sites_and_ranges (3202): count meth/unmeth calls per reference
+  CpG position, keep sites with >= cov_for_selection of BOTH, build
+  variable-length directional windows (up to k sites within k_span bp);
+- get_mmr_of_read (3357): align a read's calls to the site grid and emit one
+  packed u32 methmer per in-range site ('-' for sites the read lacks);
+- count tables are NOT kept as mutable dicts here: in the TPU-native design
+  counts are a pure function of the current tag vector (see kernels/).
+
+Quirks preserved:
+- the duplicate-site skip when building the per-read sort buffer uses `i>1`
+  (an index-1 duplicate is NOT skipped), blockjoin.c:3391;
+- a methmer needing the final sort-buffer entry is dropped (inner scan stops
+  at n-1), blockjoin.c:3420;
+- the site exactly at the read's last call is excluded from methmer starts
+  (exclusive x_i_right on exact match), blockjoin.c:3379-3384;
+- for backward windows the per-read site grid is sites_starts (window start
+  positions), not the real site positions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .readset import MmrConfig, Read, ReadSet, UINT32_MAX
+
+MER_METH = 0
+MER_UNMETH = 1
+MER_MISSING = 2
+
+
+@dataclass
+class Methmers:
+    config: MmrConfig
+    n: int
+    sites_real_poss: np.ndarray      # uint32, ascending
+    sites_starts: np.ndarray         # uint32 (per-read extraction grid)
+    mmr_lens: np.ndarray             # uint8
+    # runtime valid range [mmr_min_i, mmr_max_i) — may be -1 / n-1 seeds
+    mmr_min_i: int = 0
+    mmr_max_i: int = 0
+
+
+def methmer_to_u32(symbols) -> int:
+    v = 0
+    for s in symbols:
+        v = ((v << 2) | int(s)) & 0xFFFFFFFF
+    return v
+
+
+def u32_to_methmer(v: int, k: int) -> str:
+    return "".join("mu-"[(v >> ((k - 1 - i) * 2)) & 3] for i in range(k))
+
+
+def get_methmer_sites_and_ranges(
+    rs: ReadSet,
+    config: MmrConfig,
+    direction: int,
+    masked_positions=None,
+) -> Methmers:
+    # --- per-position meth/unmeth counting (hash in C, np.unique here) ---
+    if rs.n:
+        all_pos = np.concatenate([r.calls for r in rs.reads])
+        all_q = np.concatenate([r.quals for r in rs.reads])
+    else:
+        all_pos = np.zeros(0, dtype=np.uint32)
+        all_q = np.zeros(0, dtype=np.uint8)
+    ok: List[int] = []
+    if all_pos.size:
+        key = all_pos.astype(np.uint64) * 4 + all_q
+        uniq, cnts = np.unique(key, return_counts=True)
+        pos_u = (uniq // 4).astype(np.uint64)
+        cls_u = (uniq % 4).astype(np.uint8)
+        # per position: counts of class 0 (meth) and 1 (unmeth)
+        positions, inv = np.unique(pos_u, return_inverse=True)
+        cmat = np.zeros((len(positions), 3), dtype=np.int64)
+        np.add.at(cmat, (inv, np.minimum(cls_u, 2).astype(np.int64)), cnts)
+        sel = (cmat[:, 0] >= config.cov_for_selection) & (cmat[:, 1] >= config.cov_for_selection)
+        cand = positions[sel]
+        if masked_positions:
+            cand = np.array([p for p in cand if int(p) not in masked_positions],
+                            dtype=np.uint64)
+        ok = cand.astype(np.uint32)
+    sites = np.sort(np.asarray(ok, dtype=np.uint32))
+    n = len(sites)
+
+    ms = Methmers(
+        config=config, n=n,
+        sites_real_poss=sites.copy(),
+        sites_starts=np.zeros(n, dtype=np.uint32),
+        mmr_lens=np.zeros(n, dtype=np.uint8),
+    )
+    if n == 0:
+        return ms
+
+    if direction == 0:
+        s = sites
+        for i in range(n):
+            j = min(i + config.k, n - 1)
+            while int(s[j]) - int(s[i]) > config.k_span:
+                j -= 1
+            ms.mmr_lens[i] = 1 if j - i == 0 else j - i
+            ms.sites_starts[i] = s[i]
+    elif direction == 1:
+        s = sites[::-1].copy()  # descending
+        lens = np.zeros(n, dtype=np.uint8)
+        starts = np.zeros(n, dtype=np.uint32)
+        for i in range(n):
+            j = min(i + config.k, n - 1)
+            while int(s[i]) - int(s[j]) > config.k_span:
+                j -= 1
+            lens[i] = 1 if j - i == 0 else j - i
+            starts[i] = s[j]
+        ms.mmr_lens = lens[::-1].copy()
+        ms.sites_starts = starts[::-1].copy()
+    else:
+        raise NotImplementedError("symmetric methmers (direction=2) unreachable in reference")
+    return ms
+
+
+def get_mmr_of_read(read: Read, ms: Methmers) -> Tuple[List[int], int]:
+    """Extract the read's methmers over ms's site grid.
+
+    Returns (list of u32 mers, start index in storage) — start is UINT32_MAX
+    when no full methmer could be made. Faithful to blockjoin.c:3357-3451.
+    """
+    sites = ms.sites_starts
+    sites_n = ms.n
+    calls = read.calls
+    if calls.size == 0 or sites_n == 0:
+        return [], UINT32_MAX
+
+    # binary search boundaries (search_arr semantics, leftmost duplicate)
+    first_call = int(calls[0])
+    last_call = int(calls[-1])
+    lo = int(np.searchsorted(sites, first_call, side="left"))
+    if first_call > int(sites[-1]):
+        return [], UINT32_MAX  # stat -2: no overlap to the right
+    if first_call < int(sites[0]):
+        x_i_left = 0           # stat -1 -> UINT32_MAX -> clamped to 0
+    elif lo < sites_n and int(sites[lo]) == first_call:
+        x_i_left = lo          # exact hit (leftmost dup)
+    else:
+        x_i_left = lo - 1 if lo > 0 else 0  # between sites: step one left
+
+    if last_call < int(sites[0]):
+        return [], UINT32_MAX  # stat -1 for the right bound: no overlap
+    hi = int(np.searchsorted(sites, last_call, side="left"))
+    if last_call > int(sites[-1]):
+        x_i_right = sites_n    # stat -2 -> clamped to n
+    else:
+        x_i_right = hi         # exact: exclusive (quirk); between: larger idx
+
+    # piggyback buffer: (pos, is_call, tiebreak) ascending
+    buf: List[Tuple[int, int, int]] = []
+    for i in range(x_i_left, x_i_right):
+        if i > 1 and sites[i] == sites[i - 1]:
+            continue  # note: i>1, NOT i>=1 (reference quirk)
+        buf.append((int(sites[i]), 0, i))
+    for c, q in zip(calls.tolist(), read.quals.tolist()):
+        buf.append((int(c), 1, int(q)))
+    buf.sort()
+
+    out: List[int] = []
+    start_pos_i = UINT32_MAX
+    nbuf = len(buf)
+    for bi in range(nbuf):
+        if buf[bi][1] != 0:
+            continue
+        pos_i = buf[bi][2]
+        for sj in range(pos_i, sites_n):
+            if sites[sj] != sites[pos_i]:
+                break
+            mmr_len = int(ms.mmr_lens[sj])
+            mer: List[int] = []
+            j = bi
+            while j < nbuf - 1:
+                if buf[j][1] != 0:
+                    j += 1
+                    continue
+                if buf[j][0] == buf[j + 1][0] and buf[j + 1][1] != 0:
+                    mer.append(buf[j + 1][2])  # qual class -> m/u/-
+                    j += 2
+                else:
+                    mer.append(MER_MISSING)
+                    j += 1
+                if len(mer) >= mmr_len:
+                    break
+            if len(mer) != mmr_len:
+                continue  # truncated at read end: drop
+            if start_pos_i == UINT32_MAX:
+                start_pos_i = sj
+            out.append(methmer_to_u32(mer))
+    if not out:
+        return [], UINT32_MAX
+    return out, start_pos_i
+
+
+def store_mmr_of_reads(rs: ReadSet, ms: Methmers) -> None:
+    if rs.has_mmr:
+        raise RuntimeError("storing methmers when read set already has them")
+    for r in rs.reads:
+        mers, start_i = get_mmr_of_read(r, ms)
+        if start_i != UINT32_MAX:
+            r.mmr = np.asarray(mers, dtype=np.uint32)
+            r.mmr_n = len(mers)
+            r.mmr_start_i = start_i
+            rs.has_mmr = True
+        else:
+            # reference stores 0 (not UINT32_MAX) for the no-methmer case
+            # (store_mmr_of_one_read, blockjoin.c:3518-3523); validity is
+            # thereafter governed by mmr_n > 0
+            r.mmr = None
+            r.mmr_n = 0
+            r.mmr_start_i = 0
+
+
+def wipe_mmr_of_reads(rs: ReadSet) -> None:
+    for r in rs.reads:
+        r.mmr = None
+        r.mmr_n = 0
+        r.mmr_start_i = 0
+    rs.has_mmr = False

@@ -1,0 +1,153 @@
+"""Per-gap read window loading (load_reads_given_interval,
+blockjoin.c:1043-1173).
+
+Loads reads overlapping [itvl_s - readback, itvl_e + readback], decodes their
+5mC calls, classifies boundary ("ref") reads on both sides of the gap, and
+prepares the end-sorted ordering used by backward extension.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.bam import BamReader, bam_endpos
+from ..io.basemod import read_meth_calls
+from ..utils.log import log_warn
+from .variants import HAPTAG_UNPHASED
+
+READBACK = 50000      # blockjoin.c:19
+MIN_ALN_DE = 0.1      # blockjoin.c:23
+UINT32_MAX = 0xFFFFFFFF
+
+
+@dataclass
+class MmrConfig:
+    """mmr_config_t (blockjoin.h:7-16). Defaults mirror cli.c:48-74."""
+    k: int = 3
+    k_span: int = 5000
+    lo: int = 100
+    hi: int = 156
+    cov_known: int = -1
+    cov_for_selection: int = -1
+    cov_for_runtime: int = -2
+    readlen_threshold: int = 15000
+    min_mapq: int = 10
+
+
+@dataclass
+class Read:
+    i: int
+    qname: str
+    hp: int
+    strand: int
+    length: int
+    start_pos: int
+    end_pos: int
+    calls: np.ndarray          # uint32 ref positions (ascending by emit order)
+    quals: np.ndarray          # uint8 classes 0=meth 1=unmeth 2=nocall
+    # methmer storage (filled by store_mmr_of_reads)
+    mmr: Optional[np.ndarray] = None
+    mmr_n: int = 0
+    mmr_start_i: int = UINT32_MAX
+
+
+@dataclass
+class ReadSet:
+    ref_start: int
+    ref_end: int
+    reads: List[Read] = field(default_factory=list)
+    ids_left: List[int] = field(default_factory=list)
+    ids_left_strict: List[int] = field(default_factory=list)
+    ids_right: List[int] = field(default_factory=list)
+    ids_right_strict: List[int] = field(default_factory=list)
+    rev_order: List[int] = field(default_factory=list)  # read IDs sorted by (end, id)
+    has_mmr: bool = False
+
+    @property
+    def n(self) -> int:
+        return len(self.reads)
+
+    def store_haplotags(self) -> np.ndarray:
+        # uint8 snapshot (store_haplotags, blockjoin.c:518-526)
+        return np.array([r.hp & 0xFF for r in self.reads], dtype=np.uint8)
+
+    def restore_haplotags(self, tags: np.ndarray) -> None:
+        for r, t in zip(self.reads, tags):
+            r.hp = int(t)
+
+    def set_all_as_unphased(self) -> None:
+        for r in self.reads:
+            r.hp = 2
+
+
+def load_reads_given_interval(
+    bam: BamReader,
+    chrom: str,
+    itvl_s: int,
+    itvl_e: int,
+    readback: int,
+    config: MmrConfig,
+    qname2haptag_raw: Optional[Dict[str, int]] = None,
+) -> ReadSet:
+    rs = ReadSet(ref_start=max(itvl_s, 0), ref_end=itvl_e)
+    lo1 = itvl_s - readback if itvl_s - readback > 0 else 0
+    left_cov = [0, 0]
+    seen_names = set()
+    for rec in bam.fetch_region_1based(chrom, lo1, itvl_e + readback):
+        if rec.flag & (4 | 256 | 2048):
+            continue
+        if rec.mapq < config.min_mapq:
+            continue
+        if rec.l_seq < 2 or rec.l_seq < config.readlen_threshold:
+            continue
+        de = rec.get_tag("de")
+        if de is not None and de > MIN_ALN_DE:
+            continue
+        calls, quals, _ = read_meth_calls(rec, config.lo, config.hi)
+        if not calls:
+            continue
+        if rec.qname in seen_names:
+            raise ValueError(f"duplicated read name seen from reading bam: {rec.qname}")
+        seen_names.add(rec.qname)
+        hp = rec.get_tag("HP")
+        if hp is None:
+            hp = HAPTAG_UNPHASED
+        elif hp == 0:
+            log_warn("get_hp_from_aln", f"irregular HP tag? qn={rec.qname} qs={rec.pos}")
+            hp = HAPTAG_UNPHASED
+        else:
+            hp = hp - 1
+        if qname2haptag_raw is not None:
+            hp = qname2haptag_raw.get(rec.qname, HAPTAG_UNPHASED)
+        rid = rs.n
+        end_pos = bam_endpos(rec)
+        rs.reads.append(Read(
+            i=rid, qname=rec.qname, hp=hp,
+            strand=1 if rec.is_reverse else 0,
+            length=rec.l_seq, start_pos=rec.pos, end_pos=end_pos,
+            calls=np.asarray(calls, dtype=np.uint32),
+            quals=np.asarray(quals, dtype=np.uint8),
+        ))
+        if rec.pos <= itvl_s:
+            rs.ids_left.append(rid)
+            if end_pos > itvl_s:
+                rs.ids_left_strict.append(rid)
+            if hp in (0, 1):
+                left_cov[hp] += 1
+        elif end_pos >= itvl_e:
+            rs.ids_right.append(rid)
+            if rec.pos < itvl_e:
+                rs.ids_right_strict.append(rid)
+
+    rs.rev_order = sorted(range(rs.n), key=lambda i: (rs.reads[i].end_pos, i))
+    # left-side haplotype coverage gate (blockjoin.c:1161-1163)
+    if left_cov[0] < 15 or left_cov[1] < 15:
+        rs.reads = []
+        rs.ids_left = []
+        rs.ids_left_strict = []
+        rs.ids_right = []
+        rs.ids_right_strict = []
+        rs.rev_order = []
+    return rs

@@ -1,0 +1,290 @@
+"""Synthetic diploid methylation data generator.
+
+Produces sorted+indexed BAMs with MM/ML/MD/HP tags and phased VCFs with PS
+blocks, with known ground truth — the substitute for the reference's bundled
+example (example/phased.bam is large-blob-stripped in this snapshot) and the
+driver of end-to-end tests and benchmarks.
+
+Design: the reference genome is built from {A,T,G} plus explicit CpG
+dinucleotides so that EVERY C is a CpG C (MM delta encoding becomes exact and
+simple for both strands). Haplotypes differ in CpG methylation state and in
+SNPs (for the varhaptag path).
+"""
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .io.bam import BamRecord
+from .io.bam_writer import BamWriter
+from .io.records import make_record
+from .io.basemod import revcomp
+
+
+@dataclass
+class SynthConfig:
+    ref_len: int = 200_000
+    cpg_every: int = 120          # one CpG per this many bp
+    read_len: int = 20_000
+    read_stagger: int = 700       # per-haplotype start offset step
+    meth_qual: int = 250
+    unmeth_qual: int = 5
+    noise: float = 0.0            # per-site probability of flipped state
+    nocall: float = 0.0           # per-site probability of mid-band qual
+    frac_reverse: float = 0.3
+    seed: int = 0
+    chrom: str = "chr1"
+
+
+class SynthRegion:
+    def __init__(self, cfg: SynthConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        self.rng = rng
+        # genome over {A,T,G}, then place CG dinucleotides
+        base = rng.choice(list("ATG"), size=cfg.ref_len)
+        self.cpg_sites: List[int] = []
+        p = cfg.cpg_every // 2
+        while p + 1 < cfg.ref_len - 2:
+            base[p] = "C"
+            base[p + 1] = "G"
+            self.cpg_sites.append(p)
+            p += cfg.cpg_every
+        self.ref = "".join(base)
+        self.cpg_arr = np.array(self.cpg_sites, dtype=np.int64)
+        # methylation truth: hap0 methylated, hap1 unmethylated (all sites
+        # informative; callers can mask ranges via set_uninformative)
+        self.meth_state = np.zeros((2, len(self.cpg_sites)), dtype=np.int8)
+        self.meth_state[0, :] = 1  # hap0 meth
+        self.meth_state[1, :] = 0
+        self.snps: List[Tuple[int, str, str, int]] = []  # pos0, ref, alt, hap_with_alt
+
+    def set_uninformative(self, start: int, end: int) -> None:
+        m = (self.cpg_arr >= start) & (self.cpg_arr < end)
+        self.meth_state[0, m] = 0
+        self.meth_state[1, m] = 0
+
+    def add_snps(self, positions: Sequence[int], hap_with_alt: Sequence[int]) -> None:
+        """SNPs at reference 'A' positions, ALT='T' (never creates CpGs)."""
+        for pos, hap in zip(positions, hap_with_alt):
+            assert self.ref[pos] == "A", f"SNP host base at {pos} is {self.ref[pos]}"
+            self.snps.append((pos, "A", "T", hap))
+        self.snps.sort()
+
+    # ------------------------------------------------------------------
+    def hap_seq(self, start: int, end: int, hap: int) -> str:
+        s = list(self.ref[start:end])
+        for pos, ref, alt, hap_alt in self.snps:
+            if start <= pos < end and hap_alt == hap:
+                s[pos - start] = alt
+        return "".join(s)
+
+    def make_read(self, qname: str, start: int, hap: int,
+                  reverse: bool, tagged: bool,
+                  hp_label: Optional[int] = None) -> BamRecord:
+        """One error-free read of cfg.read_len from `hap` starting at `start`.
+
+        hp_label overrides the HP tag value (1-based); None -> untagged.
+        """
+        cfg = self.cfg
+        end = min(start + cfg.read_len, cfg.ref_len)
+        seq = self.hap_seq(start, end, hap)
+        L = end - start
+
+        # which CpG sites fall fully inside the read
+        m = (self.cpg_arr >= start) & (self.cpg_arr + 1 < end)
+        sites = self.cpg_arr[m]
+        site_idx = np.flatnonzero(m)
+        states = self.meth_state[hap, site_idx].astype(np.int8)
+        if cfg.noise > 0:
+            flip = self.rng.random(len(states)) < cfg.noise
+            states = np.where(flip, 1 - states, states)
+        quals = np.where(states == 1, cfg.meth_qual, cfg.unmeth_qual)
+        if cfg.nocall > 0:
+            nc = self.rng.random(len(states)) < cfg.nocall
+            quals = np.where(nc, 128, quals)
+
+        # MM/ML: all Cs are CpG Cs. Order follows the original read.
+        stored = seq
+        if reverse:
+            origin = revcomp(stored)
+            # original CpG C at i maps to stored G at L-1-i; the stored CpG C
+            # is at L-2-i, whose ref position identifies the site
+            c_positions = [i for i in range(L - 1) if origin[i] == "C" and origin[i + 1] == "G"]
+            site_of_origin_c = {i: start + (L - 2 - i) for i in c_positions}
+        else:
+            origin = stored
+            c_positions = [i for i in range(L - 1) if origin[i] == "C" and origin[i + 1] == "G"]
+            site_of_origin_c = {i: start + i for i in c_positions}
+        # all Cs in origin (should equal c_positions since every C is CpG-C,
+        # except a trailing C whose G is outside the read)
+        all_c = [i for i in range(L) if origin[i] == "C"]
+        pos2qual = {int(s): int(q) for s, q in zip(sites, quals)}
+        deltas: List[int] = []
+        mlvals: List[int] = []
+        skipped = 0
+        for ci in all_c:
+            site = site_of_origin_c.get(ci)
+            if site is None or site not in pos2qual:
+                skipped += 1
+                continue
+            deltas.append(skipped)
+            mlvals.append(pos2qual[site])
+            skipped = 0
+        mm = "C+m?," + ",".join(str(d) for d in deltas) + ";" if deltas else "C+m?;"
+
+        # MD: walk read vs reference
+        md_parts: List[str] = []
+        run = 0
+        for i in range(L):
+            if seq[i] == self.ref[start + i]:
+                run += 1
+            else:
+                md_parts.append(str(run))
+                md_parts.append(self.ref[start + i])
+                run = 0
+        md_parts.append(str(run))
+        md = "".join(md_parts)
+
+        tags = [("MM", "Z", mm)]
+        if mlvals:
+            tags.append(("ML", "B:C", mlvals))
+        tags.append(("MD", "Z", md))
+        tags.append(("de", "f", 0.01))
+        if tagged:
+            tags.append(("HP", "i", (hap + 1) if hp_label is None else hp_label))
+        return make_record(qname, 0, start, stored, [("M", L)],
+                           flag=16 if reverse else 0, mapq=60, tags=tags)
+
+    def make_reads(self, tagged: bool = True,
+                   hp_label_fn=None,
+                   region: Optional[Tuple[int, int]] = None) -> List[BamRecord]:
+        cfg = self.cfg
+        lo, hi = region if region else (0, cfg.ref_len)
+        recs: List[BamRecord] = []
+        k = 0
+        for hap in (0, 1):
+            start = lo + (cfg.read_stagger // 2) * hap
+            while start + cfg.read_len <= hi:
+                reverse = bool(self.rng.random() < cfg.frac_reverse)
+                hp_label = hp_label_fn(start, hap) if hp_label_fn else None
+                recs.append(self.make_read(f"read_{hap}_{k}", start, hap,
+                                           reverse, tagged, hp_label))
+                k += 1
+                start += cfg.read_stagger
+        recs.sort(key=lambda r: r.pos)
+        return recs
+
+    def write_bam(self, path: str, recs: List[BamRecord]) -> None:
+        with BamWriter(path, [self.cfg.chrom], [self.cfg.ref_len],
+                       header_text="@HD\tVN:1.6\tSO:coordinate\n",
+                       keep_index_info=True) as w:
+            for r in recs:
+                w.write(r)
+        w.build_index(n_ref=1)
+
+    def write_vcf(self, path: str, ps_of_pos, extra_format: str = "GT:PS",
+                  flip_gt_in_block=None) -> None:
+        """Write a phased VCF over self.snps.
+
+        ps_of_pos(pos0) -> PS id (int) or None to leave the variant unphased.
+        flip_gt_in_block(pos0) -> bool: True writes the GT with hap roles
+        swapped (simulates a switch error between blocks).
+        """
+        lines = [
+            "##fileformat=VCFv4.2",
+            f"##contig=<ID={self.cfg.chrom},length={self.cfg.ref_len}>",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set">',
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsample",
+        ]
+        for pos, ref, alt, hap_alt in self.snps:
+            ps = ps_of_pos(pos)
+            # GT convention: allele of hap0 | allele of hap1
+            a0, a1 = (1, 0) if hap_alt == 0 else (0, 1)
+            if flip_gt_in_block and flip_gt_in_block(pos):
+                a0, a1 = a1, a0
+            if ps is None:
+                gt, fmt = f"{a0}/{a1}", "GT"
+                lines.append(f"{self.cfg.chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t60\tPASS\t.\t{fmt}\t{gt}")
+            else:
+                lines.append(f"{self.cfg.chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t60\tPASS\t.\tGT:PS\t{a0}|{a1}:{ps}")
+        data = "\n".join(lines) + "\n"
+        if path.endswith(".gz"):
+            with gzip.open(path, "wt") as f:
+                f.write(data)
+        else:
+            with open(path, "w") as f:
+                f.write(data)
+
+
+def make_two_block_scenario(tmpdir: str, trans: bool = False,
+                            tagged: bool = True,
+                            cfg: Optional[SynthConfig] = None):
+    """Standard fixture: two phase blocks separated by a variant-free gap.
+
+    Block1 variants in [5k, 80k), gap (no SNPs) in [80k, 120k), block2 in
+    [120k, 195k). CpG methylation is informative everywhere, so the joiner
+    should bridge the gap. With trans=True, block2's GT/HP labels are swapped
+    (simulated switch error) -> expected decision 'trans'.
+    Returns (bam_path, vcf_path, region, truth dict).
+    """
+    import os
+    cfg = cfg or SynthConfig()
+    sr = SynthRegion(cfg)
+    b1 = (5_000, 80_000)
+    gap = (80_000, 120_000)
+    b2 = (120_000, 195_000)
+    # SNPs on 'A' bases every ~2kb inside blocks
+    snp_pos = []
+    for lo, hi in (b1, b2):
+        p = lo
+        while p < hi:
+            for q in range(p, min(p + 200, cfg.ref_len)):
+                if sr.ref[q] == "A":
+                    snp_pos.append(q)
+                    break
+            p += 2_000
+    hap_with_alt = [i % 2 for i in range(len(snp_pos))]
+    sr.add_snps(snp_pos, hap_with_alt)
+
+    block1_snps = [p for p in snp_pos if b1[0] <= p < b1[1]]
+    block2_snps = [p for p in snp_pos if b2[0] <= p < b2[1]]
+    ps1 = block1_snps[0] + 1
+    ps2 = block2_snps[0] + 1
+
+    def ps_of_pos(pos):
+        if b1[0] <= pos < b1[1]:
+            return ps1
+        if b2[0] <= pos < b2[1]:
+            return ps2
+        return None
+
+    def flip(pos):
+        return trans and pos >= b2[0]
+
+    def hp_label_fn(start, hap):
+        # reads are HP-tagged consistently with the VCF phase of their block;
+        # for the trans scenario every read right of block1 (i.e. in block2's
+        # phase domain, incl. right-boundary reads spanning the gap end) gets
+        # swapped labels
+        if trans and start >= gap[0]:
+            return (1 - hap) + 1
+        return hap + 1
+
+    recs = sr.make_reads(tagged=tagged, hp_label_fn=hp_label_fn if tagged else None)
+    bam = os.path.join(tmpdir, "synth.bam")
+    vcf = os.path.join(tmpdir, "synth.vcf.gz")
+    sr.write_bam(bam, recs)
+    sr.write_vcf(vcf, ps_of_pos, flip_gt_in_block=flip)
+    truth = {
+        "gap": (block1_snps[-1] + 1, ps2),  # (last var of block1, PS of block2), 1-based
+        "ps1": ps1, "ps2": ps2,
+        "expected_decision": 1 if trans else 0,
+        "region": sr,
+        "blocks": (b1, b2),
+    }
+    return bam, vcf, truth

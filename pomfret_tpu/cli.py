@@ -1,0 +1,176 @@
+"""CLI front-end: pomfret-tpu methphase | varhaptag | report.
+
+Same flags and defaults as the reference CLI (cli.c:28-74, 245-446) so
+configurations are drop-in, plus TPU-specific extras (--engine).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import VERSION
+from .pipeline import CliOpt, main_blockjoin, main_methreport, main_varhaptag
+from .utils.log import Get_T, Get_U, log_err, log_info, log_warn, set_verbose
+
+
+def _add_methphase_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("bam", help="sorted+indexed BAM with MM/ML (and MD) tags")
+    p.add_argument("-o", dest="output_prefix", default="pomfret")
+    p.add_argument("-c", dest="cov", type=int, default=-1,
+                   help="read coverage (total); inferred when absent")
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    p.add_argument("-T", "--bam-threads", dest="threads_bam", type=int, default=None)
+    p.add_argument("-k", dest="k", type=int, default=3)
+    p.add_argument("-l", dest="k_span", type=int, default=5000)
+    p.add_argument("-L", dest="readlen_threshold", type=int, default=15000)
+    p.add_argument("-n", dest="n_candidates_per_iter", type=int, default=15)
+    p.add_argument("--lo", type=int, default=100)
+    p.add_argument("--hi", type=int, default=156)
+    p.add_argument("--mapq", type=int, default=10)
+    p.add_argument("--vcf", dest="fn_vcf", default=None)
+    p.add_argument("--gtf", dest="fn_gtf", default=None)
+    p.add_argument("--tsv", dest="fn_tsv", default=None)
+    p.add_argument("-u", "--bam-is-untagged", dest="bam_needs_haplotagging",
+                   action="store_true")
+    p.add_argument("-U", "--write-input-tagging",
+                   dest="write_bam_input_haplotagging", action="store_true")
+    p.add_argument("--write-bam", dest="do_output_bam", action="store_true")
+    p.add_argument("--output-tsv", dest="do_output_tsv", action="store_true")
+    p.add_argument("--dbg", dest="write_debug_files", action="store_true")
+    p.add_argument("--chunk-size", dest="chunk_size", type=int, default=50000)
+    p.add_argument("--chunk-stride", dest="chunk_stride", type=int, default=1000000)
+    p.add_argument("-v", dest="verbose", action="count", default=0)
+    p.add_argument("--engine", choices=["auto", "host", "jax"], default="auto",
+                   help="per-gap engine: host oracle or batched TPU engine")
+
+
+def _opt_from_args(a) -> CliOpt:
+    opt = CliOpt(
+        threads=a.threads,
+        threads_bam=a.threads_bam if a.threads_bam is not None else a.threads,
+        lo=a.lo, hi=a.hi,
+        fn_gtf=a.fn_gtf, fn_tsv=a.fn_tsv, fn_vcf=a.fn_vcf, fn_bam=a.bam,
+        bam_needs_haplotagging=a.bam_needs_haplotagging,
+        write_bam_input_haplotagging=a.write_bam_input_haplotagging,
+        output_prefix=a.output_prefix,
+        readlen_threshold=a.readlen_threshold, mapq=a.mapq,
+        k=a.k, k_span=a.k_span, cov=a.cov,
+        cov_for_selection=a.cov // 10 if a.cov > 0 else -1,
+        n_candidates_per_iter=a.cov // 4 if a.cov > 0 else a.n_candidates_per_iter,
+        do_output_bam=a.do_output_bam, do_output_tsv=a.do_output_tsv,
+        write_debug_files=a.write_debug_files,
+        chunk_size=a.chunk_size, chunk_stride=a.chunk_stride,
+        engine=a.engine,
+    )
+    return opt
+
+
+def _sancheck(opt: CliOpt) -> bool:
+    """sancheck_cliopt (cli.c:120-241). Returns True when sane."""
+    if opt.threads <= 0:
+        log_warn("sancheck_cliopt", f"invalid thread number ({opt.threads}), clipped to 1")
+        opt.threads = 1
+    if opt.lo < 0 or opt.lo > 127:
+        log_err("sancheck_cliopt", f"bad lower threshold for mod call quality ({opt.lo})")
+        return False
+    if opt.hi > 255 or opt.hi <= 127:
+        log_err("sancheck_cliopt", f"bad upper threshold for mod call quality ({opt.hi})")
+        return False
+    if opt.readlen_threshold < 0:
+        opt.readlen_threshold = 0
+    if opt.mapq > 60:
+        log_warn("sancheck_cliopt", "mapq seems too high, proceed anyways")
+    if opt.mapq < 0:
+        opt.mapq = 0
+    if opt.k <= 0:
+        log_warn("sancheck_cliopt", "clipping methmer k to 1")
+        opt.k = 1
+    if opt.k_span <= 0:
+        log_warn("sancheck_cliopt", "clipping methmer span to 1")
+        opt.k_span = 1
+    if opt.n_candidates_per_iter <= 0:
+        log_warn("sancheck_cliopt", "clipping candidate per iter to 1")
+        opt.n_candidates_per_iter = 1
+    if not (opt.fn_gtf or opt.fn_tsv or opt.fn_vcf):
+        log_err("sancheck_cliopt", "gtf, tsv and vcf cannot all be absent")
+        return False
+    if opt.bam_needs_haplotagging and not opt.fn_vcf:
+        log_err("sancheck_cliopt", "input bam was flagged unhaplotagged, but vcf is missing.")
+        return False
+    if not opt.fn_bam:
+        log_err("sancheck_cliopt", "missing bam file")
+        return False
+    if not opt.output_prefix:
+        log_err("sancheck_cliopt", "no output prefix given")
+        return False
+    opt.output_prefix = opt.output_prefix.rstrip("/") or None
+    if not opt.output_prefix:
+        log_err("sancheck_cliopt", "no output prefix given")
+        return False
+    if opt.chunk_size <= 0 or opt.chunk_stride <= 0:
+        log_err("sancheck_cliopt", "invalid chunk size/stride")
+        return False
+    return True
+
+
+def _sancheck_files_exist(opt: CliOpt) -> bool:
+    """sancheck_cliopt_t_files_exist (blockjoin.c:4606-4641)."""
+    import os
+    if not os.path.exists(opt.fn_bam):
+        log_err("sancheck_files", f"cannot open bam file: {opt.fn_bam}")
+        return False
+    for name, fn in (("vcf", opt.fn_vcf), ("gtf", opt.fn_gtf), ("tsv", opt.fn_tsv)):
+        if fn and not os.path.exists(fn):
+            log_err("sancheck_files", f"cannot open {name}: {fn}")
+            return False
+    return True
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sys.stderr.write(f"[M::main] pomfret-tpu {VERSION}\n")
+    sys.stderr.write("[M::main] CMD: pomfret-tpu " + " ".join(argv) + "\n")
+    T = Get_T()
+
+    parser = argparse.ArgumentParser(prog="pomfret-tpu")
+    sub = parser.add_subparsers(dest="cmd")
+    p_mp = sub.add_parser("methphase", help="join phase blocks using 5mC")
+    _add_methphase_args(p_mp)
+    p_rep = sub.add_parser("report", help="self-evaluate join quality on phased regions")
+    _add_methphase_args(p_rep)
+    p_vh = sub.add_parser("varhaptag", help="haplotag reads from a phased VCF")
+    p_vh.add_argument("vcf")
+    p_vh.add_argument("bam")
+    p_vh.add_argument("-o", dest="fn_out", default="pomfret_varhaptag")
+    p_vh.add_argument("-t", dest="threads", type=int, default=1)
+    p_vh.add_argument("-v", dest="verbose", action="store_true")
+    p_vh.add_argument("--dont-write-bam", dest="write_bam", action="store_false")
+
+    a = parser.parse_args(argv)
+    ret = 1
+    if a.cmd in ("methphase", "report"):
+        set_verbose(a.verbose)
+        opt = _opt_from_args(a)
+        if not _sancheck(opt) or not _sancheck_files_exist(opt):
+            ret = 1
+        elif a.cmd == "report":
+            if not opt.fn_vcf:
+                log_err("main", "missing input: phased vcf file.")
+                ret = 1
+            else:
+                ret = main_methreport(opt)
+        else:
+            ret = main_blockjoin(opt)
+    elif a.cmd == "varhaptag":
+        ret = main_varhaptag(a.vcf, a.bam, a.fn_out, a.threads, a.verbose, a.write_bam)
+    else:
+        parser.print_help(sys.stderr)
+        ret = 1
+
+    sys.stderr.write("\n[M::main] CMD: pomfret-tpu " + " ".join(argv) + "\n")
+    sys.stderr.write(f"[M::main] used: {Get_T() - T:.1f}s, peak RSS {Get_U():.1f}GiB\n")
+    return ret
+
+
+if __name__ == "__main__":
+    sys.exit(main())

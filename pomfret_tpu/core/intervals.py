@@ -153,8 +153,14 @@ def generate_new_phase_blocks(st: Storage, use_raw: bool = True) -> None:
 # ---- lookups used by the writers (blockjoin.c:2365-2473) ----
 
 def get_new_phaseblock_id(rr: Ranges, pos: int) -> int:
-    """Return the new PS (block start) whose [s, e) contains pos, skipping
-    placeholder blocks (blockjoin.c:2365-2381); -1 if none."""
+    """Return the new PS (block start) whose [s, e] contains pos, skipping
+    placeholder blocks (blockjoin.c:2365-2381); -1 if none.
+
+    NOTE: the bundled golden (example/output.mp.vcf) shows the variant at
+    pos == abs_end rewritten, implying an inclusive upper bound — but that
+    golden was produced by an OLDER binary (its GTF also lacks a tab the
+    current source prints, blockjoin.c:2744). We follow the v0.1-r14 source:
+    strict `pos < e` (blockjoin.c:2373)."""
     for s, e in rr.phaseblocks:
         if s == UINT32_MAX or e == 0 or e == UINT32_MAX:
             continue

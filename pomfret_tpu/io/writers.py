@@ -1,0 +1,220 @@
+"""Output writers: GTF/TSV phase blocks, VCF rewrite (byte surgery), BAM
+re-tagging. Mirrors blockjoin.c:2365-3103."""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..core.intervals import (FlipLookup, Storage, UnphasedLookup,
+                              check_if_in_dropped_intervals,
+                              get_flip_status_by_idx, get_new_phaseblock_id)
+from ..core.variants import HAPTAG_UNPHASED
+from ..utils.log import log_err, log_info, log_warn
+from .bam import BamReader
+from .bam_writer import BamWriter
+from .textio import iter_lines
+
+
+def output_tsv(st: Storage, prefix: str) -> None:
+    # blockjoin.c:2695-2719
+    n_blocks = 0
+    with open(prefix + ".mp.tsv", "w") as f:
+        for name, rr in zip(st.ref_names, st.ranges):
+            for s, e in rr.phaseblocks:
+                f.write(f"{name}\t{s}\t{e}\n")
+                n_blocks += 1
+    log_info("output_tsv", f"wrote tsv ({len(st.ref_names)} refs, total {n_blocks} blocks)")
+
+
+def output_gtf(st: Storage, prefix: str) -> None:
+    # blockjoin.c:2721-2755; skips placeholder blocks with 0 coords
+    n_blocks = 0
+    with open(prefix + ".mp.gtf", "w") as f:
+        for name, rr in zip(st.ref_names, st.ranges):
+            for s, e in rr.phaseblocks:
+                if s == 0 or e == 0:
+                    continue
+                f.write(f'{name}\tPhasing\texon\t{s}\t{e}\t.\t+\t.\t'
+                        f'gene_id "{s}"; transcript_id "{s}.1"\n')
+                n_blocks += 1
+    log_info("output_gtf", f"wrote gtf ({len(st.ref_names)} refs, total {n_blocks} blocks)")
+
+
+class _VcfRewriteState:
+    def __init__(self):
+        self.prev_pos = -1
+        self.prev_group_idx = [0]   # unused placeholder to mirror C signature
+        self.flip = FlipLookup()
+
+
+def alter_vcf_line(line: str, st: Storage, state: _VcfRewriteState) -> (int, str):
+    """Returns (status, new_line): status 0 unchanged / 1 modified /
+    2 dropped-PS rewrite. Faithful to alter_vcf_line (blockjoin.c:2758-2908),
+    including the absolute-offset GT surgery applied to the spliced line."""
+    if line.startswith("#"):
+        if not line.startswith("##"):
+            n = line.count("\t") + 1
+            if n < 10:
+                log_err("alter_vcf_line", f"vcf only has {n} columns; mandatory >=8; we also need FORMAT and at least 1 sample")
+                raise SystemExit(1)
+            if n > 10:
+                log_err("alter_vcf_line", "multi-sample vcf not implemented, TODO/TBD")
+                raise SystemExit(1)
+        return 0, line
+
+    # column scan, tracking absolute offsets
+    col = 0
+    start = 0
+    pos = 0
+    i_ps = -1
+    i_gt = -1
+    i_ref = -1
+    s_l = len(line)
+    sample_start = 0
+    for i in range(s_l + 1):
+        if i < s_l and line[i] != "\t":
+            continue
+        tok = line[start:i]
+        if col == 0:
+            i_ref = st.ref_index(tok)
+            pos = 0
+            i_ps = -1
+            i_gt = -1
+            if i_ref < 0:
+                break
+        elif col == 1:
+            pos = int(tok)
+            if pos < state.prev_pos:  # new chromosome in a sorted VCF
+                state.flip.reset()
+            state.prev_pos = pos
+        elif col == 8:
+            fmt = tok.split(":")
+            i_ps = fmt.index("PS") if "PS" in fmt else -1
+            i_gt = fmt.index("GT") if "GT" in fmt else -1
+        elif col == 9:
+            sample_start = start
+        col += 1
+        start = i + 1
+        if col == 10:
+            break
+    if pos == 0 or i_ps < 0 or i_ref < 0:
+        return 0, line
+
+    sample = line[sample_start:]
+    fields = sample.split(":")
+    if i_ps >= len(fields) or (i_gt >= 0 and i_gt >= len(fields)):
+        log_err("alter_vcf_line", f"saw PS or GT tag but value not found? pos={pos}")
+        return 0, line
+    ps_start = sum(len(f) + 1 for f in fields[:i_ps])
+    ps_l = len(fields[i_ps])
+    gt_start = sum(len(f) + 1 for f in fields[:i_gt]) if i_gt >= 0 else -1
+    gt_l = len(fields[i_gt]) if i_gt >= 0 else 0
+    if ps_l == 1 and fields[i_ps] == ".":
+        return 0, line
+    gt = fields[i_gt] if i_gt >= 0 else ""
+    if len(gt) < 3 or gt[1] != "|":
+        return 0, line
+    if gt[0] not in "01" or gt[2] not in "01":
+        return 0, line
+
+    rr = st.ranges[i_ref]
+    group_id = get_new_phaseblock_id(rr, pos)
+    is_dropped = check_if_in_dropped_intervals(rr, pos)
+    need_flip = state.flip.get(rr, pos)
+
+    is_middle_var = False
+    if group_id >= 0 and is_dropped and st.varphase_in_dropped is not None:
+        hap_of_ref = st.varphase_in_dropped[i_ref].get(pos - 1)
+        if hap_of_ref in (0, 1):
+            is_middle_var = True
+
+    abs_ps = sample_start + ps_start
+    abs_gt = sample_start + gt_start
+    if group_id < 0 or is_dropped:
+        if not is_middle_var:
+            return 0, line
+        new = line[:abs_ps] + "." + line[abs_ps + ps_l:]
+        # wipe genotype phasing at the ORIGINAL absolute offset (quirk)
+        lst = list(new)
+        lst[abs_gt + 1] = "/"
+        return 2, "".join(lst)
+    new = line[:abs_ps] + str(group_id) + line[abs_ps + ps_l:]
+    if need_flip:
+        lst = list(new)
+        lst[abs_gt] = "1" if lst[abs_gt] == "0" else "0"
+        lst[abs_gt + 2] = "1" if lst[abs_gt] == "0" else "0"
+        new = "".join(lst)
+    return 1, new
+
+
+def output_modify_vcf(fn_vcf: str, st: Storage, prefix: str) -> None:
+    # blockjoin.c:2909-2988
+    state = _VcfRewriteState()
+    n_modified = 0
+    n_failed = 0
+    n_tot = 0
+    with open(prefix + ".mp.vcf", "w") as out:
+        for line in iter_lines(fn_vcf):
+            stat, new = alter_vcf_line(line, st, state)
+            n_tot += 1
+            if stat == 0:
+                out.write(line + "\n")
+            else:
+                if stat == 2:
+                    n_failed += 1
+                else:
+                    n_modified += 1
+                out.write(new + "\n")
+    log_info("output_modify_vcf",
+             f"wrote vcf output, ({n_modified} ok + {n_failed} dropped)/{n_tot} lines modified")
+
+
+def get_read_new_haplotag(qname: str, hp_raw: int, st: Storage, need_flip: int) -> int:
+    # blockjoin.c:2990-3020
+    hp = st.qname2haptag.get(qname)
+    if hp is None:
+        hp = hp_raw
+        if hp not in (0, 1):
+            return hp
+    if need_flip:
+        hp ^= 1
+    return hp
+
+
+def output_modify_bam(fn_bam: str, st: Storage, fn_out: str, threads: int = 1) -> None:
+    # blockjoin.c:3022-3103
+    rd = BamReader(fn_bam, threads=threads)
+    w = BamWriter(fn_out, rd.ref_names, rd.ref_lens,
+                  header_text=rd.header_text, threads=threads,
+                  keep_index_info=True)
+    prev_tid = 0
+    need_flip = 0
+    unph = UnphasedLookup()
+    for rec in rd.fetch_all():
+        if rec.refID < 0:
+            w.write(rec)  # reference would crash here; pass through instead
+            continue
+        if rec.refID != prev_tid:
+            unph.reset()
+            # NOTE: the reference does NOT reset need_flip on chromosome
+            # change (blockjoin.c:3057-3062) — it persists until the next
+            # lookup update. Quirk preserved.
+            prev_tid = rec.refID
+        refname = rd.ref_names[rec.refID]
+        i_ref = st.ref_index(refname)
+        if st.stores_raw_tag:
+            hp_raw = st.qname2haptag_raw.get(rec.qname, HAPTAG_UNPHASED)
+        else:
+            hp = rec.get_tag("HP")
+            hp_raw = HAPTAG_UNPHASED if hp is None or hp == 0 else hp - 1
+        if i_ref >= 0:
+            rr = st.ranges[i_ref]
+            _, updated = unph.check(rr, rec.pos)
+            if updated:
+                flip = get_flip_status_by_idx(rr, unph.prev_idx - 1)
+                assert flip >= 0
+                need_flip = flip
+        hp = get_read_new_haplotag(rec.qname, hp_raw, st, need_flip)
+        rec.set_int_tag("HP", hp + 1)
+        w.write(rec)
+    w.close()
+    w.build_index(fn_out + ".bai", n_ref=len(rd.ref_names))

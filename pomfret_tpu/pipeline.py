@@ -1,0 +1,394 @@
+"""Top-level pipelines: methphase / varhaptag / report.
+
+Mirrors blockjoin_parallel + the subcommand mains (blockjoin.c:4340-4735,
+4737-4836, 4908-5097). The per-gap engine is pluggable: the host oracle
+(core.engine_host) or the batched TPU engine (kernels.engine_jax).
+"""
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .core.engine_host import haplotag_region
+from .core.intervals import (Storage, generate_new_phase_blocks,
+                             lift_decisions, make_decisions_flippings_onraw,
+                             merge_close_intervals, store_raw_intervals)
+from .core.methmer import get_methmer_sites_and_ranges
+from .core.readset import READBACK, MmrConfig, load_reads_given_interval
+from .core.recovery import recover_variant_phase_in_dropped_intervals
+from .core.varhaptag import pre_haplotagging_read_in_one_ref
+from .io.bam import BamReader, bam_endpos
+from .io.intervals_loader import IS_GTF, IS_TSV, IS_VCF, load_intervals_from_file
+from .io.writers import (output_gtf, output_modify_bam, output_modify_vcf,
+                         output_tsv)
+from .utils.log import Get_T, log_err, log_info, log_warn
+from .core.variants import HAPTAG_UNPHASED
+
+
+@dataclass
+class CliOpt:
+    """cliopt_t (cli.h:19-48) with the defaults of init_cliopt_t (cli.c:48-74)."""
+    threads: int = 1
+    threads_bam: int = 1
+    lo: int = 100
+    hi: int = 156
+    fn_gtf: Optional[str] = None
+    fn_tsv: Optional[str] = None
+    fn_vcf: Optional[str] = None
+    fn_bam: Optional[str] = None
+    bam_needs_haplotagging: bool = False
+    write_bam_input_haplotagging: bool = False
+    output_prefix: str = "pomfret"
+    readlen_threshold: int = 15000
+    mapq: int = 10
+    k: int = 3
+    k_span: int = 5000
+    cov: int = -1
+    cov_for_selection: int = -1
+    n_candidates_per_iter: int = 15
+    do_output_bam: bool = False
+    do_output_tsv: bool = False
+    write_debug_files: bool = False
+    chunk_size: int = 50000
+    chunk_stride: int = 1000000
+    engine: str = "auto"  # auto|host|jax
+
+
+def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
+    """Whole-BAM binned coverage estimate (blockjoin.c:951-1040):
+    5 kb bins, filters mapq<5 / len<15000 / de>0.1, integer mean per chrom."""
+    T = Get_T()
+    mod = 5000
+    log_info("estimate_read_coverage_dirtyfast", "estimate read depths...")
+    covs = [0] * len(bam.ref_names)
+    bins: Dict[int, np.ndarray] = {}
+    for rec in bam.fetch_all():
+        tid = rec.refID
+        if tid < 0 or tid >= len(bam.ref_names):
+            continue
+        if rec.flag & (4 | 256 | 2048):
+            continue
+        if rec.mapq < 5:
+            continue
+        if rec.l_seq < 15000:
+            continue
+        de = rec.get_tag("de")
+        if de is not None and de > 0.1:
+            continue
+        if tid not in bins:
+            bins[tid] = np.zeros(bam.ref_lens[tid] // mod, dtype=np.int64)
+        b = bins[tid]
+        i = rec.pos
+        end = bam_endpos(rec)
+        while i < end:
+            idx = i // mod
+            if idx < len(b):
+                b[idx] += 1
+            i += mod
+    for tid, b in bins.items():
+        if len(b) > 0:
+            covs[tid] = int(b.sum() // len(b))
+    for name, c in zip(bam.ref_names, covs):
+        log_info("estimate_read_coverage_dirtyfast", f"{name} est. coverage is {c}")
+    log_info("estimate_read_coverage_dirtyfast", f"used {Get_T() - T:.1f}s")
+    return covs
+
+
+def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
+                              ref_start: int, ref_end: int,
+                              config: MmrConfig, n_candidates_per_iter: int):
+    """Load one gap window + run both directions (blockjoin.c:4217-4335).
+    Returns (decision, readset|None)."""
+    rs = load_reads_given_interval(
+        bam, chrom, ref_start, ref_end, READBACK, config,
+        st.qname2haptag_raw if st.stores_raw_tag else None)
+    ms_fwd = get_methmer_sites_and_ranges(rs, config, 0)
+    ms_bwd = get_methmer_sites_and_ranges(rs, config, 1)
+    if ms_fwd.n == 0 or ms_bwd.n == 0:
+        log_warn("haplotag_region_given_bam",
+                 f"{chrom}:{ref_start}-{ref_end} does not have methmer in both directions. Skipping.")
+        return -1, rs
+    decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
+                               config.cov_for_runtime)
+    return decision, rs
+
+
+def _derive_chrom_params(config: MmrConfig, n_cand: int, coverage: int,
+                         ref_name: str) -> Tuple[MmrConfig, int]:
+    """Per-chromosome parameter derivation (blockjoin.c:4358-4392)."""
+    import dataclasses
+    cfg = dataclasses.replace(config)
+    if cfg.cov_for_selection <= 0:
+        cfg.cov_for_selection = coverage // 10 + 1
+        cfg.cov_for_runtime = cfg.cov_for_selection * 2
+        n_cand = coverage // 4 + 1
+    if cfg.cov_for_selection <= 0:
+        log_warn("blockjoin_one_chrom", f"had to clamp cov_for_selection (ref: {ref_name})")
+        cfg.cov_for_selection = 1
+    if n_cand <= 1:
+        log_warn("blockjoin_one_chrom", f"had to clamp n_candidates_per_iter (ref: {ref_name})")
+        n_cand = 2
+    return cfg, n_cand
+
+
+def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
+                         config: MmrConfig, n_cand_in: int, coverage: int,
+                         engine: str = "host") -> Dict[str, int]:
+    """One chromosome's gap-joining jobs (blockjoin_one_chrom_callback,
+    blockjoin.c:4350-4426). Returns the per-chromosome qname->haptag map."""
+    rg = st.ranges[job_i]
+    ref_name = st.ref_names[job_i]
+    cfg, n_cand = _derive_chrom_params(config, n_cand_in, coverage, ref_name)
+    log_info("blockjoin_one_chrom",
+             f"ref {ref_name} using: cov_for_selection={cfg.cov_for_selection}, n_cand_per_iter={n_cand}")
+    bam = BamReader(fn_bam)
+    qname2haptag: Dict[str, int] = {}
+    if engine == "jax" and len(rg.starts) > 0:
+        from .kernels.engine_jax import run_gaps_batched
+        decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg, n_cand)
+        for i, (d, tags) in enumerate(zip(decisions, tag_maps)):
+            rg.decisions[i] = d
+            if d >= 0:
+                for qn, hp in tags.items():
+                    qname2haptag.setdefault(qn, hp)
+        return qname2haptag
+    for i in range(len(rg.starts)):
+        decision, rs = haplotag_region_given_bam(
+            st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand)
+        rg.decisions[i] = decision
+        if decision >= 0 and rs is not None:
+            for r in rs.reads:
+                qname2haptag.setdefault(r.qname, r.hp)
+    return qname2haptag
+
+
+def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
+    """Load gaps (+ optional varhaptag), then join per chromosome
+    (blockjoin.c:4428-4603)."""
+    T = Get_T()
+    st = Storage()
+    fn_interval = opt.fn_tsv or opt.fn_gtf or opt.fn_vcf
+    fmt = IS_TSV if opt.fn_tsv else (IS_GTF if opt.fn_gtf else IS_VCF)
+
+    if opt.bam_needs_haplotagging:
+        assert opt.fn_vcf
+        tag_bam = BamReader(opt.fn_bam, threads=opt.threads_bam)
+
+        def cb(chrom, variants):
+            pre_haplotagging_read_in_one_ref(tag_bam, chrom, variants,
+                                             st.qname2haptag_raw)
+
+        load_intervals_from_file(opt.fn_vcf, IS_VCF, st,
+                                 load_vcf_variants_too=True, haptag_callback=cb)
+        if sum(len(r.starts) for r in st.ranges) == 0:
+            log_err("blockjoin_parallel",
+                    f"Nothing loaded from vcf (ref_n={len(st.ref_names)}), cannot haptag the input bam. Terminating.")
+            sys.exit(1)
+        if fmt != IS_VCF:
+            # gtf/tsv overrides vcf phase blocks
+            st.ref_names = []
+            st.ranges = []
+            load_intervals_from_file(fn_interval, fmt, st)
+    else:
+        load_intervals_from_file(fn_interval, fmt, st)
+
+    if sum(len(r.starts) for r in st.ranges) == 0:
+        log_err("blockjoin_parallel", "No intervals loaded, terminating.")
+        sys.exit(1)
+    log_info("blockjoin_parallel", f"input has {len(st.ref_names)} references")
+
+    if opt.bam_needs_haplotagging and opt.write_bam_input_haplotagging:
+        bam = BamReader(opt.fn_bam)
+        with open(opt.output_prefix + ".mp.input_haptag.tsv", "w") as f:
+            f.write("#qname\treal_hp\ttagged_hp\n")
+            for rec in bam.fetch_all():
+                hp = rec.get_tag("HP")
+                hp_raw = HAPTAG_UNPHASED if hp is None or hp == 0 else hp - 1
+                got = st.qname2haptag_raw.get(rec.qname)
+                f.write(f"{rec.qname}\t{hp_raw + 1}\t{255 if got is None else got + 1}\n")
+
+    for rg in st.ranges:
+        store_raw_intervals(rg)
+        merge_close_intervals(rg, READBACK)
+    log_info("blockjoin_parallel", "loaded phase block gaps.")
+
+    if config.cov_for_selection <= 0:
+        covs = estimate_read_coverage_dirtyfast(BamReader(opt.fn_bam, threads=opt.threads_bam))
+        name2cov = dict(zip(BamReader(opt.fn_bam).ref_names, covs))
+        ref_covs = [name2cov.get(n, 0) for n in st.ref_names]
+    else:
+        ref_covs = [config.cov_known] * len(st.ref_names)
+
+    engine = opt.engine
+    if engine == "auto":
+        engine = "host"
+    n_jobs = len(st.ref_names)
+    if opt.threads > 1 and n_jobs > 1:
+        with _fut.ThreadPoolExecutor(opt.threads) as ex:
+            maps = list(ex.map(
+                lambda i: _blockjoin_one_chrom(st, opt.fn_bam, i, config,
+                                               opt.n_candidates_per_iter,
+                                               ref_covs[i], engine),
+                range(n_jobs)))
+    else:
+        maps = [_blockjoin_one_chrom(st, opt.fn_bam, i, config,
+                                     opt.n_candidates_per_iter, ref_covs[i],
+                                     engine)
+                for i in range(n_jobs)]
+    for m in maps:
+        for qn, hp in m.items():
+            st.qname2haptag.setdefault(qn, hp)
+    log_info("blockjoin_parallel", f"done, used {Get_T() - T:.1f}s.")
+    return st
+
+
+def main_blockjoin(opt: CliOpt) -> int:
+    # main_blockjoin (blockjoin.c:4643-4735)
+    config = MmrConfig(
+        k=opt.k, k_span=opt.k_span, lo=opt.lo, hi=opt.hi,
+        cov_known=opt.cov, cov_for_selection=opt.cov_for_selection,
+        cov_for_runtime=opt.cov_for_selection * 2,
+        readlen_threshold=opt.readlen_threshold, min_mapq=opt.mapq)
+    st = blockjoin_parallel(opt, config)
+    lift_decisions(st)
+    make_decisions_flippings_onraw(st)
+    generate_new_phase_blocks(st, use_raw=True)
+    if opt.write_debug_files:
+        with open(opt.output_prefix + ".mp.dbg.read2tag", "w") as f:
+            for qn, hap in st.qname2haptag.items():
+                hap = HAPTAG_UNPHASED if hap < 0 else hap
+                f.write(f"{qn}\t-1\t{hap + 1}\n")
+    output_gtf(st, opt.output_prefix)
+    log_info("main_blockjoin", "gtf written.")
+    if opt.do_output_tsv:
+        output_tsv(st, opt.output_prefix)
+        log_info("main_blockjoin", "tsv written.")
+    if opt.fn_vcf:
+        log_info("main_blockjoin", "writing vcf...")
+        recover_variant_phase_in_dropped_intervals(
+            st, BamReader(opt.fn_bam), opt.fn_vcf)
+        output_modify_vcf(opt.fn_vcf, st, opt.output_prefix)
+        log_info("main_blockjoin", "vcf written.")
+    if opt.do_output_bam:
+        output_modify_bam(opt.fn_bam, st,
+                          opt.output_prefix + ".mp.bam", opt.threads_bam)
+        log_info("main_blockjoin", "bam + index written.")
+    return 0
+
+
+def main_varhaptag(fn_vcf: str, fn_bam: str, fn_out: str, n_thread: int,
+                   verbose: bool, write_bam: bool) -> int:
+    # blockjoin.c:4737-4836
+    st = Storage()
+    bam = BamReader(fn_bam, threads=max(1, n_thread // 2))
+
+    def cb(chrom, variants):
+        pre_haplotagging_read_in_one_ref(bam, chrom, variants,
+                                         st.qname2haptag_raw)
+
+    load_intervals_from_file(fn_vcf, IS_VCF, st, load_vcf_variants_too=True,
+                             haptag_callback=cb)
+
+    from .io.bam_writer import BamWriter
+    w = None
+    if write_bam:
+        w = BamWriter(fn_out, bam.ref_names, bam.ref_lens,
+                      header_text=bam.header_text,
+                      threads=max(1, n_thread // 2), keep_index_info=True)
+    with open(fn_out + ".varhaptag.tsv", "w") as tsv:
+        tsv.write("#qname\thaptag_input\thaptag_new\n")
+        for rec in bam.fetch_all():
+            hp = st.qname2haptag_raw.get(rec.qname, HAPTAG_UNPHASED)
+            t = rec.get_tag("HP")
+            hp_raw = HAPTAG_UNPHASED if t is None or t == 0 else t - 1
+            if w is not None:
+                rec.set_int_tag("HP", hp + 1)
+                w.write(rec)
+            tsv.write(f"{rec.qname}\t{hp_raw + 1}\t{hp + 1}\n")
+    if w is not None:
+        w.close()
+        w.build_index(fn_out + ".bai", n_ref=len(bam.ref_names))
+    return 0
+
+
+def main_methreport(opt: CliOpt) -> int:
+    # blockjoin.c:4908-5097
+    T = Get_T()
+    st = Storage()
+    bam = BamReader(opt.fn_bam, threads=opt.threads)
+    if opt.bam_needs_haplotagging:
+        def cb(chrom, variants):
+            pre_haplotagging_read_in_one_ref(bam, chrom, variants,
+                                             st.qname2haptag_raw)
+        load_intervals_from_file(opt.fn_vcf, IS_VCF, st,
+                                 load_vcf_variants_too=True, haptag_callback=cb)
+    else:
+        load_intervals_from_file(opt.fn_vcf, IS_VCF, st)
+
+    # synthesize probe windows inside phased regions (blockjoin.c:4962-4995)
+    for i_ref, rg in enumerate(st.ranges):
+        starts: List[int] = []
+        ends: List[int] = []
+        prev = rg.abs_start
+        for s, e in zip(rg.starts, rg.ends):
+            if s - prev > opt.chunk_size:
+                i = prev
+                while i + opt.chunk_stride < s:
+                    starts.append(i)
+                    ends.append(i + opt.chunk_size)
+                    i += opt.chunk_stride
+            prev = e
+        rg.starts = starts
+        rg.ends = ends
+        rg.decisions = [-1] * len(starts)
+        log_info("main_methreport", f"{st.ref_names[i_ref]} has {len(starts)} intervals")
+
+    covs = None
+    if opt.cov <= 0:
+        covs = estimate_read_coverage_dirtyfast(bam)
+
+    # (variant mask is built but unused by the reference; we skip building it)
+    config = MmrConfig(k=opt.k, k_span=opt.k_span, lo=opt.lo, hi=opt.hi,
+                       readlen_threshold=opt.readlen_threshold,
+                       min_mapq=opt.mapq)
+    n_correct = n_switch = n_fail = tot = 0
+    with open(opt.output_prefix + ".report.tsv", "w") as f:
+        for i_ref, rg in enumerate(st.ranges):
+            cov = covs[bam.ref_id(st.ref_names[i_ref])] if opt.cov <= 0 else opt.cov
+            import dataclasses
+            cfg = dataclasses.replace(config)
+            cfg.cov_for_selection = cov // 10 + 1
+            cfg.cov_for_runtime = cfg.cov_for_selection * 2
+            n_cand = cov // 4 + 1
+            for s, e in zip(rg.starts, rg.ends):
+                decision, _ = haplotag_region_given_bam(
+                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand)
+                f.write(f"{st.ref_names[i_ref]}\t{s}\t{e}\t")
+                if decision == 0:
+                    n_correct += 1
+                    f.write("correct\n")
+                elif decision == 1:
+                    n_switch += 1
+                    f.write("switch\n")
+                else:
+                    n_fail += 1
+                    f.write("fail\n")
+                tot += 1
+                if tot % 100 == 0:
+                    denom = max(n_correct + n_switch, 1)
+                    print(f"Parsed N={tot} regions, currently at "
+                          f"{st.ref_names[i_ref]}:{s}-{e}, "
+                          f"correct/(correct+switch)={n_correct / denom * 100.0:.2f}%, "
+                          f"correct/N={n_correct / tot * 100.0:.2f}%")
+                f.flush()
+    denom = max(n_correct + n_switch, 1)
+    msg = (f"Total N={tot} regions, correct/(correct+switch)="
+           f"{n_correct / denom * 100.0:.2f}%, correct/N={n_correct / max(tot, 1) * 100.0:.2f}%")
+    print(msg)
+    log_info("main_methreport", msg)
+    log_info("main_methreport", f"done, used {Get_T() - T:.1f}s")
+    return 0

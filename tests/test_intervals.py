@@ -142,7 +142,7 @@ def test_merge_and_lift_flow():
     assert rg.phaseblocks == [(50, 1000), (1000, 2000)]
 
     assert get_new_phaseblock_id(rg, 999) == 50
-    assert get_new_phaseblock_id(rg, 1000) == 1000  # trailing-block quirk
+    assert get_new_phaseblock_id(rg, 1000) == 1000  # strict <: trailing block wins
     assert get_new_phaseblock_id(rg, 1150) == 1000
     assert check_if_in_dropped_intervals(rg, 250)
     assert not check_if_in_dropped_intervals(rg, 350)

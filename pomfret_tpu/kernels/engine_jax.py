@@ -1,0 +1,318 @@
+"""TPU device engine for the iterative meth-phasing loop.
+
+TPU-native reformulation of haplotag_region1 (blockjoin.c:3958-4080):
+
+- host precomputes, per gap and direction, a dense (R, S) "mer id" grid:
+  read r's methmer at site s mapped to a small per-site integer id
+  (distinct methmers observed at a site are bounded by read coverage) —
+  this replaces the C's per-site linear-scanned dictionaries
+  (blockjoin.c:3453-3515);
+- the device state is (cnt_table[S, D, 2], hp[R], loop counters); one
+  lax.while_loop iteration = candidate gather -> score (gather + masked
+  sum) -> commit best read (scatter-add) — static shapes throughout;
+- the methmer valid range [min_i, max_i) is recomputed from its seed in
+  closed form each iteration (counts grow monotonically, so this equals
+  the reference's incremental extension, blockjoin.c:3669-3691);
+- scores are float32 sums of count ratios; summation order inside a read
+  is XLA's reduction order rather than the C's sequential order — decision
+  equivalence is asserted against the host oracle in tests.
+
+Batch over gaps with jax.vmap; shard the gap axis over a Mesh (parallel/).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.engine_host import evaluate_separation
+from ..core.methmer import (Methmers, get_methmer_sites_and_ranges,
+                            store_mmr_of_reads, wipe_mmr_of_reads)
+from ..core.readset import (READBACK, MmrConfig, ReadSet, UINT32_MAX,
+                            load_reads_given_interval)
+
+INVALID_ID = -1
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GapDeviceData:
+    """Per-(gap, direction) dense arrays for the device loop."""
+    ids: np.ndarray        # (R, S) int32, mer id at covered sites else -1
+    has_mmr: np.ndarray    # (R,) bool
+    hp_init: np.ndarray    # (R,) int32 — post-wipe tags (step 1.5)
+    scan: np.ndarray       # (R,) int32 — candidate scan order, -1 padded
+    n_reads: int
+    n_sites: int
+    max_d: int             # dense dictionary capacity actually used
+    q_break: int
+    min0: int
+    max0: int
+
+
+def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
+                          pad_r: Optional[int] = None,
+                          pad_s: Optional[int] = None) -> GapDeviceData:
+    """Pack one direction of one gap. Assumes store_mmr_of_reads(rs, ms) ran."""
+    n = rs.n
+    S = ms.n
+    R = pad_r or max(n, 1)
+    SP = pad_s or max(S, 1)
+    ids = np.full((R, SP), INVALID_ID, dtype=np.int32)
+    has_mmr = np.zeros(R, dtype=bool)
+    site_maps: List[Dict[int, int]] = [dict() for _ in range(S)]
+    for r in rs.reads:
+        if r.mmr_n == 0:
+            continue
+        has_mmr[r.i] = True
+        for i0 in range(r.mmr_n):
+            s = r.mmr_start_i + i0
+            key = int(r.mmr[i0])
+            m = site_maps[s]
+            d = m.get(key)
+            if d is None:
+                d = len(m)
+                m[key] = d
+            ids[r.i, s] = d
+    max_d = max((len(m) for m in site_maps), default=1) or 1
+
+    # step 1 seeds (blockjoin.c:3976-4004)
+    if direction == 0:
+        ref_ids = rs.ids_left
+        min0 = 0
+        max0 = int(np.searchsorted(ms.sites_real_poss, rs.ref_start, side="right"))
+    else:
+        ref_ids = rs.ids_right
+        max0 = S - 1
+        min0 = S - 1
+        for i in range(S - 1, -1, -1):
+            if ms.sites_real_poss[i] > rs.ref_end:
+                min0 -= 1
+            else:
+                break
+    # step 1.5: wipe to unphased except ref side, with the hp&3 truncation
+    # quirk (blockjoin.c:4013-4024)
+    hp_init = np.full(R, 2, dtype=np.int32)
+    for rid in ref_ids:
+        hp_init[rid] = rs.reads[rid].hp & 3
+
+    if direction == 0:
+        scan_list = list(range(n))
+        q_break = n
+    else:
+        scan_list = [rs.rev_order[n - 1 - q] for q in range(n)]
+        q_break = n - 1
+    scan = np.full(R, -1, dtype=np.int32)
+    scan[:n] = scan_list
+
+    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_init, scan=scan,
+                         n_reads=n, n_sites=S, max_d=max_d, q_break=q_break,
+                         min0=min0, max0=max0)
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+
+def _range_from_seed(tot, cov, min0, max0, n_sites):
+    """Closed-form update_available_methmer_range (blockjoin.c:3669-3691):
+    min_i/max_i are the ends of the contiguous >=cov runs through the seeds;
+    the site at max_i is then EXCLUDED by the query's exclusive bound."""
+    S = tot.shape[0]
+    idx = jnp.arange(S)
+    ok = (tot >= cov) & (idx < n_sites)
+    blocked_r = (~ok & (idx >= max0)) | (idx >= n_sites)
+    fb = jnp.where(jnp.any(blocked_r), jnp.argmax(blocked_r), S)
+    max_i = jnp.where(fb > max0, fb - 1, max0)
+    blocked_l = ~ok & (idx <= min0) & (min0 >= 0)
+    lnb = jnp.where(jnp.any(blocked_l), (S - 1) - jnp.argmax(blocked_l[::-1]), -1)
+    min_i = jnp.where(min0 < 0, min0,
+                      jnp.where(lnb == min0, min0,
+                                jnp.where(lnb >= 0, lnb + 1, 0)))
+    return min_i, max_i
+
+
+def _seed_count_table(ids, hp_init, has_mmr, D: int):
+    """Initial cnt_table from ref-seeded reads
+    (insert_ref_reads_methmer_counts, blockjoin.c:3776-3810)."""
+    covered = ids >= 0
+    oh = jax.nn.one_hot(jnp.where(covered, ids, 0), D, dtype=jnp.float32)
+    oh = oh * covered[..., None]
+    ins0 = ((hp_init == 0) & has_mmr).astype(jnp.float32)
+    ins1 = ((hp_init == 1) & has_mmr).astype(jnp.float32)
+    c0 = jnp.einsum("rsd,r->sd", oh, ins0)
+    c1 = jnp.einsum("rsd,r->sd", oh, ins1)
+    return jnp.stack([c0, c1], axis=-1).astype(jnp.int32)  # (S, D, 2)
+
+
+def direction_step_fn(D: int, n_cand: int):
+    """Build (cond, body, init) closures for one direction run with dense
+    dictionary capacity D and candidate batch size n_cand."""
+
+    def init(ids, hp_init, has_mmr):
+        cnt0 = _seed_count_table(ids, hp_init, has_mmr, D)
+        return (hp_init, cnt0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    def cond(state, q_break, max_iters):
+        hp, cnt, q_last, failed, it = state
+        return (q_last < q_break) & (failed <= 10) & (it < max_iters)
+
+    def body(state, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov):
+        hp, cnt, q_last, failed, it = state
+        R, S = ids.shape
+        sums = cnt.sum(axis=1)                    # (S, 2)
+        tot = sums.sum(axis=-1)                   # (S,)
+        min_i, max_i = _range_from_seed(tot, cov, min0, max0, n_sites)
+
+        # --- candidate collection (blockjoin.c:4037-4051) ---
+        q = jnp.arange(R)
+        scan_read = jnp.where(scan >= 0, scan, 0)
+        untagged = (hp[scan_read] != 0) & (hp[scan_read] != 1) & (scan >= 0)
+        elig = untagged & (q >= q_last) & (q < n_reads)
+        rank = jnp.cumsum(elig.astype(jnp.int32))
+        sel = elig & (rank <= n_cand)
+        slot_of_q = jnp.where(sel, rank - 1, n_cand)
+        cand_q = jnp.full((n_cand + 1,), -1, jnp.int32).at[slot_of_q].set(q)[:n_cand]
+        cand_valid = cand_q >= 0
+        cand_read = jnp.where(cand_valid,
+                              scan_read[jnp.where(cand_q >= 0, cand_q, 0)], 0)
+
+        # --- scoring (blockjoin.c:3487-3656) ---
+        cids = ids[cand_read]                                    # (NC, S)
+        covered = cids >= 0
+        s_idx = jnp.broadcast_to(jnp.arange(S), cids.shape)
+        in_range = (s_idx >= min_i) & (s_idx < max_i)
+        cnt_c = cnt[s_idx, jnp.where(covered, cids, 0)]          # (NC, S, 2)
+        found = (cnt_c.sum(axis=-1) > 0) & covered & in_range
+        sums_b = sums[None, :, :]
+        contrib = found[..., None] & (sums_b > 0)
+        ratio = jnp.where(contrib,
+                          cnt_c.astype(jnp.float32)
+                          / jnp.maximum(sums_b, 1).astype(jnp.float32), 0.0)
+        score = ratio.sum(axis=1)                                # (NC, 2)
+        l_found = contrib.sum(axis=1)
+        l_total = l_found + (ratio > 0).sum(axis=1)              # score_l quirk
+        diff = jnp.abs(score[:, 0] - score[:, 1])
+        tag_ok = ~((diff < 3.0) & ((l_total[:, 0] < 3) | (l_total[:, 1] < 3)))
+        tag = jnp.where(score[:, 0] > score[:, 1], 0, 1).astype(hp.dtype)
+        commit_ok = tag_ok & cand_valid & has_mmr[cand_read]
+
+        # --- commit best (max score-diff; ties -> latest candidate slot,
+        #     matching the stable-mergesort-from-the-end semantics at
+        #     blockjoin.c:3729-3765) ---
+        eff = jnp.where(commit_ok, diff, -1.0)
+        best = jnp.max(eff)
+        best_k = jnp.max(jnp.where(commit_ok & (eff == best),
+                                   jnp.arange(n_cand), -1))
+        do_commit = best >= 0.0
+
+        def commit(args):
+            hp, cnt = args
+            k = jnp.maximum(best_k, 0)
+            rid = cand_read[k]
+            t = tag[k]
+            hp2 = hp.at[rid].set(t)
+            rids = ids[rid]
+            cov_r = rids >= 0
+            cnt2 = cnt.at[jnp.arange(S), jnp.where(cov_r, rids, 0), t].add(
+                cov_r.astype(cnt.dtype))
+            return hp2, cnt2
+
+        hp, cnt = jax.lax.cond(do_commit, commit, lambda a: a, (hp, cnt))
+        failed = jnp.where(do_commit, 0, failed + 1)
+        q_last = jnp.where(do_commit, q_last, q_last + n_cand)
+        return hp, cnt, q_last, failed, it + 1
+
+    return init, cond, body
+
+
+@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
+def run_direction_device(ids, has_mmr, hp_init, scan,
+                         n_reads, n_sites, q_break, min0, max0, cov,
+                         D: int, n_cand: int, max_iters: int):
+    """Jitted single-(gap,direction) run; returns the final hp (R,)."""
+    init, cond, body = direction_step_fn(D, n_cand)
+    state = init(ids, hp_init, has_mmr)
+    state = jax.lax.while_loop(
+        lambda st: cond(st, q_break, max_iters),
+        lambda st: body(st, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov),
+        state)
+    return state[0]
+
+
+# ---------------------------------------------------------------------------
+# gap-level wrapper (host orchestration mirroring haplotag_region2 / _given_bam)
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
+                n_cand: int, cov_runtime: int) -> int:
+    """Device-engine version of core.engine_host.haplotag_region
+    (blockjoin.c:4288-4320): bwd then fwd, agreement gate."""
+    if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
+        return -1
+    initial = rs.store_haplotags()
+
+    results = {}
+    for direction, ms in ((1, ms_bwd), (0, ms_fwd)):
+        store_mmr_of_reads(rs, ms)
+        # pad shapes to buckets to bound jit recompilation
+        pad_r = _round_up(max(rs.n, 8), 128)
+        pad_s = _round_up(max(ms.n, 8), 128)
+        dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
+        hp = np.asarray(run_direction_device(
+            jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
+            jnp.asarray(dd.hp_init), jnp.asarray(dd.scan),
+            jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
+            jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
+            jnp.int32(cov_runtime),
+            D=_round_up(dd.max_d, 16), n_cand=n_cand,
+            max_iters=2 * pad_r + 64))
+        rs.restore_haplotags(hp[:rs.n])
+        score, which_way = evaluate_separation(rs, initial,
+                                               1 if direction == 0 else 0)
+        join = -1
+        if score >= 2 and which_way not in (-9, 0):
+            join = 0 if which_way > 0 else 1
+        results[direction] = (join, hp[:rs.n].copy())
+        rs.restore_haplotags(initial)
+        wipe_mmr_of_reads(rs)
+
+    join2, _ = results[1]
+    join1, tags_fwd = results[0]
+    if join1 != join2 or (join1 == -1 and join2 == -1):
+        rs.set_all_as_unphased()
+        return -1
+    rs.restore_haplotags(tags_fwd)
+    return join1
+
+
+def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int):
+    """Pipeline hook (engine='jax'): run all gaps of one chromosome.
+
+    Round 1: per-gap device execution with bucketed pad shapes; full vmap
+    batching + mesh sharding lives in parallel/.
+    Returns (decisions, per-gap {qname: hp}).
+    """
+    decisions = []
+    tag_maps = []
+    for i in range(len(rg.starts)):
+        rs = load_reads_given_interval(
+            bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
+            st.qname2haptag_raw if st.stores_raw_tag else None)
+        ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
+        ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+        d = run_gap_jax(rs, ms_fwd, ms_bwd, n_cand, cfg.cov_for_runtime)
+        decisions.append(d)
+        tag_maps.append({r.qname: r.hp for r in rs.reads} if d >= 0 else {})
+    return decisions, tag_maps

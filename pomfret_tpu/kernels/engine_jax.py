@@ -158,51 +158,61 @@ def direction_step_fn(D: int, n_cand: int):
 
     def init(ids, hp_init, has_mmr):
         cnt0 = _seed_count_table(ids, hp_init, has_mmr, D)
-        return (hp_init, cnt0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        sums0 = cnt0.sum(axis=1)  # (S, 2), maintained incrementally
+        return (hp_init, cnt0, sums0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     def cond(state, q_break, max_iters):
-        hp, cnt, q_last, failed, it = state
+        hp, cnt, sums, q_last, failed, it = state
         return (q_last < q_break) & (failed <= 10) & (it < max_iters)
 
     def body(state, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov):
-        hp, cnt, q_last, failed, it = state
+        # NOTE on lowering: everything below is formulated as one-hot
+        # matmuls / masked elementwise ops — TPU scatters and fancy gathers
+        # lower to serialized loops and cost milliseconds per call, whereas
+        # these shapes are microseconds on the MXU/VPU.
+        hp, cnt, sums, q_last, failed, it = state
         R, S = ids.shape
-        sums = cnt.sum(axis=1)                    # (S, 2)
+        f32 = jnp.float32
         tot = sums.sum(axis=-1)                   # (S,)
         min_i, max_i = _range_from_seed(tot, cov, min0, max0, n_sites)
 
         # --- candidate collection (blockjoin.c:4037-4051) ---
         q = jnp.arange(R)
         scan_read = jnp.where(scan >= 0, scan, 0)
-        untagged = (hp[scan_read] != 0) & (hp[scan_read] != 1) & (scan >= 0)
+        hp_scan = jnp.einsum("rx,x->r", jax.nn.one_hot(scan_read, R, dtype=f32),
+                             hp.astype(f32)).astype(hp.dtype)
+        untagged = (hp_scan != 0) & (hp_scan != 1) & (scan >= 0)
         elig = untagged & (q >= q_last) & (q < n_reads)
         rank = jnp.cumsum(elig.astype(jnp.int32))
         sel = elig & (rank <= n_cand)
-        slot_of_q = jnp.where(sel, rank - 1, n_cand)
-        cand_q = jnp.full((n_cand + 1,), -1, jnp.int32).at[slot_of_q].set(q)[:n_cand]
-        cand_valid = cand_q >= 0
-        cand_read = jnp.where(cand_valid,
-                              scan_read[jnp.where(cand_q >= 0, cand_q, 0)], 0)
+        # slot matrix: (R, NC) — q goes to slot rank-1
+        slot_mat = sel[:, None] & ((rank - 1)[:, None] == jnp.arange(n_cand)[None, :])
+        cand_valid = jnp.any(slot_mat, axis=0)                  # (NC,)
+        sel_reads = slot_mat.astype(f32) * scan_read[:, None].astype(f32)
+        cand_read = jnp.sum(sel_reads, axis=0).astype(jnp.int32)  # (NC,)
 
         # --- scoring (blockjoin.c:3487-3656) ---
-        cids = ids[cand_read]                                    # (NC, S)
+        # candidate mer rows via one-hot matmul instead of a row gather
+        cand_oh = jax.nn.one_hot(cand_read, R, dtype=f32)       # (NC, R)
+        cids = jnp.einsum("cr,rs->cs", cand_oh, ids.astype(f32)).astype(jnp.int32)
         covered = cids >= 0
         s_idx = jnp.broadcast_to(jnp.arange(S), cids.shape)
         in_range = (s_idx >= min_i) & (s_idx < max_i)
-        cnt_c = cnt[s_idx, jnp.where(covered, cids, 0)]          # (NC, S, 2)
+        # per-(cand, site) count lookup as a one-hot contraction over D
+        cid_oh = jax.nn.one_hot(jnp.where(covered, cids, 0), D, dtype=f32)
+        cnt_c = jnp.einsum("csd,sdh->csh", cid_oh, cnt.astype(f32))  # (NC,S,2)
         found = (cnt_c.sum(axis=-1) > 0) & covered & in_range
-        sums_b = sums[None, :, :]
+        sums_b = sums[None, :, :].astype(f32)
         contrib = found[..., None] & (sums_b > 0)
-        ratio = jnp.where(contrib,
-                          cnt_c.astype(jnp.float32)
-                          / jnp.maximum(sums_b, 1).astype(jnp.float32), 0.0)
+        ratio = jnp.where(contrib, cnt_c / jnp.maximum(sums_b, 1.0), 0.0)
         score = ratio.sum(axis=1)                                # (NC, 2)
         l_found = contrib.sum(axis=1)
         l_total = l_found + (ratio > 0).sum(axis=1)              # score_l quirk
         diff = jnp.abs(score[:, 0] - score[:, 1])
         tag_ok = ~((diff < 3.0) & ((l_total[:, 0] < 3) | (l_total[:, 1] < 3)))
         tag = jnp.where(score[:, 0] > score[:, 1], 0, 1).astype(hp.dtype)
-        commit_ok = tag_ok & cand_valid & has_mmr[cand_read]
+        has_mmr_c = jnp.einsum("cr,r->c", cand_oh, has_mmr.astype(f32)) > 0.5
+        commit_ok = tag_ok & cand_valid & has_mmr_c
 
         # --- commit best (max score-diff; ties -> latest candidate slot,
         #     matching the stable-mergesort-from-the-end semantics at
@@ -212,32 +222,32 @@ def direction_step_fn(D: int, n_cand: int):
         best_k = jnp.max(jnp.where(commit_ok & (eff == best),
                                    jnp.arange(n_cand), -1))
         do_commit = best >= 0.0
+        k_oh = jax.nn.one_hot(jnp.maximum(best_k, 0), n_cand, dtype=f32)
+        rid = jnp.sum(k_oh * cand_read.astype(f32)).astype(jnp.int32)
+        t = jnp.sum(k_oh * tag.astype(f32)).astype(hp.dtype)
 
-        def commit(args):
-            hp, cnt = args
-            k = jnp.maximum(best_k, 0)
-            rid = cand_read[k]
-            t = tag[k]
-            hp2 = hp.at[rid].set(t)
-            rids = ids[rid]
-            cov_r = rids >= 0
-            cnt2 = cnt.at[jnp.arange(S), jnp.where(cov_r, rids, 0), t].add(
-                cov_r.astype(cnt.dtype))
-            return hp2, cnt2
-
-        hp, cnt = jax.lax.cond(do_commit, commit, lambda a: a, (hp, cnt))
+        # masked (branch-free) commit as dense one-hot adds — no scatters
+        rids = jnp.einsum("c,cs->s", k_oh, cids.astype(f32)).astype(jnp.int32)
+        upd = ((rids >= 0) & do_commit).astype(f32)              # (S,)
+        rid_oh = jax.nn.one_hot(jnp.where(rids >= 0, rids, 0), D, dtype=f32)
+        t_oh = jax.nn.one_hot(t, 2, dtype=f32)                   # (2,)
+        delta = (upd[:, None] * rid_oh)[:, :, None] * t_oh[None, None, :]
+        cnt = cnt + delta.astype(cnt.dtype)
+        sums = sums + (upd[:, None] * t_oh[None, :]).astype(sums.dtype)
+        hp = jnp.where((q == rid) & do_commit, t, hp)
         failed = jnp.where(do_commit, 0, failed + 1)
         q_last = jnp.where(do_commit, q_last, q_last + n_cand)
-        return hp, cnt, q_last, failed, it + 1
+        return hp, cnt, sums, q_last, failed, it + 1
 
     return init, cond, body
 
 
-@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
-def run_direction_device(ids, has_mmr, hp_init, scan,
-                         n_reads, n_sites, q_break, min0, max0, cov,
-                         D: int, n_cand: int, max_iters: int):
-    """Jitted single-(gap,direction) run; returns the final hp (R,)."""
+def run_direction_core(ids, has_mmr, hp_init, scan,
+                       n_reads, n_sites, q_break, min0, max0, cov,
+                       D: int, n_cand: int, max_iters: int):
+    """Pure (traceable) single-(gap,direction) run; returns final hp (R,).
+    Shared by the jitted single-gap path, the vmapped batch path, and the
+    sharded multi-chip path."""
     init, cond, body = direction_step_fn(D, n_cand)
     state = init(ids, hp_init, has_mmr)
     state = jax.lax.while_loop(
@@ -245,6 +255,15 @@ def run_direction_device(ids, has_mmr, hp_init, scan,
         lambda st: body(st, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov),
         state)
     return state[0]
+
+
+@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
+def run_direction_device(ids, has_mmr, hp_init, scan,
+                         n_reads, n_sites, q_break, min0, max0, cov,
+                         D: int, n_cand: int, max_iters: int):
+    """Jitted single-(gap,direction) run; returns the final hp (R,)."""
+    return run_direction_core(ids, has_mmr, hp_init, scan, n_reads, n_sites,
+                              q_break, min0, max0, cov, D, n_cand, max_iters)
 
 
 # ---------------------------------------------------------------------------

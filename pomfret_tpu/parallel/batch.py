@@ -1,0 +1,119 @@
+"""Batched + sharded gap execution.
+
+The unit of distribution is the GAP (SURVEY.md §5.8): each gap's window is an
+independent computation, so the scale story is data-parallel over a batch of
+packed gap windows:
+
+    (G, R, S) mer-id grids  --vmap-->  (G, R) tag vectors
+
+sharded over a jax.sharding.Mesh along the 'gaps' axis; decisions reduce to a
+deterministic host-side union (lift_decisions), identical on any device count.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels.engine_jax import GapDeviceData, run_direction_core
+
+
+@dataclass
+class GapBatch:
+    """Stacked per-(gap,direction) arrays, padded to common (R, S, D)."""
+    ids: np.ndarray        # (G, R, S) int32
+    has_mmr: np.ndarray    # (G, R) bool
+    hp_init: np.ndarray    # (G, R) int32
+    scan: np.ndarray       # (G, R) int32
+    n_reads: np.ndarray    # (G,) int32
+    n_sites: np.ndarray    # (G,) int32
+    q_break: np.ndarray    # (G,) int32
+    min0: np.ndarray       # (G,) int32
+    max0: np.ndarray       # (G,) int32
+    cov: np.ndarray        # (G,) int32
+    D: int
+    n_cand: int
+
+
+def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
+                   n_cand: int,
+                   pad_g: Optional[int] = None) -> GapBatch:
+    G = pad_g or len(datas)
+    R = max(d.ids.shape[0] for d in datas)
+    S = max(d.ids.shape[1] for d in datas)
+    D = max(d.max_d for d in datas)
+    ids = np.full((G, R, S), -1, dtype=np.int32)
+    has_mmr = np.zeros((G, R), dtype=bool)
+    hp_init = np.full((G, R), 2, dtype=np.int32)
+    scan = np.full((G, R), -1, dtype=np.int32)
+    sc = np.zeros((6, G), dtype=np.int32)
+    for g, d in enumerate(datas):
+        r, s = d.ids.shape
+        ids[g, :r, :s] = d.ids
+        has_mmr[g, :r] = d.has_mmr
+        hp_init[g, :r] = d.hp_init
+        scan[g, :r] = d.scan
+        sc[:, g] = (d.n_reads, d.n_sites, d.q_break, d.min0, d.max0, covs[g])
+    return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init, scan=scan,
+                    n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
+                    min0=sc[3], max0=sc[4], cov=sc[5], D=D, n_cand=n_cand)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
+def _run_batch_jit(ids, has_mmr, hp_init, scan, n_reads, n_sites, q_break,
+                   min0, max0, cov, D: int, n_cand: int, max_iters: int):
+    f = functools.partial(run_direction_core, D=D, n_cand=n_cand,
+                          max_iters=max_iters)
+    return jax.vmap(f)(ids, has_mmr, hp_init, scan, n_reads, n_sites,
+                       q_break, min0, max0, cov)
+
+
+def batch_args(batch: GapBatch):
+    return (batch.ids, batch.has_mmr, batch.hp_init, batch.scan,
+            batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
+            batch.max0, batch.cov)
+
+
+def upload_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None):
+    """device_put the batch once (sharded over the mesh's first axis if
+    given); returns the device-resident arg tuple."""
+    args = batch_args(batch)
+    if mesh is None:
+        return tuple(jax.device_put(a) for a in args)
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return tuple(jax.device_put(a, sh) for a in args)
+
+
+def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
+                  max_iters: Optional[int] = None,
+                  dev_args=None) -> np.ndarray:
+    """Run a packed (gap, direction) batch; returns (G, R) tag vectors.
+
+    With a mesh, the gap axis is sharded over the mesh's first axis and XLA
+    compiles one SPMD program per device; without, single-device vmap.
+    Pass dev_args (from upload_gap_batch) to reuse device-resident inputs.
+    """
+    R = batch.ids.shape[1]
+    if max_iters is None:
+        max_iters = 2 * R + 64
+    if dev_args is None:
+        dev_args = upload_gap_batch(batch, mesh)
+    f = functools.partial(_run_batch_jit, D=batch.D, n_cand=batch.n_cand,
+                          max_iters=max_iters)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        f = jax.jit(f, in_shardings=(sh,) * len(dev_args), out_shardings=sh)
+    return np.asarray(f(*dev_args))
+
+
+def make_gap_mesh(n_devices: Optional[int] = None,
+                  axis_name: str = "gaps") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))

@@ -1,0 +1,61 @@
+"""Batched/sharded engine tests on the 8-virtual-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+
+from pomfret_tpu.parallel.batch import make_gap_mesh, pack_gap_batch, run_gap_batch
+from pomfret_tpu.kernels.engine_jax import run_direction_device
+
+
+def _rand_gap(rng, R=64, S=96, D=8, n_reads=48):
+    from pomfret_tpu.kernels.engine_jax import GapDeviceData
+    ids = rng.integers(-1, D, size=(R, S)).astype(np.int32)
+    ids[n_reads:, :] = -1
+    has_mmr = np.zeros(R, dtype=bool)
+    has_mmr[:n_reads] = True
+    hp_init = np.full(R, 2, dtype=np.int32)
+    hp_init[:16] = rng.integers(0, 2, size=16)
+    scan = np.full(R, -1, dtype=np.int32)
+    scan[:n_reads] = np.arange(n_reads)
+    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_init, scan=scan,
+                         n_reads=n_reads, n_sites=S, max_d=D, q_break=n_reads,
+                         min0=0, max0=4)
+
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(0)
+    datas = [_rand_gap(rng) for _ in range(6)]
+    covs = [4] * 6
+    batch = pack_gap_batch(datas, covs, n_cand=8)
+    out = run_gap_batch(batch, max_iters=160)
+    for g, d in enumerate(datas):
+        import jax.numpy as jnp
+        hp = np.asarray(run_direction_device(
+            jnp.asarray(d.ids), jnp.asarray(d.has_mmr), jnp.asarray(d.hp_init),
+            jnp.asarray(d.scan), jnp.int32(d.n_reads), jnp.int32(d.n_sites),
+            jnp.int32(d.q_break), jnp.int32(d.min0), jnp.int32(d.max0),
+            jnp.int32(4), D=batch.D, n_cand=8, max_iters=160))
+        assert np.array_equal(out[g], hp), f"gap {g} differs"
+
+
+def test_mesh_sharded_matches_unsharded():
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    rng = np.random.default_rng(1)
+    datas = [_rand_gap(rng) for _ in range(16)]
+    covs = [4] * 16
+    batch = pack_gap_batch(datas, covs, n_cand=8)
+    out1 = run_gap_batch(batch, max_iters=160)
+    mesh = make_gap_mesh(8)
+    out8 = run_gap_batch(batch, mesh=mesh, max_iters=160)
+    assert np.array_equal(out1, out8)
+
+
+def test_graft_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128,)
+    ge.dryrun_multichip(8)

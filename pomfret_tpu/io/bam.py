@@ -341,6 +341,30 @@ class BamReader:
         """Stream every record in file order (the sam_itr_querys('.') path)."""
         return self._iter_from(self._data_voffset)
 
+    def scan_columns(self):
+        """Columnar whole-file scan via the C++ fast path: returns
+        (cols dict, decompressed buffer) or (None, None) when unavailable.
+        cols has rec_off/refID/pos/flag/mapq/l_seq/endpos/hp/de arrays."""
+        try:
+            from . import native
+        except ImportError:
+            return None, None
+        if not native.native_available():
+            return None, None
+        buf = self._bgzf.read_all()
+        offs, sizes = self._bgzf.block_offsets()
+        import numpy as _np
+        plain_of_block = dict(zip(offs, _np.concatenate([[0], _np.cumsum(sizes)[:-1]]).astype(int))) if offs else {}
+        v = self._data_voffset
+        blk = v >> 16
+        if blk not in plain_of_block:
+            return None, None
+        start_plain = plain_of_block[blk] + (v & 0xFFFF)
+        cols = native.bam_scan(buf, int(start_plain))
+        if cols is None:
+            return None, None
+        return cols, buf
+
     def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:
         """Records overlapping 0-based half-open [beg, end) on `chrom`."""
         tid = self.ref_id(chrom)

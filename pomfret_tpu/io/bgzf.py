@@ -131,7 +131,16 @@ class BgzfReader:
 
     # ---- bulk decompression ----
     def read_all(self) -> bytes:
-        """Decompress the entire file with a thread pool (GIL released in zlib)."""
+        """Decompress the entire file (C++ thread pool when available,
+        else Python threads — zlib releases the GIL)."""
+        try:
+            from . import native
+            if native.native_available():
+                out = native.bgzf_inflate_all(self._raw, n_threads=max(self._threads, 4))
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
         offs = []
         off = 0
         raw = self._raw

@@ -1,0 +1,165 @@
+"""ctypes loader for the C++ IO fast paths (builds on first use).
+
+Every entry point has a pure-Python fallback; `native_available()` gates use.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pomfret_native.cpp")
+_SO = os.path.join(_HERE, "libpomfret_native.so")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC,
+             "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.bgzf_scan_blocks.restype = ctypes.c_int64
+        lib.bgzf_scan_blocks.argtypes = [u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
+        lib.bgzf_inflate_blocks.restype = ctypes.c_int32
+        lib.bgzf_inflate_blocks.argtypes = [u8p, ctypes.c_int64, i64p, i64p, i64p,
+                                            ctypes.c_int64, u8p, ctypes.c_int]
+        lib.bgzf_deflate_blocks.restype = ctypes.c_int32
+        lib.bgzf_deflate_blocks.argtypes = [u8p, i64p, i64p, ctypes.c_int64,
+                                            ctypes.c_int, u8p, i64p, i64p,
+                                            ctypes.c_int]
+        lib.bam_scan_records.restype = ctypes.c_int64
+        lib.bam_scan_records.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint16), u8p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _p(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def bgzf_inflate_all(comp: bytes, n_threads: int = 4) -> Optional[bytes]:
+    """Decompress an entire BGZF byte buffer with the native thread pool."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    comp_a = np.frombuffer(comp, dtype=np.uint8)
+    max_blocks = len(comp) // 28 + 2
+    offs = np.zeros(max_blocks, dtype=np.int64)
+    isize = np.zeros(max_blocks, dtype=np.int64)
+    n = lib.bgzf_scan_blocks(_p(comp_a, ctypes.c_uint8), len(comp),
+                             _p(offs, ctypes.c_int64), _p(isize, ctypes.c_int64),
+                             max_blocks)
+    if n < 0:
+        return None
+    out_offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(isize[: n - 1], out=out_offs[1:]) if n > 1 else None
+    total = int(isize[:n].sum())
+    out = np.empty(total, dtype=np.uint8)
+    r = lib.bgzf_inflate_blocks(_p(comp_a, ctypes.c_uint8), len(comp),
+                                _p(offs, ctypes.c_int64), _p(out_offs, ctypes.c_int64),
+                                _p(isize, ctypes.c_int64), n,
+                                _p(out, ctypes.c_uint8), n_threads)
+    if r != 0:
+        return None
+    return out.tobytes()
+
+
+def bgzf_deflate_all(payload: bytes, level: int = 6, n_threads: int = 4,
+                     chunk: int = 0xFF00) -> Optional[bytes]:
+    """Compress a payload into BGZF blocks (no EOF marker appended)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    n_chunks = max(1, (len(payload) + chunk - 1) // chunk)
+    in_offs = np.arange(n_chunks, dtype=np.int64) * chunk
+    in_lens = np.full(n_chunks, chunk, dtype=np.int64)
+    if len(payload) % chunk:
+        in_lens[-1] = len(payload) % chunk
+    if len(payload) == 0:
+        in_lens[0] = 0
+    worst = chunk + chunk // 2 + 64 + 26
+    out_offs = np.arange(n_chunks, dtype=np.int64) * worst
+    out_lens = np.zeros(n_chunks, dtype=np.int64)
+    out = np.empty(n_chunks * worst, dtype=np.uint8)
+    r = lib.bgzf_deflate_blocks(_p(pay, ctypes.c_uint8),
+                                _p(in_offs, ctypes.c_int64), _p(in_lens, ctypes.c_int64),
+                                n_chunks, level, _p(out, ctypes.c_uint8),
+                                _p(out_offs, ctypes.c_int64), _p(out_lens, ctypes.c_int64),
+                                n_threads)
+    if r != 0:
+        return None
+    parts = [out[out_offs[i]: out_offs[i] + out_lens[i]].tobytes()
+             for i in range(n_chunks)]
+    return b"".join(parts)
+
+
+def bam_scan(buf: bytes, start: int) -> Optional[dict]:
+    """Columnar scan of all records from `start`; returns dict of arrays."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = np.frombuffer(buf, dtype=np.uint8)
+    max_rec = max(16, len(buf) // 40)
+    rec_off = np.zeros(max_rec, dtype=np.int64)
+    refID = np.zeros(max_rec, dtype=np.int32)
+    pos = np.zeros(max_rec, dtype=np.int32)
+    flag = np.zeros(max_rec, dtype=np.uint16)
+    mapq = np.zeros(max_rec, dtype=np.uint8)
+    l_seq = np.zeros(max_rec, dtype=np.int32)
+    endpos = np.zeros(max_rec, dtype=np.int32)
+    hp = np.zeros(max_rec, dtype=np.int32)
+    de = np.zeros(max_rec, dtype=np.float32)
+    n = lib.bam_scan_records(
+        _p(b, ctypes.c_uint8), len(buf), start, max_rec,
+        _p(rec_off, ctypes.c_int64), _p(refID, ctypes.c_int32),
+        _p(pos, ctypes.c_int32), _p(flag, ctypes.c_uint16),
+        _p(mapq, ctypes.c_uint8), _p(l_seq, ctypes.c_int32),
+        _p(endpos, ctypes.c_int32), _p(hp, ctypes.c_int32),
+        _p(de, ctypes.c_float))
+    if n < 0:
+        return None
+    sl = slice(0, n)
+    return {
+        "rec_off": rec_off[sl].copy(), "refID": refID[sl].copy(),
+        "pos": pos[sl].copy(), "flag": flag[sl].copy(),
+        "mapq": mapq[sl].copy(), "l_seq": l_seq[sl].copy(),
+        "endpos": endpos[sl].copy(), "hp": hp[sl].copy(), "de": de[sl].copy(),
+    }

@@ -1,0 +1,270 @@
+// Native IO hot paths for pomfret_tpu.
+//
+// Replaces the role of htslib's bgzf worker pool + record decode for the
+// streaming passes (coverage estimation, whole-BAM rewrite, varhaptag) and
+// region fetches. Exposed through a plain C ABI consumed via ctypes
+// (pomfret_tpu/io/native/__init__.py); pure-Python fallbacks exist for every
+// entry point.
+//
+// Build: g++ -O3 -march=native -shared -fPIC pomfret_native.cpp -lz -lpthread
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <thread>
+#include <atomic>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Scan BGZF block boundaries. Fills offs[i] (compressed byte offset) and
+// isize[i] (uncompressed payload size). Returns block count, or -1 on error.
+int64_t bgzf_scan_blocks(const uint8_t* comp, int64_t comp_len,
+                         int64_t* offs, int64_t* isize, int64_t max_blocks) {
+    int64_t off = 0, n = 0;
+    while (off < comp_len) {
+        if (n >= max_blocks) return -2;
+        if (off + 18 > comp_len) return -1;
+        if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        memcpy(&xlen, comp + off + 10, 2);
+        int64_t xoff = off + 12, xend = xoff + xlen;
+        int64_t bsize = -1;
+        while (xoff + 4 <= xend) {
+            uint8_t si1 = comp[xoff], si2 = comp[xoff + 1];
+            uint16_t slen;
+            memcpy(&slen, comp + xoff + 2, 2);
+            if (si1 == 0x42 && si2 == 0x43 && slen == 2) {
+                uint16_t bs;
+                memcpy(&bs, comp + xoff + 4, 2);
+                bsize = (int64_t)bs + 1;
+            }
+            xoff += 4 + slen;
+        }
+        if (bsize < 0) return -1;
+        uint32_t is;
+        memcpy(&is, comp + off + bsize - 4, 4);
+        offs[n] = off;
+        isize[n] = is;
+        n++;
+        off += bsize;
+    }
+    return n;
+}
+
+// Inflate all blocks (offs from bgzf_scan_blocks) into out at out_offs.
+// Returns 0 on success.
+int32_t bgzf_inflate_blocks(const uint8_t* comp, int64_t comp_len,
+                            const int64_t* offs, const int64_t* out_offs,
+                            const int64_t* isize, int64_t n_blocks,
+                            uint8_t* out, int n_threads) {
+    std::atomic<int64_t> next(0);
+    std::atomic<int32_t> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_blocks || err.load()) return;
+            int64_t off = offs[i];
+            uint16_t xlen;
+            memcpy(&xlen, comp + off + 10, 2);
+            int64_t data_start = off + 12 + xlen;
+            // find bsize again (cheap)
+            int64_t xoff = off + 12, xend = data_start, bsize = -1;
+            while (xoff + 4 <= xend) {
+                uint8_t si1 = comp[xoff], si2 = comp[xoff + 1];
+                uint16_t slen;
+                memcpy(&slen, comp + xoff + 2, 2);
+                if (si1 == 0x42 && si2 == 0x43 && slen == 2) {
+                    uint16_t bs;
+                    memcpy(&bs, comp + xoff + 4, 2);
+                    bsize = (int64_t)bs + 1;
+                }
+                xoff += 4 + slen;
+            }
+            if (bsize < 0) { err.store(1); return; }
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            zs.next_in = const_cast<uint8_t*>(comp + data_start);
+            zs.avail_in = (uInt)(off + bsize - 8 - data_start);
+            zs.next_out = out + out_offs[i];
+            zs.avail_out = (uInt)isize[i];
+            if (inflateInit2(&zs, -15) != Z_OK) { err.store(2); return; }
+            int r = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (r != Z_STREAM_END && !(r == Z_OK && isize[i] == 0) &&
+                !(r == Z_BUF_ERROR && isize[i] == 0)) {
+                err.store(3);
+                return;
+            }
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    return err.load();
+}
+
+// Deflate `n_chunks` independent payload chunks into BGZF blocks.
+// in_offs/in_lens describe payload slices; out buffer gets the full BGZF
+// blocks at out_offs (caller sizes out via worst case 18+len+len/2+8+26).
+// out_lens[i] receives each block's compressed size. Returns 0 on success.
+int32_t bgzf_deflate_blocks(const uint8_t* payload,
+                            const int64_t* in_offs, const int64_t* in_lens,
+                            int64_t n_chunks, int level,
+                            uint8_t* out, const int64_t* out_offs,
+                            int64_t* out_lens, int n_threads) {
+    std::atomic<int64_t> next(0);
+    std::atomic<int32_t> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_chunks || err.load()) return;
+            const uint8_t* src = payload + in_offs[i];
+            int64_t len = in_lens[i];
+            uint8_t* dst = out + out_offs[i];
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                             Z_DEFAULT_STRATEGY) != Z_OK) { err.store(2); return; }
+            zs.next_in = const_cast<uint8_t*>(src);
+            zs.avail_in = (uInt)len;
+            zs.next_out = dst + 18;
+            zs.avail_out = (uInt)(len + len / 2 + 64);
+            int r = deflate(&zs, Z_FINISH);
+            int64_t comp_len = (int64_t)zs.total_out;
+            deflateEnd(&zs);
+            if (r != Z_STREAM_END) { err.store(3); return; }
+            int64_t bsize = comp_len + 26;
+            if (bsize > 0x10000) { err.store(4); return; }
+            static const uint8_t hdr10[10] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff};
+            memcpy(dst, hdr10, 10);
+            uint16_t x6 = 6; memcpy(dst + 10, &x6, 2);
+            dst[12] = 'B'; dst[13] = 'C';
+            uint16_t two = 2; memcpy(dst + 14, &two, 2);
+            uint16_t bs = (uint16_t)(bsize - 1); memcpy(dst + 16, &bs, 2);
+            uint32_t crc = crc32(0, src, (uInt)len);
+            memcpy(dst + 18 + comp_len, &crc, 4);
+            uint32_t is = (uint32_t)len;
+            memcpy(dst + 18 + comp_len + 4, &is, 4);
+            out_lens[i] = bsize;
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    return err.load();
+}
+
+// ---------------------------------------------------------------------------
+// BAM record scan
+// ---------------------------------------------------------------------------
+
+// Scan decoded BAM records starting at `start` in `buf`. Produces columnar
+// arrays + per-record byte offsets, plus the HP aux tag (int, -1 when
+// absent) and the de aux tag (float, -1 when absent).
+// Returns record count, or negative on error/overflow.
+int64_t bam_scan_records(const uint8_t* buf, int64_t len, int64_t start,
+                         int64_t max_records,
+                         int64_t* rec_off, int32_t* refID, int32_t* pos,
+                         uint16_t* flag, uint8_t* mapq, int32_t* l_seq,
+                         int32_t* endpos, int32_t* hp, float* de) {
+    int64_t off = start, n = 0;
+    while (off + 4 <= len) {
+        if (n >= max_records) return -2;
+        int32_t block_size;
+        memcpy(&block_size, buf + off, 4);
+        if (off + 4 + block_size > len || block_size < 32) break;
+        const uint8_t* p = buf + off + 4;
+        int32_t rid, ps, lseq;
+        memcpy(&rid, p, 4);
+        memcpy(&ps, p + 4, 4);
+        uint8_t l_read_name = p[8];
+        uint8_t mq = p[9];
+        uint16_t n_cigar, fl;
+        memcpy(&n_cigar, p + 12, 2);
+        memcpy(&fl, p + 14, 2);
+        memcpy(&lseq, p + 16, 4);
+        // endpos from cigar
+        const uint8_t* cg = p + 32 + l_read_name;
+        int64_t span = 0;
+        for (int i = 0; i < n_cigar; i++) {
+            uint32_t c;
+            memcpy(&c, cg + 4 * i, 4);
+            uint32_t op = c & 0xf, ln = c >> 4;
+            // M, D, N, =, X consume reference
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += ln;
+        }
+        int32_t ep = ps + (int32_t)(span > 0 ? span : 1);
+        // aux scan for HP / de
+        const uint8_t* aux = cg + 4 * n_cigar + (lseq + 1) / 2 + lseq;
+        const uint8_t* aux_end = buf + off + 4 + block_size;
+        int32_t hpv = -1;
+        float dev = -1.0f;
+        while (aux + 3 <= aux_end) {
+            char t0 = (char)aux[0], t1 = (char)aux[1], typ = (char)aux[2];
+            const uint8_t* v = aux + 3;
+            int64_t sz;
+            switch (typ) {
+                case 'A': case 'c': case 'C': sz = 1; break;
+                case 's': case 'S': sz = 2; break;
+                case 'i': case 'I': case 'f': sz = 4; break;
+                case 'Z': case 'H': {
+                    const uint8_t* q = v;
+                    while (q < aux_end && *q) q++;
+                    sz = q - v + 1;
+                    break;
+                }
+                case 'B': {
+                    if (v + 5 > aux_end) { aux = aux_end; sz = 0; break; }
+                    char sub = (char)v[0];
+                    int32_t cnt;
+                    memcpy(&cnt, v + 1, 4);
+                    int es = (sub == 'c' || sub == 'C') ? 1
+                           : (sub == 's' || sub == 'S') ? 2 : 4;
+                    sz = 5 + (int64_t)cnt * es;
+                    break;
+                }
+                default: aux = aux_end; sz = 0; break;
+            }
+            if (aux >= aux_end) break;
+            if (t0 == 'H' && t1 == 'P') {
+                switch (typ) {
+                    case 'c': hpv = *(const int8_t*)v; break;
+                    case 'C': hpv = *v; break;
+                    case 's': { int16_t x; memcpy(&x, v, 2); hpv = x; break; }
+                    case 'S': { uint16_t x; memcpy(&x, v, 2); hpv = x; break; }
+                    case 'i': case 'I': { int32_t x; memcpy(&x, v, 4); hpv = x; break; }
+                    default: break;
+                }
+            } else if (t0 == 'd' && t1 == 'e' && typ == 'f') {
+                memcpy(&dev, v, 4);
+            }
+            aux = v + sz;
+        }
+        rec_off[n] = off;
+        refID[n] = rid;
+        pos[n] = ps;
+        flag[n] = fl;
+        mapq[n] = mq;
+        l_seq[n] = lseq;
+        endpos[n] = ep;
+        hp[n] = hpv;
+        de[n] = dev;
+        n++;
+        off += 4 + block_size;
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -44,11 +44,16 @@ INVALID_ID = -1
 
 @dataclass
 class GapDeviceData:
-    """Per-(gap, direction) dense arrays for the device loop."""
+    """Per-(gap, direction) dense arrays for the device loop.
+
+    Reads are stored PERMUTED into candidate-scan order (fwd: BAM order;
+    bwd: descending end-position order) so the device loop needs no
+    per-iteration indirection; `perm` maps device row -> original read id.
+    """
     ids: np.ndarray        # (R, S) int32, mer id at covered sites else -1
     has_mmr: np.ndarray    # (R,) bool
     hp_init: np.ndarray    # (R,) int32 — post-wipe tags (step 1.5)
-    scan: np.ndarray       # (R,) int32 — candidate scan order, -1 padded
+    perm: np.ndarray       # (R,) int32 — device row -> original read id
     n_reads: int
     n_sites: int
     max_d: int             # dense dictionary capacity actually used
@@ -109,10 +114,18 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     else:
         scan_list = [rs.rev_order[n - 1 - q] for q in range(n)]
         q_break = n - 1
-    scan = np.full(R, -1, dtype=np.int32)
-    scan[:n] = scan_list
 
-    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_init, scan=scan,
+    # permute reads into scan order so the loop indexes rows directly
+    perm = np.full(R, -1, dtype=np.int32)
+    perm[:n] = scan_list
+    ids_p = np.full_like(ids, INVALID_ID)
+    has_p = np.zeros_like(has_mmr)
+    hp_p = np.full_like(hp_init, 2)
+    ids_p[:n] = ids[perm[:n]]
+    has_p[:n] = has_mmr[perm[:n]]
+    hp_p[:n] = hp_init[perm[:n]]
+
+    return GapDeviceData(ids=ids_p, has_mmr=has_p, hp_init=hp_p, perm=perm,
                          n_reads=n, n_sites=S, max_d=max_d, q_break=q_break,
                          min0=min0, max0=max0)
 
@@ -165,11 +178,12 @@ def direction_step_fn(D: int, n_cand: int):
         hp, cnt, sums, q_last, failed, it = state
         return (q_last < q_break) & (failed <= 10) & (it < max_iters)
 
-    def body(state, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov):
-        # NOTE on lowering: everything below is formulated as one-hot
-        # matmuls / masked elementwise ops — TPU scatters and fancy gathers
-        # lower to serialized loops and cost milliseconds per call, whereas
-        # these shapes are microseconds on the MXU/VPU.
+    def body(state, ids, has_mmr, n_reads, n_sites, min0, max0, cov):
+        # NOTE on lowering: reads arrive permuted into scan order (host-side),
+        # so candidate selection indexes rows directly; TPU-hostile scatters
+        # and elementwise gathers are avoided (one-hot matmuls / row takes /
+        # masked dense adds) — they lower to serialized loops costing
+        # milliseconds, these shapes are microseconds on the MXU/VPU.
         hp, cnt, sums, q_last, failed, it = state
         R, S = ids.shape
         f32 = jnp.float32
@@ -178,23 +192,18 @@ def direction_step_fn(D: int, n_cand: int):
 
         # --- candidate collection (blockjoin.c:4037-4051) ---
         q = jnp.arange(R)
-        scan_read = jnp.where(scan >= 0, scan, 0)
-        hp_scan = jnp.einsum("rx,x->r", jax.nn.one_hot(scan_read, R, dtype=f32),
-                             hp.astype(f32)).astype(hp.dtype)
-        untagged = (hp_scan != 0) & (hp_scan != 1) & (scan >= 0)
+        untagged = (hp != 0) & (hp != 1)
         elig = untagged & (q >= q_last) & (q < n_reads)
         rank = jnp.cumsum(elig.astype(jnp.int32))
         sel = elig & (rank <= n_cand)
-        # slot matrix: (R, NC) — q goes to slot rank-1
+        # slot matrix: (R, NC) — row q goes to slot rank-1
         slot_mat = sel[:, None] & ((rank - 1)[:, None] == jnp.arange(n_cand)[None, :])
         cand_valid = jnp.any(slot_mat, axis=0)                  # (NC,)
-        sel_reads = slot_mat.astype(f32) * scan_read[:, None].astype(f32)
-        cand_read = jnp.sum(sel_reads, axis=0).astype(jnp.int32)  # (NC,)
+        cand_read = jnp.sum(slot_mat.astype(jnp.int32) * q[:, None],
+                            axis=0)                             # (NC,) row idx
 
         # --- scoring (blockjoin.c:3487-3656) ---
-        # candidate mer rows via one-hot matmul instead of a row gather
-        cand_oh = jax.nn.one_hot(cand_read, R, dtype=f32)       # (NC, R)
-        cids = jnp.einsum("cr,rs->cs", cand_oh, ids.astype(f32)).astype(jnp.int32)
+        cids = jnp.take(ids, cand_read, axis=0)                 # (NC, S) rows
         covered = cids >= 0
         s_idx = jnp.broadcast_to(jnp.arange(S), cids.shape)
         in_range = (s_idx >= min_i) & (s_idx < max_i)
@@ -211,7 +220,7 @@ def direction_step_fn(D: int, n_cand: int):
         diff = jnp.abs(score[:, 0] - score[:, 1])
         tag_ok = ~((diff < 3.0) & ((l_total[:, 0] < 3) | (l_total[:, 1] < 3)))
         tag = jnp.where(score[:, 0] > score[:, 1], 0, 1).astype(hp.dtype)
-        has_mmr_c = jnp.einsum("cr,r->c", cand_oh, has_mmr.astype(f32)) > 0.5
+        has_mmr_c = jnp.take(has_mmr, cand_read)
         commit_ok = tag_ok & cand_valid & has_mmr_c
 
         # --- commit best (max score-diff; ties -> latest candidate slot,
@@ -242,7 +251,7 @@ def direction_step_fn(D: int, n_cand: int):
     return init, cond, body
 
 
-def run_direction_core(ids, has_mmr, hp_init, scan,
+def run_direction_core(ids, has_mmr, hp_init,
                        n_reads, n_sites, q_break, min0, max0, cov,
                        D: int, n_cand: int, max_iters: int):
     """Pure (traceable) single-(gap,direction) run; returns final hp (R,).
@@ -252,17 +261,17 @@ def run_direction_core(ids, has_mmr, hp_init, scan,
     state = init(ids, hp_init, has_mmr)
     state = jax.lax.while_loop(
         lambda st: cond(st, q_break, max_iters),
-        lambda st: body(st, ids, has_mmr, scan, n_reads, n_sites, min0, max0, cov),
+        lambda st: body(st, ids, has_mmr, n_reads, n_sites, min0, max0, cov),
         state)
     return state[0]
 
 
 @functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
-def run_direction_device(ids, has_mmr, hp_init, scan,
+def run_direction_device(ids, has_mmr, hp_init,
                          n_reads, n_sites, q_break, min0, max0, cov,
                          D: int, n_cand: int, max_iters: int):
     """Jitted single-(gap,direction) run; returns the final hp (R,)."""
-    return run_direction_core(ids, has_mmr, hp_init, scan, n_reads, n_sites,
+    return run_direction_core(ids, has_mmr, hp_init, n_reads, n_sites,
                               q_break, min0, max0, cov, D, n_cand, max_iters)
 
 
@@ -291,12 +300,16 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
         dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
         hp = np.asarray(run_direction_device(
             jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
-            jnp.asarray(dd.hp_init), jnp.asarray(dd.scan),
+            jnp.asarray(dd.hp_init),
             jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
             jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
             jnp.int32(cov_runtime),
             D=_round_up(dd.max_d, 16), n_cand=n_cand,
             max_iters=2 * pad_r + 64))
+        # un-permute: device rows are in scan order
+        hp_orig = np.full(rs.n, 2, dtype=np.int32)
+        hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
+        hp = hp_orig
         rs.restore_haplotags(hp[:rs.n])
         score, which_way = evaluate_separation(rs, initial,
                                                1 if direction == 0 else 0)

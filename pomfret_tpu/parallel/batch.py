@@ -29,7 +29,7 @@ class GapBatch:
     ids: np.ndarray        # (G, R, S) int32
     has_mmr: np.ndarray    # (G, R) bool
     hp_init: np.ndarray    # (G, R) int32
-    scan: np.ndarray       # (G, R) int32
+    perm: np.ndarray       # (G, R) int32 — device row -> original read id
     n_reads: np.ndarray    # (G,) int32
     n_sites: np.ndarray    # (G,) int32
     q_break: np.ndarray    # (G,) int32
@@ -50,31 +50,31 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     ids = np.full((G, R, S), -1, dtype=np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
-    scan = np.full((G, R), -1, dtype=np.int32)
+    perm = np.full((G, R), -1, dtype=np.int32)
     sc = np.zeros((6, G), dtype=np.int32)
     for g, d in enumerate(datas):
         r, s = d.ids.shape
         ids[g, :r, :s] = d.ids
         has_mmr[g, :r] = d.has_mmr
         hp_init[g, :r] = d.hp_init
-        scan[g, :r] = d.scan
+        perm[g, :r] = d.perm
         sc[:, g] = (d.n_reads, d.n_sites, d.q_break, d.min0, d.max0, covs[g])
-    return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init, scan=scan,
+    return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init, perm=perm,
                     n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
                     min0=sc[3], max0=sc[4], cov=sc[5], D=D, n_cand=n_cand)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
-def _run_batch_jit(ids, has_mmr, hp_init, scan, n_reads, n_sites, q_break,
+def _run_batch_jit(ids, has_mmr, hp_init, n_reads, n_sites, q_break,
                    min0, max0, cov, D: int, n_cand: int, max_iters: int):
     f = functools.partial(run_direction_core, D=D, n_cand=n_cand,
                           max_iters=max_iters)
-    return jax.vmap(f)(ids, has_mmr, hp_init, scan, n_reads, n_sites,
+    return jax.vmap(f)(ids, has_mmr, hp_init, n_reads, n_sites,
                        q_break, min0, max0, cov)
 
 
 def batch_args(batch: GapBatch):
-    return (batch.ids, batch.has_mmr, batch.hp_init, batch.scan,
+    return (batch.ids, batch.has_mmr, batch.hp_init,
             batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
             batch.max0, batch.cov)
 

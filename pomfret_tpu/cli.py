@@ -147,6 +147,8 @@ def main(argv=None) -> int:
     p_vh.add_argument("--dont-write-bam", dest="write_bam", action="store_false")
 
     a = parser.parse_args(argv)
+    from .parallel.distributed import initialize as _dist_init
+    _dist_init()  # multi-host when POMFRET_COORDINATOR is set
     ret = 1
     if a.cmd in ("methphase", "report"):
         set_verbose(a.verbose)

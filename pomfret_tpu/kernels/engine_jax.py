@@ -329,16 +329,18 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
     return join1
 
 
-def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int):
-    """Pipeline hook (engine='jax'): run all gaps of one chromosome.
+def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
+                     indices=None):
+    """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
+    the subset in `indices` for multi-host runs).
 
     Round 1: per-gap device execution with bucketed pad shapes; full vmap
     batching + mesh sharding lives in parallel/.
-    Returns (decisions, per-gap {qname: hp}).
+    Returns (decisions, per-gap {qname: hp}) aligned with `indices`.
     """
     decisions = []
     tag_maps = []
-    for i in range(len(rg.starts)):
+    for i in (indices if indices is not None else range(len(rg.starts))):
         rs = load_reads_given_interval(
             bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
             st.qname2haptag_raw if st.stores_raw_tag else None)

@@ -166,9 +166,11 @@ def _derive_chrom_params(config: MmrConfig, n_cand: int, coverage: int,
 
 def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                          config: MmrConfig, n_cand_in: int, coverage: int,
-                         engine: str = "host") -> Dict[str, int]:
+                         engine: str = "host",
+                         gap_filter=None) -> Dict[str, int]:
     """One chromosome's gap-joining jobs (blockjoin_one_chrom_callback,
-    blockjoin.c:4350-4426). Returns the per-chromosome qname->haptag map."""
+    blockjoin.c:4350-4426). Returns the per-chromosome qname->haptag map.
+    gap_filter(i) -> bool restricts to this host's assigned gaps."""
     rg = st.ranges[job_i]
     ref_name = st.ref_names[job_i]
     cfg, n_cand = _derive_chrom_params(config, n_cand_in, coverage, ref_name)
@@ -176,16 +178,19 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
              f"ref {ref_name} using: cov_for_selection={cfg.cov_for_selection}, n_cand_per_iter={n_cand}")
     bam = BamReader(fn_bam)
     qname2haptag: Dict[str, int] = {}
-    if engine == "jax" and len(rg.starts) > 0:
+    indices = [i for i in range(len(rg.starts))
+               if gap_filter is None or gap_filter(i)]
+    if engine == "jax" and indices:
         from .kernels.engine_jax import run_gaps_batched
-        decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg, n_cand)
-        for i, (d, tags) in enumerate(zip(decisions, tag_maps)):
+        decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg,
+                                               n_cand, indices=indices)
+        for i, d, tags in zip(indices, decisions, tag_maps):
             rg.decisions[i] = d
             if d >= 0:
                 for qn, hp in tags.items():
                     qname2haptag.setdefault(qn, hp)
         return qname2haptag
-    for i in range(len(rg.starts)):
+    for i in indices:
         decision, rs = haplotag_region_given_bam(
             st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand)
         rg.decisions[i] = decision
@@ -256,21 +261,56 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     if engine == "auto":
         engine = "host"
     n_jobs = len(st.ref_names)
+
+    # multi-host: deterministic round-robin over the GLOBAL gap list
+    import jax as _jax
+    n_procs = _jax.process_count()
+    proc_id = _jax.process_index()
+    gap_global: Dict[Tuple[int, int], int] = {}
+    g = 0
+    for i_ref, rg in enumerate(st.ranges):
+        for i in range(len(rg.starts)):
+            gap_global[(i_ref, i)] = g
+            g += 1
+    n_gaps_total = g
+
+    def make_filter(i_ref):
+        if n_procs == 1:
+            return None
+        return lambda i: gap_global[(i_ref, i)] % n_procs == proc_id
+
     if opt.threads > 1 and n_jobs > 1:
         with _fut.ThreadPoolExecutor(opt.threads) as ex:
             maps = list(ex.map(
                 lambda i: _blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                                opt.n_candidates_per_iter,
-                                               ref_covs[i], engine),
+                                               ref_covs[i], engine,
+                                               make_filter(i)),
                 range(n_jobs)))
     else:
         maps = [_blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                      opt.n_candidates_per_iter, ref_covs[i],
-                                     engine)
+                                     engine, make_filter(i))
                 for i in range(n_jobs)]
+    local_tags: Dict[str, int] = {}
     for m in maps:
         for qn, hp in m.items():
-            st.qname2haptag.setdefault(qn, hp)
+            local_tags.setdefault(qn, hp)
+
+    if n_procs > 1:
+        from .parallel.distributed import allgather_decisions, allgather_tag_maps
+        local_dec = {}
+        for (i_ref, i), gidx in gap_global.items():
+            if gidx % n_procs == proc_id:
+                local_dec[gidx] = st.ranges[i_ref].decisions[i]
+        dec = allgather_decisions(local_dec, n_gaps_total)
+        for (i_ref, i), gidx in gap_global.items():
+            st.ranges[i_ref].decisions[i] = int(dec[gidx])
+        st.qname2haptag.update(allgather_tag_maps(local_tags))
+        log_info("blockjoin_parallel",
+                 f"multi-host merge: {n_procs} hosts, {n_gaps_total} gaps")
+    else:
+        st.qname2haptag.update(local_tags)
     log_info("blockjoin_parallel", f"done, used {Get_T() - T:.1f}s.")
     return st
 
@@ -286,6 +326,11 @@ def main_blockjoin(opt: CliOpt) -> int:
     lift_decisions(st)
     make_decisions_flippings_onraw(st)
     generate_new_phase_blocks(st, use_raw=True)
+    import jax as _jax
+    if _jax.process_index() != 0:
+        # replicated state is identical on every host; host 0 writes
+        log_info("main_blockjoin", "non-zero host: skipping output writes")
+        return 0
     if opt.write_debug_files:
         with open(opt.output_prefix + ".mp.dbg.read2tag", "w") as f:
             for qn, hap in st.qname2haptag.items():

@@ -12,6 +12,8 @@ from typing import Iterator, List, Optional, Tuple
 from .bgzf import BgzfReader
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+import numpy as _np_mod
+_SEQ_LUT = _np_mod.frombuffer(SEQ_NT16.encode(), dtype=_np_mod.uint8)
 CIGAR_OPS = "MIDNSHP=X"
 # CIGAR ops that consume reference: M, D, N, =, X
 _REF_CONSUME = (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7) | (1 << 8)
@@ -28,6 +30,7 @@ class BamRecord:
     __slots__ = (
         "refID", "pos", "mapq", "bin", "flag", "l_seq", "next_refID",
         "next_pos", "tlen", "qname", "cigar", "seq_packed", "qual", "aux",
+        "_seq_cache",
     )
 
     def __init__(self, refID, pos, mapq, bin_, flag, l_seq, next_refID,
@@ -46,6 +49,7 @@ class BamRecord:
         self.seq_packed = seq_packed
         self.qual = qual
         self.aux = aux              # raw aux bytes
+        self._seq_cache = None
 
     # ---- sequence access ----
     def seq_base(self, i: int) -> str:
@@ -53,7 +57,14 @@ class BamRecord:
         return SEQ_NT16[(b >> 4) if (i & 1) == 0 else (b & 0xF)]
 
     def seq(self) -> str:
-        return "".join(self.seq_base(i) for i in range(self.l_seq))
+        if self._seq_cache is None:
+            import numpy as _np
+            b = _np.frombuffer(self.seq_packed, dtype=_np.uint8)
+            out = _np.empty(2 * len(b), dtype=_np.uint8)
+            out[0::2] = _SEQ_LUT[b >> 4]
+            out[1::2] = _SEQ_LUT[b & 0xF]
+            self._seq_cache = out[: self.l_seq].tobytes().decode("ascii")
+        return self._seq_cache
 
     @property
     def is_reverse(self) -> bool:

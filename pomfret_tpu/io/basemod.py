@@ -96,12 +96,14 @@ def mods_per_stored_position(rec: BamRecord):
 
     out = {}
     ml_i = 0
+    ml_arr = np.asarray(ml_vals, dtype=np.int64) if ml_vals is not None else None
     for base, strand, codes, implicit, deltas in parse_mm_items(mm):
         ncodes = max(1, len(codes))
+        nd = len(deltas)
         if strand != "+":
             # '-' strand mods are not produced by current basecallers; skip
             # the item but keep ML cursor in sync.
-            ml_i += len(deltas) * ncodes
+            ml_i += nd * ncodes
             continue
         # occurrences of `base` in the original read orientation
         if base == "N":
@@ -109,20 +111,22 @@ def mods_per_stored_position(rec: BamRecord):
         else:
             occ = np.frombuffer(original.encode(), dtype=np.uint8)
             occ = np.flatnonzero(occ == ord(base))
-        idx = -1
-        for d in deltas:
-            idx += d + 1
-            quals = []
-            for _ in range(ncodes):
-                q = ml_vals[ml_i] if ml_vals is not None and ml_i < len(ml_vals) else 255
-                quals.append(q)
-                ml_i += 1
-            if idx >= len(occ):
-                continue  # malformed tag: ran off the end
-            orig_pos = int(occ[idx])
-            stored_pos = (L - 1 - orig_pos) if rec.is_reverse else orig_pos
-            lst = out.setdefault(stored_pos, [])
-            for code, q in zip(codes if codes else ["?"], quals):
+        # vectorized delta walk: k-th listed mod is occurrence cumsum(d+1)-1
+        idx = np.cumsum(np.asarray(deltas, dtype=np.int64) + 1) - 1
+        if ml_arr is not None:
+            qmat = np.full((nd, ncodes), 255, dtype=np.int64)
+            avail = ml_arr[ml_i : ml_i + nd * ncodes]
+            qmat.ravel()[: len(avail)] = avail
+        else:
+            qmat = np.full((nd, ncodes), 255, dtype=np.int64)
+        ml_i += nd * ncodes
+        valid = idx < len(occ)
+        orig_pos = occ[idx[valid]]
+        stored_pos = (L - 1 - orig_pos) if rec.is_reverse else orig_pos
+        code_list = codes if codes else ["?"]
+        for sp, quals in zip(stored_pos.tolist(), qmat[valid].tolist()):
+            lst = out.setdefault(sp, [])
+            for code, q in zip(code_list, quals):
                 lst.append((base, code, q))
     return out
 

@@ -42,6 +42,10 @@ def _add_methphase_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("--engine", choices=["auto", "host", "jax"], default="auto",
                    help="per-gap engine: host oracle or batched TPU engine")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <prefix>.mp.manifest.jsonl (skip completed gaps)")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax profiler trace to <prefix>.profile/")
 
 
 def _opt_from_args(a) -> CliOpt:
@@ -60,7 +64,7 @@ def _opt_from_args(a) -> CliOpt:
         do_output_bam=a.do_output_bam, do_output_tsv=a.do_output_tsv,
         write_debug_files=a.write_debug_files,
         chunk_size=a.chunk_size, chunk_stride=a.chunk_stride,
-        engine=a.engine,
+        engine=a.engine, resume=a.resume, profile=a.profile,
     )
     return opt
 

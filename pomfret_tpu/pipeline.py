@@ -56,6 +56,8 @@ class CliOpt:
     chunk_size: int = 50000
     chunk_stride: int = 1000000
     engine: str = "auto"  # auto|host|jax
+    resume: bool = False
+    profile: bool = False
 
 
 def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
@@ -167,10 +169,12 @@ def _derive_chrom_params(config: MmrConfig, n_cand: int, coverage: int,
 def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                          config: MmrConfig, n_cand_in: int, coverage: int,
                          engine: str = "host",
-                         gap_filter=None) -> Dict[str, int]:
+                         gap_filter=None, manifest=None,
+                         done=None) -> Dict[str, int]:
     """One chromosome's gap-joining jobs (blockjoin_one_chrom_callback,
     blockjoin.c:4350-4426). Returns the per-chromosome qname->haptag map.
-    gap_filter(i) -> bool restricts to this host's assigned gaps."""
+    gap_filter(i) -> bool restricts to this host's assigned gaps;
+    manifest/done implement checkpoint-resume at gap granularity."""
     rg = st.ranges[job_i]
     ref_name = st.ref_names[job_i]
     cfg, n_cand = _derive_chrom_params(config, n_cand_in, coverage, ref_name)
@@ -178,14 +182,27 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
              f"ref {ref_name} using: cov_for_selection={cfg.cov_for_selection}, n_cand_per_iter={n_cand}")
     bam = BamReader(fn_bam)
     qname2haptag: Dict[str, int] = {}
-    indices = [i for i in range(len(rg.starts))
-               if gap_filter is None or gap_filter(i)]
+    indices = []
+    for i in range(len(rg.starts)):
+        if gap_filter is not None and not gap_filter(i):
+            continue
+        if done is not None and (ref_name, i) in done:
+            e = done[(ref_name, i)]
+            rg.decisions[i] = e["decision"]
+            if e["decision"] >= 0:
+                for qn, hp in e["tags"].items():
+                    qname2haptag.setdefault(qn, hp)
+            continue
+        indices.append(i)
     if engine == "jax" and indices:
         from .kernels.engine_jax import run_gaps_batched
         decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg,
                                                n_cand, indices=indices)
         for i, d, tags in zip(indices, decisions, tag_maps):
             rg.decisions[i] = d
+            if manifest is not None:
+                manifest.record(ref_name, i, rg.starts[i], rg.ends[i], d,
+                                tags if d >= 0 else None)
             if d >= 0:
                 for qn, hp in tags.items():
                     qname2haptag.setdefault(qn, hp)
@@ -194,9 +211,12 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
         decision, rs = haplotag_region_given_bam(
             st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand)
         rg.decisions[i] = decision
-        if decision >= 0 and rs is not None:
-            for r in rs.reads:
-                qname2haptag.setdefault(r.qname, r.hp)
+        tags = {r.qname: r.hp for r in rs.reads} if (decision >= 0 and rs is not None) else None
+        if manifest is not None:
+            manifest.record(ref_name, i, rg.starts[i], rg.ends[i], decision, tags)
+        if tags:
+            for qn, hp in tags.items():
+                qname2haptag.setdefault(qn, hp)
     return qname2haptag
 
 
@@ -279,19 +299,25 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
             return None
         return lambda i: gap_global[(i_ref, i)] % n_procs == proc_id
 
+    from .utils.manifest import ManifestWriter, load_manifest
+    manifest_path = opt.output_prefix + ".mp.manifest.jsonl"
+    done = load_manifest(manifest_path) if opt.resume else None
+    manifest = ManifestWriter(manifest_path, append=bool(opt.resume))
+
     if opt.threads > 1 and n_jobs > 1:
         with _fut.ThreadPoolExecutor(opt.threads) as ex:
             maps = list(ex.map(
                 lambda i: _blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                                opt.n_candidates_per_iter,
                                                ref_covs[i], engine,
-                                               make_filter(i)),
+                                               make_filter(i), manifest, done),
                 range(n_jobs)))
     else:
         maps = [_blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                      opt.n_candidates_per_iter, ref_covs[i],
-                                     engine, make_filter(i))
+                                     engine, make_filter(i), manifest, done)
                 for i in range(n_jobs)]
+    manifest.close()
     local_tags: Dict[str, int] = {}
     for m in maps:
         for qn, hp in m.items():
@@ -322,7 +348,22 @@ def main_blockjoin(opt: CliOpt) -> int:
         cov_known=opt.cov, cov_for_selection=opt.cov_for_selection,
         cov_for_runtime=opt.cov_for_selection * 2,
         readlen_threshold=opt.readlen_threshold, min_mapq=opt.mapq)
+    prof = None
+    if opt.profile:
+        try:
+            import jax.profiler as _prof
+            prof = _prof
+            prof.start_trace(opt.output_prefix + ".profile")
+            log_info("main_blockjoin", f"profiler trace -> {opt.output_prefix}.profile/")
+        except Exception as e:  # the dev tunnel may not support tracing
+            log_warn("main_blockjoin", f"profiler unavailable: {e}")
+            prof = None
     st = blockjoin_parallel(opt, config)
+    if prof is not None:
+        try:
+            prof.stop_trace()
+        except Exception:
+            pass
     lift_decisions(st)
     make_decisions_flippings_onraw(st)
     generate_new_phase_blocks(st, use_raw=True)

@@ -50,10 +50,10 @@ class BamWriter:
 
     def write(self, rec: BamRecord) -> None:
         if self._keep_index_info:
-            vbeg = self._w.tell_virtual()
+            vbeg = self._w.mark()
         self._w.write(encode_record(rec))
         if self._keep_index_info:
-            vend = self._w.tell_virtual()
+            vend = self._w.mark()
             self._recs_meta.append(
                 (rec.refID, rec.pos, bam_endpos(rec), vbeg, vend, bool(rec.flag & 4))
             )
@@ -68,10 +68,11 @@ class BamWriter:
         self.close()
 
     def build_index(self, bai_path: Optional[str] = None, n_ref: int = None) -> None:
+        """Resolve deferred marks to virtual offsets (writer must be closed)."""
         assert self._keep_index_info, "writer not opened with keep_index_info"
-        build_bai_from_meta(
-            bai_path or (self.path + ".bai"), self._recs_meta, n_ref
-        )
+        meta = [(r, p, e, self._w.resolve_mark(vb), self._w.resolve_mark(ve), u)
+                for (r, p, e, vb, ve, u) in self._recs_meta]
+        build_bai_from_meta(bai_path or (self.path + ".bai"), meta, n_ref)
 
 
 def build_bai_from_meta(bai_path: str, meta, n_ref: int) -> None:

@@ -189,7 +189,14 @@ def _deflate_block(payload: bytes, level: int) -> bytes:
 
 
 class BgzfWriter:
-    """BGZF writer with optional multithreaded block compression."""
+    """BGZF writer with multithreaded block compression (C++ batch deflate
+    when available, Python thread pool otherwise).
+
+    Supports deferred virtual offsets: `mark()` returns a (block_seq,
+    within) handle without forcing compression; after `close()`,
+    `resolve_mark()` turns handles into final virtual offsets. This lets the
+    BAM writer index records while compression proceeds in large parallel
+    batches (the htslib bgzf_mt role)."""
 
     BLOCK = 0xFF00  # uncompressed payload per block (htslib default)
 
@@ -199,8 +206,16 @@ class BgzfWriter:
         self._buf = bytearray()
         self._threads = max(1, threads)
         self._pool = _fut.ThreadPoolExecutor(self._threads) if self._threads > 1 else None
-        self._pending = []
+        self._pending = []          # python-pool futures, FIFO
+        self._queue = []            # chunks awaiting native batch deflate
+        self._sizes = []            # compressed size per completed chunk
+        self._n_submitted = 0
         self._closed = False
+        try:
+            from . import native
+            self._native = native if native.native_available() else None
+        except ImportError:
+            self._native = None
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -209,9 +224,24 @@ class BgzfWriter:
             del self._buf[: self.BLOCK]
             self._submit(chunk)
 
+    # ---- deferred offsets ----
+    def mark(self):
+        """Cheap position handle: (block_seq, offset_within_block)."""
+        return (self._n_submitted, len(self._buf))
+
+    def resolve_mark(self, mark) -> int:
+        """mark -> virtual offset; valid after close()."""
+        seq, within = mark
+        if not hasattr(self, "_offsets"):
+            offs = [0]
+            for s in self._sizes:
+                offs.append(offs[-1] + s)
+            self._offsets = offs
+        return (self._offsets[seq] << 16) | within
+
     def tell_virtual(self) -> int:
-        # only meaningful at block boundaries when pool is drained
-        self._drain()
+        # forces compression of everything submitted so far
+        self._drain_all()
         return (self._f.tell() << 16) | len(self._buf)
 
     def flush_block(self) -> None:
@@ -221,23 +251,54 @@ class BgzfWriter:
             self._submit(chunk)
 
     def _submit(self, chunk: bytes) -> None:
-        if self._pool is not None:
+        self._n_submitted += 1
+        if self._native is not None:
+            self._queue.append(chunk)
+            if len(self._queue) >= 256:
+                self._flush_native()
+        elif self._pool is not None:
             self._pending.append(self._pool.submit(_deflate_block, chunk, self._level))
-            # bound memory: drain when a lot queued
             if len(self._pending) >= self._threads * 8:
-                self._drain(keep=self._threads * 2)
+                self._drain_python(keep=self._threads * 2)
         else:
-            self._f.write(_deflate_block(chunk, self._level))
+            out = _deflate_block(chunk, self._level)
+            self._sizes.append(len(out))
+            self._f.write(out)
 
-    def _drain(self, keep: int = 0) -> None:
+    def _flush_native(self) -> None:
+        if not self._queue:
+            return
+        payload = b"".join(self._queue)
+        import numpy as _np
+        lens = [len(c) for c in self._queue]
+        comp = self._native.bgzf_deflate_all_chunks(payload, lens, self._level,
+                                                    n_threads=self._threads)
+        if comp is None:  # native failure: fall back per chunk
+            for c in self._queue:
+                out = _deflate_block(c, self._level)
+                self._sizes.append(len(out))
+                self._f.write(out)
+        else:
+            blocks, sizes = comp
+            self._sizes.extend(sizes)
+            self._f.write(blocks)
+        self._queue = []
+
+    def _drain_python(self, keep: int = 0) -> None:
         while len(self._pending) > keep:
-            self._f.write(self._pending.pop(0).result())
+            out = self._pending.pop(0).result()
+            self._sizes.append(len(out))
+            self._f.write(out)
+
+    def _drain_all(self) -> None:
+        self._flush_native()
+        self._drain_python()
 
     def close(self) -> None:
         if self._closed:
             return
         self.flush_block()
-        self._drain()
+        self._drain_all()
         if self._pool is not None:
             self._pool.shutdown()
         self._f.write(BGZF_EOF)

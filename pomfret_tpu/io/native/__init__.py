@@ -131,6 +131,36 @@ def bgzf_deflate_all(payload: bytes, level: int = 6, n_threads: int = 4,
     return b"".join(parts)
 
 
+def bgzf_deflate_all_chunks(payload: bytes, lens, level: int = 6,
+                            n_threads: int = 4):
+    """Compress explicit payload chunks into BGZF blocks.
+    Returns (concatenated blocks bytes, [block sizes]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    n_chunks = len(lens)
+    if n_chunks == 0:
+        return b"", []
+    in_lens = np.asarray(lens, dtype=np.int64)
+    in_offs = np.zeros(n_chunks, dtype=np.int64)
+    np.cumsum(in_lens[:-1], out=in_offs[1:])
+    worst = int(in_lens.max()) + int(in_lens.max()) // 2 + 64 + 26
+    out_offs = np.arange(n_chunks, dtype=np.int64) * worst
+    out_lens = np.zeros(n_chunks, dtype=np.int64)
+    out = np.empty(n_chunks * worst, dtype=np.uint8)
+    r = lib.bgzf_deflate_blocks(_p(pay, ctypes.c_uint8),
+                                _p(in_offs, ctypes.c_int64), _p(in_lens, ctypes.c_int64),
+                                n_chunks, level, _p(out, ctypes.c_uint8),
+                                _p(out_offs, ctypes.c_int64), _p(out_lens, ctypes.c_int64),
+                                max(1, n_threads))
+    if r != 0:
+        return None
+    parts = [out[out_offs[i]: out_offs[i] + out_lens[i]].tobytes()
+             for i in range(n_chunks)]
+    return b"".join(parts), [int(x) for x in out_lens]
+
+
 def bam_scan(buf: bytes, start: int) -> Optional[dict]:
     """Columnar scan of all records from `start`; returns dict of arrays."""
     lib = get_lib()

@@ -329,24 +329,77 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
     return join1
 
 
-def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
-                     indices=None):
-    """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
-    the subset in `indices` for multi-host runs).
+def _decide_from_direction_tags(rs: ReadSet, initial: np.ndarray,
+                                hp_by_dir: Dict[int, np.ndarray]) -> int:
+    """haplotag_region2's evaluation + the fwd/bwd agreement gate
+    (blockjoin.c:4145-4206, 4288-4320) given both directions' tag vectors."""
+    results = {}
+    for direction in (1, 0):
+        rs.restore_haplotags(hp_by_dir[direction])
+        score, which_way = evaluate_separation(rs, initial,
+                                               1 if direction == 0 else 0)
+        join = -1
+        if score >= 2 and which_way not in (-9, 0):
+            join = 0 if which_way > 0 else 1
+        results[direction] = join
+        rs.restore_haplotags(initial)
+    join1, join2 = results[0], results[1]
+    if join1 != join2 or (join1 == -1 and join2 == -1):
+        rs.set_all_as_unphased()
+        return -1
+    rs.restore_haplotags(hp_by_dir[0])
+    return join1
 
-    Round 1: per-gap device execution with bucketed pad shapes; full vmap
-    batching + mesh sharding lives in parallel/.
+
+def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
+                     indices=None, group: int = 16):
+    """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
+    the subset in `indices` for multi-host runs) through the vmapped batch
+    engine, `group` gaps per device dispatch.
+
     Returns (decisions, per-gap {qname: hp}) aligned with `indices`.
     """
-    decisions = []
-    tag_maps = []
-    for i in (indices if indices is not None else range(len(rg.starts))):
-        rs = load_reads_given_interval(
-            bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
-            st.qname2haptag_raw if st.stores_raw_tag else None)
-        ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
-        ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
-        d = run_gap_jax(rs, ms_fwd, ms_bwd, n_cand, cfg.cov_for_runtime)
-        decisions.append(d)
-        tag_maps.append({r.qname: r.hp for r in rs.reads} if d >= 0 else {})
-    return decisions, tag_maps
+    from ..parallel.batch import pack_gap_batch, run_gap_batch
+
+    idxs = list(indices if indices is not None else range(len(rg.starts)))
+    decisions: Dict[int, int] = {}
+    tag_maps: Dict[int, Dict[str, int]] = {}
+    for c0 in range(0, len(idxs), group):
+        chunk = idxs[c0 : c0 + group]
+        loaded = []
+        for i in chunk:
+            rs = load_reads_given_interval(
+                bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
+                st.qname2haptag_raw if st.stores_raw_tag else None)
+            ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
+            ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+            if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
+                decisions[i] = -1
+                tag_maps[i] = {}
+                continue
+            loaded.append((i, rs, ms_fwd, ms_bwd))
+        if not loaded:
+            continue
+        pad_r = _round_up(max(rs.n for _, rs, _, _ in loaded), 128)
+        hp_by_gap: Dict[int, Dict[int, np.ndarray]] = {i: {} for i, *_ in loaded}
+        for direction in (1, 0):
+            datas = []
+            for i, rs, ms_fwd, ms_bwd in loaded:
+                ms = ms_fwd if direction == 0 else ms_bwd
+                store_mmr_of_reads(rs, ms)
+                pad_s = _round_up(ms.n, 128)
+                datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
+                wipe_mmr_of_reads(rs)
+            batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
+                                   n_cand)
+            out = run_gap_batch(batch)  # (G, R)
+            for (i, rs, _, _), dd, hp in zip(loaded, datas, out):
+                hp_orig = np.full(rs.n, 2, dtype=np.int32)
+                hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
+                hp_by_gap[i][direction] = hp_orig
+        for i, rs, _, _ in loaded:
+            initial = rs.store_haplotags()
+            d = _decide_from_direction_tags(rs, initial, hp_by_gap[i])
+            decisions[i] = d
+            tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}
+    return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]

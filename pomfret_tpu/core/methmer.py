@@ -123,11 +123,94 @@ def get_methmer_sites_and_ranges(
 
 
 def get_mmr_of_read(read: Read, ms: Methmers) -> Tuple[List[int], int]:
-    """Extract the read's methmers over ms's site grid.
+    """Vectorized methmer extraction (numpy), exactly equivalent to the
+    reference walk (asserted by fuzzing in tests/test_methmer_fast.py).
 
-    Returns (list of u32 mers, start index in storage) — start is UINT32_MAX
-    when no full methmer could be made. Faithful to blockjoin.c:3357-3451.
+    Falls back to the literal reimplementation for the one case whose
+    semantics depend on the buf-entry interleaving: a duplicated start
+    position at storage index 1 reachable by the read (the `i>1` dedup quirk,
+    blockjoin.c:3391, which then double-emits storage index 1's methmer).
     """
+    sites = ms.sites_starts
+    sites_n = ms.n
+    calls = read.calls
+    if calls.size == 0 or sites_n == 0:
+        return [], UINT32_MAX
+    first_call = int(calls[0])
+    last_call = int(calls[-1])
+    if first_call > int(sites[-1]):
+        return [], UINT32_MAX
+    lo = int(np.searchsorted(sites, first_call, side="left"))
+    if first_call < int(sites[0]):
+        x_i_left = 0
+    elif lo < sites_n and int(sites[lo]) == first_call:
+        x_i_left = lo
+    else:
+        x_i_left = lo - 1 if lo > 0 else 0
+    if last_call < int(sites[0]):
+        return [], UINT32_MAX
+    hi = int(np.searchsorted(sites, last_call, side="left"))
+    x_i_right = sites_n if last_call > int(sites[-1]) else hi
+
+    if x_i_left == 0 and sites_n >= 2 and sites[1] == sites[0]:
+        # storage 0 and 1 share a position and both enter the buf (the `i>1`
+        # exemption): spurious '-' char + double emission — use the walk
+        return _get_mmr_of_read_walk(read, ms)
+    if x_i_right <= x_i_left:
+        return [], UINT32_MAX
+
+    s64 = sites.astype(np.int64)
+    # run heads over the full (non-decreasing) starts array
+    bnd = np.empty(sites_n, dtype=bool)
+    bnd[0] = True
+    bnd[1:] = s64[1:] != s64[:-1]
+    head = np.maximum.accumulate(np.where(bnd, np.arange(sites_n), 0))
+
+    # a run contributes anchors iff its first in-range member is kept in the
+    # buf: true when the run head is in range, or via the i<=1 exemption
+    idx_seg = np.arange(x_i_left, x_i_right)
+    anch_seg = (head[idx_seg] >= x_i_left) | (x_i_left <= 1)
+    if not anch_seg.any():
+        return [], UINT32_MAX
+    grid_pos = np.unique(s64[idx_seg][anch_seg])
+    m = len(grid_pos)
+
+    # per-grid-entry char: the read's call state at that position, else '-'
+    ci = np.searchsorted(calls, grid_pos)
+    cic = np.minimum(ci, len(calls) - 1)
+    has = (ci < len(calls)) & (calls[cic] == grid_pos)
+    chars = np.where(has, read.quals[cic], MER_MISSING).astype(np.int64)
+
+    # anchors: in-range members of anchored runs, plus the duplicate tail of
+    # the final in-range run (the inner loop runs to the end of the group)
+    j_max = x_i_right
+    last_pos = int(s64[x_i_right - 1])
+    while j_max < sites_n and int(s64[j_max]) == last_pos:
+        j_max += 1
+    idx_all = np.arange(x_i_left, j_max)
+    anch = (head[idx_all] >= x_i_left) | (x_i_left <= 1)
+    anchors = idx_all[anch]
+    if len(anchors) == 0:
+        return [], UINT32_MAX
+    gb = np.searchsorted(grid_pos, s64[anchors])
+    lens = ms.mmr_lens[anchors].astype(np.int64)
+    complete = gb + lens <= m
+    if not complete.any():
+        return [], UINT32_MAX
+    out = np.zeros(len(anchors), dtype=np.uint32)
+    for L in np.unique(lens[complete]):
+        L = int(L)
+        msk = complete & (lens == L)
+        win = np.lib.stride_tricks.sliding_window_view(chars, L)
+        pw = (4 ** np.arange(L - 1, -1, -1)).astype(np.int64)
+        out[msk] = (win[gb[msk]] @ pw).astype(np.uint32)
+    first = int(anchors[np.argmax(complete)])
+    return out[complete].tolist(), first
+
+
+def _get_mmr_of_read_walk(read: Read, ms: Methmers) -> Tuple[List[int], int]:
+    """Literal reimplementation of the reference's buf walk
+    (blockjoin.c:3357-3451) — fuzz oracle + quirk-case fallback."""
     sites = ms.sites_starts
     sites_n = ms.n
     calls = read.calls

@@ -142,6 +142,8 @@ def main(argv=None) -> int:
     _add_methphase_args(p_mp)
     p_rep = sub.add_parser("report", help="self-evaluate join quality on phased regions")
     _add_methphase_args(p_rep)
+    p_ms = sub.add_parser("methstat", help="dump usable methmer sites per gap")
+    _add_methphase_args(p_ms)
     p_vh = sub.add_parser("varhaptag", help="haplotag reads from a phased VCF")
     p_vh.add_argument("vcf")
     p_vh.add_argument("bam")
@@ -154,7 +156,7 @@ def main(argv=None) -> int:
     from .parallel.distributed import initialize as _dist_init
     _dist_init()  # multi-host when POMFRET_COORDINATOR is set
     ret = 1
-    if a.cmd in ("methphase", "report"):
+    if a.cmd in ("methphase", "report", "methstat"):
         set_verbose(a.verbose)
         opt = _opt_from_args(a)
         if not _sancheck(opt) or not _sancheck_files_exist(opt):
@@ -165,6 +167,9 @@ def main(argv=None) -> int:
                 ret = 1
             else:
                 ret = main_methreport(opt)
+        elif a.cmd == "methstat":
+            from .pipeline import main_methstat
+            ret = main_methstat(opt)
         else:
             ret = main_blockjoin(opt)
     elif a.cmd == "varhaptag":

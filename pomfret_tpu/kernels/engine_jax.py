@@ -165,9 +165,11 @@ def _seed_count_table(ids, hp_init, has_mmr, D: int):
     return jnp.stack([c0, c1], axis=-1).astype(jnp.int32)  # (S, D, 2)
 
 
-def direction_step_fn(D: int, n_cand: int):
+def direction_step_fn(D: int, nc_cap: int):
     """Build (cond, body, init) closures for one direction run with dense
-    dictionary capacity D and candidate batch size n_cand."""
+    dictionary capacity D and candidate-slot capacity nc_cap (the actual
+    n_cand is a traced scalar <= nc_cap, so coverage-derived candidate batch
+    sizes do not multiply compile signatures)."""
 
     def init(ids, hp_init, has_mmr):
         cnt0 = _seed_count_table(ids, hp_init, has_mmr, D)
@@ -178,7 +180,7 @@ def direction_step_fn(D: int, n_cand: int):
         hp, cnt, sums, q_last, failed, it = state
         return (q_last < q_break) & (failed <= 10) & (it < max_iters)
 
-    def body(state, ids, has_mmr, n_reads, n_sites, min0, max0, cov):
+    def body(state, ids, has_mmr, n_reads, n_sites, min0, max0, cov, n_cand):
         # NOTE on lowering: reads arrive permuted into scan order (host-side),
         # so candidate selection indexes rows directly; TPU-hostile scatters
         # and elementwise gathers are avoided (one-hot matmuls / row takes /
@@ -197,7 +199,7 @@ def direction_step_fn(D: int, n_cand: int):
         rank = jnp.cumsum(elig.astype(jnp.int32))
         sel = elig & (rank <= n_cand)
         # slot matrix: (R, NC) — row q goes to slot rank-1
-        slot_mat = sel[:, None] & ((rank - 1)[:, None] == jnp.arange(n_cand)[None, :])
+        slot_mat = sel[:, None] & ((rank - 1)[:, None] == jnp.arange(nc_cap)[None, :])
         cand_valid = jnp.any(slot_mat, axis=0)                  # (NC,)
         cand_read = jnp.sum(slot_mat.astype(jnp.int32) * q[:, None],
                             axis=0)                             # (NC,) row idx
@@ -229,9 +231,9 @@ def direction_step_fn(D: int, n_cand: int):
         eff = jnp.where(commit_ok, diff, -1.0)
         best = jnp.max(eff)
         best_k = jnp.max(jnp.where(commit_ok & (eff == best),
-                                   jnp.arange(n_cand), -1))
+                                   jnp.arange(nc_cap), -1))
         do_commit = best >= 0.0
-        k_oh = jax.nn.one_hot(jnp.maximum(best_k, 0), n_cand, dtype=f32)
+        k_oh = jax.nn.one_hot(jnp.maximum(best_k, 0), nc_cap, dtype=f32)
         rid = jnp.sum(k_oh * cand_read.astype(f32)).astype(jnp.int32)
         t = jnp.sum(k_oh * tag.astype(f32)).astype(hp.dtype)
 
@@ -252,27 +254,30 @@ def direction_step_fn(D: int, n_cand: int):
 
 
 def run_direction_core(ids, has_mmr, hp_init,
-                       n_reads, n_sites, q_break, min0, max0, cov,
-                       D: int, n_cand: int, max_iters: int):
+                       n_reads, n_sites, q_break, min0, max0, cov, n_cand,
+                       max_iters, D: int, nc_cap: int = 16):
     """Pure (traceable) single-(gap,direction) run; returns final hp (R,).
     Shared by the jitted single-gap path, the vmapped batch path, and the
-    sharded multi-chip path."""
-    init, cond, body = direction_step_fn(D, n_cand)
+    sharded multi-chip path. n_cand and max_iters are traced scalars; only
+    (shapes, D, nc_cap) key the compile cache."""
+    init, cond, body = direction_step_fn(D, nc_cap)
     state = init(ids, hp_init, has_mmr)
     state = jax.lax.while_loop(
         lambda st: cond(st, q_break, max_iters),
-        lambda st: body(st, ids, has_mmr, n_reads, n_sites, min0, max0, cov),
+        lambda st: body(st, ids, has_mmr, n_reads, n_sites, min0, max0, cov,
+                        n_cand),
         state)
     return state[0]
 
 
-@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
 def run_direction_device(ids, has_mmr, hp_init,
-                         n_reads, n_sites, q_break, min0, max0, cov,
-                         D: int, n_cand: int, max_iters: int):
+                         n_reads, n_sites, q_break, min0, max0, cov, n_cand,
+                         max_iters, D: int, nc_cap: int = 16):
     """Jitted single-(gap,direction) run; returns the final hp (R,)."""
     return run_direction_core(ids, has_mmr, hp_init, n_reads, n_sites,
-                              q_break, min0, max0, cov, D, n_cand, max_iters)
+                              q_break, min0, max0, cov, n_cand, max_iters,
+                              D, nc_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -303,9 +308,9 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
             jnp.asarray(dd.hp_init),
             jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
             jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
-            jnp.int32(cov_runtime),
-            D=_round_up(dd.max_d, 16), n_cand=n_cand,
-            max_iters=2 * pad_r + 64))
+            jnp.int32(cov_runtime), jnp.int32(n_cand),
+            jnp.int32(2 * pad_r + 64),
+            D=_round_up(dd.max_d, 16), nc_cap=_round_up(n_cand, 16)))
         # un-permute: device rows are in scan order
         hp_orig = np.full(rs.n, 2, dtype=np.int32)
         hp_orig[dd.perm[: rs.n]] = hp[: rs.n]

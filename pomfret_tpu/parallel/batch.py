@@ -36,8 +36,13 @@ class GapBatch:
     min0: np.ndarray       # (G,) int32
     max0: np.ndarray       # (G,) int32
     cov: np.ndarray        # (G,) int32
+    n_cand: np.ndarray     # (G,) int32 (traced; nc_cap is the compile key)
     D: int
-    n_cand: int
+    nc_cap: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
@@ -46,7 +51,8 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     G = pad_g or len(datas)
     R = max(d.ids.shape[0] for d in datas)
     S = max(d.ids.shape[1] for d in datas)
-    D = max(d.max_d for d in datas)
+    # round the dictionary capacity so compile signatures bucket coarsely
+    D = _round_up(max(d.max_d for d in datas), 8)
     ids = np.full((G, R, S), -1, dtype=np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
@@ -61,28 +67,35 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
         sc[:, g] = (d.n_reads, d.n_sites, d.q_break, d.min0, d.max0, covs[g])
     return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init, perm=perm,
                     n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
-                    min0=sc[3], max0=sc[4], cov=sc[5], D=D, n_cand=n_cand)
+                    min0=sc[3], max0=sc[4], cov=sc[5],
+                    n_cand=np.full(G, n_cand, dtype=np.int32),
+                    D=D, nc_cap=_round_up(max(n_cand, 1), 16))
 
 
-@functools.partial(jax.jit, static_argnames=("D", "n_cand", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
 def _run_batch_jit(ids, has_mmr, hp_init, n_reads, n_sites, q_break,
-                   min0, max0, cov, D: int, n_cand: int, max_iters: int):
-    f = functools.partial(run_direction_core, D=D, n_cand=n_cand,
-                          max_iters=max_iters)
+                   min0, max0, cov, n_cand, max_iters,
+                   D: int, nc_cap: int):
+    f = functools.partial(run_direction_core, D=D, nc_cap=nc_cap)
     return jax.vmap(f)(ids, has_mmr, hp_init, n_reads, n_sites,
-                       q_break, min0, max0, cov)
+                       q_break, min0, max0, cov, n_cand, max_iters)
 
 
-def batch_args(batch: GapBatch):
+def batch_args(batch: GapBatch, max_iters: int):
+    G = batch.ids.shape[0]
     return (batch.ids, batch.has_mmr, batch.hp_init,
             batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
-            batch.max0, batch.cov)
+            batch.max0, batch.cov, batch.n_cand,
+            np.full(G, max_iters, dtype=np.int32))
 
 
-def upload_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None):
+def upload_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
+                     max_iters: Optional[int] = None):
     """device_put the batch once (sharded over the mesh's first axis if
     given); returns the device-resident arg tuple."""
-    args = batch_args(batch)
+    if max_iters is None:
+        max_iters = 2 * batch.ids.shape[1] + 64
+    args = batch_args(batch, max_iters)
     if mesh is None:
         return tuple(jax.device_put(a) for a in args)
     sh = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -102,9 +115,8 @@ def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
     if max_iters is None:
         max_iters = 2 * R + 64
     if dev_args is None:
-        dev_args = upload_gap_batch(batch, mesh)
-    f = functools.partial(_run_batch_jit, D=batch.D, n_cand=batch.n_cand,
-                          max_iters=max_iters)
+        dev_args = upload_gap_batch(batch, mesh, max_iters)
+    f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
     if mesh is not None:
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         f = jax.jit(f, in_shardings=(sh,) * len(dev_args), out_shardings=sh)

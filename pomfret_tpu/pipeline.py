@@ -430,6 +430,39 @@ def main_varhaptag(fn_vcf: str, fn_bam: str, fn_out: str, n_thread: int,
     return 0
 
 
+def main_methstat(opt: CliOpt) -> int:
+    """Dump usable methmer site positions per gap interval
+    (main_methstat, blockjoin.c:4838-4899 — present in the reference but
+    unreachable from its CLI; wired up here for completeness)."""
+    st = Storage()
+    fn_interval = opt.fn_tsv or opt.fn_gtf or opt.fn_vcf
+    fmt = IS_TSV if opt.fn_tsv else (IS_GTF if opt.fn_gtf else IS_VCF)
+    load_intervals_from_file(fn_interval, fmt, st)
+    bam = BamReader(opt.fn_bam, threads=opt.threads)
+    if opt.cov_for_selection <= 0:
+        covs = estimate_read_coverage_dirtyfast(bam)
+        covs = [c // 10 + 1 for c in covs]
+        name2cov = dict(zip(bam.ref_names, covs))
+    else:
+        name2cov = {n: opt.cov_for_selection for n in bam.ref_names}
+    config = MmrConfig(lo=opt.lo, hi=opt.hi,
+                       readlen_threshold=opt.readlen_threshold,
+                       min_mapq=0, k=1, k_span=5000, cov_for_runtime=1)
+    import dataclasses
+    with open(opt.output_prefix + ".methstat.tsv", "w") as f:
+        for i_ref, rg in enumerate(st.ranges):
+            chrom = st.ref_names[i_ref]
+            cfg = dataclasses.replace(config)
+            cfg.cov_for_selection = name2cov.get(chrom, 1)
+            for s, e in zip(rg.starts, rg.ends):
+                rs = load_reads_given_interval(bam, chrom, s, e, 0, cfg)
+                ms = get_methmer_sites_and_ranges(rs, cfg, 0)
+                for pos in ms.sites_real_poss:
+                    f.write(f"{chrom}\t{int(pos)}\n")
+    log_info("main_methstat", "wrote methstat tsv")
+    return 0
+
+
 def main_methreport(opt: CliOpt) -> int:
     # blockjoin.c:4908-5097
     T = Get_T()

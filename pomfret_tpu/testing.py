@@ -221,6 +221,54 @@ class SynthRegion:
                 f.write(data)
 
 
+def make_multi_block_scenario(tmpdir: str, n_blocks: int = 6,
+                              block_len: int = 60_000, gap_len: int = 30_000,
+                              cfg: Optional[SynthConfig] = None):
+    """n_blocks phase blocks separated by variant-free gaps; methylation is
+    informative everywhere, so every gap should join cis.
+    Returns (bam_path, vcf_path, truth dict with gaps list)."""
+    import os
+    margin = 5_000
+    ref_len = margin * 2 + n_blocks * block_len + (n_blocks - 1) * gap_len
+    cfg = cfg or SynthConfig(ref_len=ref_len)
+    cfg.ref_len = ref_len
+    sr = SynthRegion(cfg)
+    blocks = []
+    p = margin
+    for _ in range(n_blocks):
+        blocks.append((p, p + block_len))
+        p += block_len + gap_len
+    snp_pos = []
+    for lo, hi in blocks:
+        q = lo
+        while q < hi:
+            for r in range(q, min(q + 200, cfg.ref_len)):
+                if sr.ref[r] == "A":
+                    snp_pos.append(r)
+                    break
+            q += 2_000
+    sr.add_snps(snp_pos, [i % 2 for i in range(len(snp_pos))])
+
+    block_snps = [[s for s in snp_pos if lo <= s < hi] for lo, hi in blocks]
+    ps_ids = [bs[0] + 1 for bs in block_snps]
+
+    def ps_of_pos(pos):
+        for (lo, hi), ps in zip(blocks, ps_ids):
+            if lo <= pos < hi:
+                return ps
+        return None
+
+    recs = sr.make_reads(tagged=True)
+    bam = os.path.join(tmpdir, "multi.bam")
+    vcf = os.path.join(tmpdir, "multi.vcf.gz")
+    sr.write_bam(bam, recs)
+    sr.write_vcf(vcf, ps_of_pos)
+    gaps = [(block_snps[i][-1] + 1, ps_ids[i + 1]) for i in range(n_blocks - 1)]
+    truth = {"gaps": gaps, "ps_ids": ps_ids, "blocks": blocks, "region": sr,
+             "n_reads": len(recs)}
+    return bam, vcf, truth
+
+
 def make_two_block_scenario(tmpdir: str, trans: bool = False,
                             tagged: bool = True,
                             cfg: Optional[SynthConfig] = None):

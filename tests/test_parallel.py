@@ -35,7 +35,8 @@ def test_batch_matches_single():
             jnp.asarray(d.ids), jnp.asarray(d.has_mmr), jnp.asarray(d.hp_init),
             jnp.int32(d.n_reads), jnp.int32(d.n_sites),
             jnp.int32(d.q_break), jnp.int32(d.min0), jnp.int32(d.max0),
-            jnp.int32(4), D=batch.D, n_cand=8, max_iters=160))
+            jnp.int32(4), jnp.int32(8), jnp.int32(160),
+            D=batch.D, nc_cap=batch.nc_cap))
         assert np.array_equal(out[g], hp), f"gap {g} differs"
 
 

@@ -58,7 +58,14 @@ def build_real_gap_batch(G: int):
 def main():
     t_setup = time.time()
     import jax
-    G = int(os.environ.get("BENCH_GAPS", "16"))
+    try:
+        # persistent compile cache (when the backend supports serialization)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    G = int(os.environ.get("BENCH_GAPS", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     from pomfret_tpu.parallel.batch import run_gap_batch, upload_gap_batch
 
@@ -74,8 +81,17 @@ def main():
 
     # warmup: compile both directions + pay one-time transfer-channel setup
     t0 = time.time()
-    for b, da in zip(batches, dev):
-        out = run_gap_batch(b, dev_args=da)
+    try:
+        for b, da in zip(batches, dev):
+            out = run_gap_batch(b, dev_args=da)
+    except Exception as e:
+        # large batches can exceed dev-tunnel program limits; halve and retry
+        sys.stderr.write(f"[bench] G={G} failed ({type(e).__name__}); retrying G={G // 2}\n")
+        G //= 2
+        batches, n_reads = build_real_gap_batch(G)
+        dev = [upload_gap_batch(b) for b in batches]
+        for b, da in zip(batches, dev):
+            out = run_gap_batch(b, dev_args=da)
     sys.stderr.write(f"[bench] warmup (compile+first transfer) {time.time()-t0:.1f}s\n")
 
     t0 = time.time()

@@ -162,7 +162,9 @@ def _seed_count_table(ids, hp_init, has_mmr, D: int):
     ins1 = ((hp_init == 1) & has_mmr).astype(jnp.float32)
     c0 = jnp.einsum("rsd,r->sd", oh, ins0)
     c1 = jnp.einsum("rsd,r->sd", oh, ins1)
-    return jnp.stack([c0, c1], axis=-1).astype(jnp.int32)  # (S, D, 2)
+    # float32 count table: counts are small integers (exact in f32), and an
+    # f32 table avoids a full-table cast inside every loop iteration
+    return jnp.stack([c0, c1], axis=-1)  # (S, D, 2) f32
 
 
 def direction_step_fn(D: int, nc_cap: int):
@@ -211,9 +213,9 @@ def direction_step_fn(D: int, nc_cap: int):
         in_range = (s_idx >= min_i) & (s_idx < max_i)
         # per-(cand, site) count lookup as a one-hot contraction over D
         cid_oh = jax.nn.one_hot(jnp.where(covered, cids, 0), D, dtype=f32)
-        cnt_c = jnp.einsum("csd,sdh->csh", cid_oh, cnt.astype(f32))  # (NC,S,2)
+        cnt_c = jnp.einsum("csd,sdh->csh", cid_oh, cnt)          # (NC,S,2)
         found = (cnt_c.sum(axis=-1) > 0) & covered & in_range
-        sums_b = sums[None, :, :].astype(f32)
+        sums_b = sums[None, :, :]
         contrib = found[..., None] & (sums_b > 0)
         ratio = jnp.where(contrib, cnt_c / jnp.maximum(sums_b, 1.0), 0.0)
         score = ratio.sum(axis=1)                                # (NC, 2)
@@ -243,8 +245,8 @@ def direction_step_fn(D: int, nc_cap: int):
         rid_oh = jax.nn.one_hot(jnp.where(rids >= 0, rids, 0), D, dtype=f32)
         t_oh = jax.nn.one_hot(t, 2, dtype=f32)                   # (2,)
         delta = (upd[:, None] * rid_oh)[:, :, None] * t_oh[None, None, :]
-        cnt = cnt + delta.astype(cnt.dtype)
-        sums = sums + (upd[:, None] * t_oh[None, :]).astype(sums.dtype)
+        cnt = cnt + delta
+        sums = sums + upd[:, None] * t_oh[None, :]
         hp = jnp.where((q == rid) & do_commit, t, hp)
         failed = jnp.where(do_commit, 0, failed + 1)
         q_last = jnp.where(do_commit, q_last, q_last + n_cand)

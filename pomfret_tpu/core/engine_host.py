@@ -222,6 +222,23 @@ def haplotag_region1(rs: ReadSet, table: CountTable, ms: Methmers,
         failed = 0
 
 
+def evaluate_ref_sanity(rs: ReadSet, which_side: int) -> Tuple[float, int]:
+    """Boundary haplotype balance ratio (blockjoin.c:3868-3880). Computed and
+    logged by the reference but NOT gating (the `if (1)` at blockjoin.c:4291).
+    Returns (ratio, valid)."""
+    ids = rs.ids_left if which_side == 0 else rs.ids_right
+    cnt = [0.0, 0.0]
+    for rid in ids:
+        hp = rs.reads[rid].hp
+        if hp == 0:
+            cnt[0] += 1
+        elif hp == 1:
+            cnt[1] += 1
+    lo = min(cnt)
+    r = float("inf") if lo == 0 else max(cnt) / lo
+    return r, 0 if r > 1.2 else 1
+
+
 def evaluate_separation1(ref: np.ndarray, query: np.ndarray
                          ) -> Tuple[float, int]:
     """2x2 contingency + ratio gates + Fisher (blockjoin.c:3881-3938).

@@ -143,6 +143,13 @@ def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
         log_warn("haplotag_region_given_bam",
                  f"{chrom}:{ref_start}-{ref_end} does not have methmer in both directions. Skipping.")
         return -1, rs
+    from .core.engine_host import evaluate_ref_sanity
+    from .utils.log import get_verbose
+    if get_verbose():
+        rl, vl = evaluate_ref_sanity(rs, 0)
+        rr_, vr = evaluate_ref_sanity(rs, 1)
+        log_info("haplotag_region_given_bam",
+                 f"left ref ratio: {rl:.2f} (valid={vl}); right ref ratio: {rr_:.2f} (valid={vr})")
     decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
                                config.cov_for_runtime)
     return decision, rs

@@ -221,6 +221,76 @@ class SynthRegion:
                 f.write(data)
 
 
+def make_two_chrom_scenario(tmpdir: str, cfg: Optional[SynthConfig] = None):
+    """Two chromosomes, each with a two-block joinable gap, in ONE BAM/VCF.
+
+    Exercises the multi-chromosome quirks end-to-end (abs_start only set for
+    the first chromosome of a VCF -> later chromosomes produce placeholder
+    phase blocks that the GTF writer skips, blockjoin.c:1406-1410, 2743).
+    Returns (bam, vcf, truths per chrom).
+    """
+    import os
+    cfgs = []
+    regions = []
+    truths = []
+    for ci, chrom in enumerate(("chr1", "chr2")):
+        c = SynthConfig(**{**(cfg.__dict__ if cfg else SynthConfig().__dict__),
+                           "chrom": chrom, "seed": ci})
+        sr = SynthRegion(c)
+        b1 = (5_000, 80_000)
+        b2 = (120_000, 195_000)
+        snp_pos = []
+        for lo, hi in (b1, b2):
+            p = lo
+            while p < hi:
+                for q in range(p, min(p + 200, c.ref_len)):
+                    if sr.ref[q] == "A":
+                        snp_pos.append(q)
+                        break
+                p += 2_000
+        sr.add_snps(snp_pos, [i % 2 for i in range(len(snp_pos))])
+        block1 = [p for p in snp_pos if b1[0] <= p < b1[1]]
+        block2 = [p for p in snp_pos if b2[0] <= p < b2[1]]
+        truths.append({
+            "gap": (block1[-1] + 1, block2[0] + 1),
+            "ps1": block1[0] + 1, "ps2": block2[0] + 1,
+            "blocks": (b1, b2), "region": sr,
+        })
+        cfgs.append(c)
+        regions.append(sr)
+
+    # one BAM with both chromosomes
+    from .io.bam_writer import BamWriter
+    bam = os.path.join(tmpdir, "twochrom.bam")
+    w = BamWriter(bam, [c.chrom for c in cfgs], [c.ref_len for c in cfgs],
+                  header_text="@HD\tVN:1.6\tSO:coordinate\n",
+                  keep_index_info=True)
+    for ci, sr in enumerate(regions):
+        recs = sr.make_reads(tagged=True)
+        for r in recs:
+            r.refID = ci
+            r.qname = f"c{ci}_" + r.qname
+            w.write(r)
+    w.close()
+    w.build_index(n_ref=2)
+
+    # one VCF with both chromosomes
+    vcf = os.path.join(tmpdir, "twochrom.vcf.gz")
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsample",
+    ]
+    for ci, (sr, t) in enumerate(zip(regions, truths)):
+        for pos, ref, alt, hap_alt in sr.snps:
+            ps = t["ps1"] if pos < t["blocks"][0][1] else t["ps2"]
+            a0, a1 = (1, 0) if hap_alt == 0 else (0, 1)
+            lines.append(f"{cfgs[ci].chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t60\tPASS\t.\tGT:PS\t{a0}|{a1}:{ps}")
+    data = "\n".join(lines) + "\n"
+    with gzip.open(vcf, "wt") as f:
+        f.write(data)
+    return bam, vcf, truths
+
+
 def make_multi_block_scenario(tmpdir: str, n_blocks: int = 6,
                               block_len: int = 60_000, gap_len: int = 30_000,
                               cfg: Optional[SynthConfig] = None):

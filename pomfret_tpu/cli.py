@@ -23,7 +23,8 @@ def _add_methphase_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", dest="k", type=int, default=3)
     p.add_argument("-l", dest="k_span", type=int, default=5000)
     p.add_argument("-L", dest="readlen_threshold", type=int, default=15000)
-    p.add_argument("-n", dest="n_candidates_per_iter", type=int, default=15)
+    p.add_argument("-n", dest="n_candidates_per_iter", type=int, default=None,
+                   help="candidates per iteration [15, or cov/4 with -c]")
     p.add_argument("--lo", type=int, default=100)
     p.add_argument("--hi", type=int, default=156)
     p.add_argument("--mapq", type=int, default=10)
@@ -60,7 +61,11 @@ def _opt_from_args(a) -> CliOpt:
         readlen_threshold=a.readlen_threshold, mapq=a.mapq,
         k=a.k, k_span=a.k_span, cov=a.cov,
         cov_for_selection=a.cov // 10 if a.cov > 0 else -1,
-        n_candidates_per_iter=a.cov // 4 if a.cov > 0 else a.n_candidates_per_iter,
+        # explicit -n beats the -c derivation (cli.c processes flags in
+        # order; argparse can't, so explicit -n wins deterministically)
+        n_candidates_per_iter=(a.n_candidates_per_iter
+                               if a.n_candidates_per_iter is not None
+                               else (a.cov // 4 if a.cov > 0 else 15)),
         do_output_bam=a.do_output_bam, do_output_tsv=a.do_output_tsv,
         write_debug_files=a.write_debug_files,
         chunk_size=a.chunk_size, chunk_stride=a.chunk_stride,

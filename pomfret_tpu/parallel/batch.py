@@ -51,8 +51,12 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     G = pad_g or len(datas)
     R = max(d.ids.shape[0] for d in datas)
     S = max(d.ids.shape[1] for d in datas)
-    # round the dictionary capacity so compile signatures bucket coarsely
-    D = _round_up(max(d.max_d for d in datas), 8)
+    # bucket the dictionary capacity to powers of two (>=4): few compile
+    # signatures, and the scoring one-hot scales linearly with D
+    need = max(d.max_d for d in datas)
+    D = 4
+    while D < need:
+        D *= 2
     ids = np.full((G, R, S), -1, dtype=np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)

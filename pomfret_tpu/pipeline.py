@@ -284,13 +284,20 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     else:
         ref_covs = [config.cov_known] * len(st.ref_names)
 
+    import jax as _jax
     engine = opt.engine
     if engine == "auto":
-        engine = "host"
+        engine = "jax" if _jax.default_backend() == "tpu" else "host"
+        log_info("blockjoin_parallel", f"engine auto -> {engine}")
     n_jobs = len(st.ref_names)
+    if engine == "jax" and opt.threads > 1:
+        # one chip serializes device work; concurrent dispatch from multiple
+        # threads only multiplies compile signatures and resident batches
+        log_warn("blockjoin_parallel",
+                 "jax engine drives a single device; clamping worker threads to 1")
+        opt = __import__("dataclasses").replace(opt, threads=1)
 
     # multi-host: deterministic round-robin over the GLOBAL gap list
-    import jax as _jax
     n_procs = _jax.process_count()
     proc_id = _jax.process_index()
     gap_global: Dict[Tuple[int, int], int] = {}
@@ -513,7 +520,18 @@ def main_methreport(opt: CliOpt) -> int:
     n_correct = n_switch = n_fail = tot = 0
     with open(opt.output_prefix + ".report.tsv", "w") as f:
         for i_ref, rg in enumerate(st.ranges):
-            cov = covs[bam.ref_id(st.ref_names[i_ref])] if opt.cov <= 0 else opt.cov
+            # NOTE: the reference indexes its coverage array by the STORAGE
+            # ref index (blockjoin.c:5046) — wrong when the VCF's chromosome
+            # order differs from the BAM header's. We look up by name and
+            # warn when a VCF contig is absent from the BAM.
+            if opt.cov <= 0:
+                name2cov = dict(zip(bam.ref_names, covs))
+                if st.ref_names[i_ref] not in name2cov:
+                    log_warn("main_methreport",
+                             f"contig {st.ref_names[i_ref]} not in BAM header; assuming coverage 0")
+                cov = name2cov.get(st.ref_names[i_ref], 0)
+            else:
+                cov = opt.cov
             import dataclasses
             cfg = dataclasses.replace(config)
             cfg.cov_for_selection = cov // 10 + 1

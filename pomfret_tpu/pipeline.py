@@ -131,7 +131,8 @@ def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
 
 def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
                               ref_start: int, ref_end: int,
-                              config: MmrConfig, n_candidates_per_iter: int):
+                              config: MmrConfig, n_candidates_per_iter: int,
+                              engine: str = "host"):
     """Load one gap window + run both directions (blockjoin.c:4217-4335).
     Returns (decision, readset|None)."""
     rs = load_reads_given_interval(
@@ -150,8 +151,13 @@ def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
         rr_, vr = evaluate_ref_sanity(rs, 1)
         log_info("haplotag_region_given_bam",
                  f"left ref ratio: {rl:.2f} (valid={vl}); right ref ratio: {rr_:.2f} (valid={vr})")
-    decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
+    if engine == "jax":
+        from .kernels.engine_jax import run_gap_jax
+        decision = run_gap_jax(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
                                config.cov_for_runtime)
+    else:
+        decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
+                                   config.cov_for_runtime)
     return decision, rs
 
 
@@ -538,8 +544,12 @@ def main_methreport(opt: CliOpt) -> int:
             cfg.cov_for_runtime = cfg.cov_for_selection * 2
             n_cand = cov // 4 + 1
             for s, e in zip(rg.starts, rg.ends):
+                eng = opt.engine
+                if eng == "auto":
+                    import jax as _jx
+                    eng = "jax" if _jx.default_backend() == "tpu" else "host"
                 decision, _ = haplotag_region_given_bam(
-                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand)
+                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng)
                 f.write(f"{st.ref_names[i_ref]}\t{s}\t{e}\t")
                 if decision == 0:
                     n_correct += 1

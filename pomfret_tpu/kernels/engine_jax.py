@@ -211,9 +211,11 @@ def direction_step_fn(D: int, nc_cap: int):
         covered = cids >= 0
         s_idx = jnp.broadcast_to(jnp.arange(S), cids.shape)
         in_range = (s_idx >= min_i) & (s_idx < max_i)
-        # per-(cand, site) count lookup as a one-hot contraction over D
-        cid_oh = jax.nn.one_hot(jnp.where(covered, cids, 0), D, dtype=f32)
-        cnt_c = jnp.einsum("csd,sdh->csh", cid_oh, cnt)          # (NC,S,2)
+        # per-(cand, site) count lookup: D-unrolled selects fuse into one
+        # elementwise kernel without materializing an (NC, S, D) one-hot
+        cnt_c = jnp.zeros(cids.shape + (2,), f32)
+        for d in range(D):
+            cnt_c = cnt_c + (cids == d)[..., None] * cnt[None, :, d, :]
         found = (cnt_c.sum(axis=-1) > 0) & covered & in_range
         sums_b = sums[None, :, :]
         contrib = found[..., None] & (sums_b > 0)

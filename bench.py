@@ -65,7 +65,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    G = int(os.environ.get("BENCH_GAPS", "32"))
+    G = int(os.environ.get("BENCH_GAPS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     from pomfret_tpu.parallel.batch import run_gap_batch, upload_gap_batch
 

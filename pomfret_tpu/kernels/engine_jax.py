@@ -361,7 +361,7 @@ def _decide_from_direction_tags(rs: ReadSet, initial: np.ndarray,
 
 
 def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
-                     indices=None, group: int = 16):
+                     indices=None, group: int = 64):
     """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
     the subset in `indices` for multi-host runs) through the vmapped batch
     engine, `group` gaps per device dispatch.

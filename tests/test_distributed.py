@@ -43,7 +43,7 @@ def test_assign_gaps_partitions():
 
 @pytest.mark.slow
 def test_two_process_allgather(tmp_path):
-    port = "29517"
+    port = str(20000 + (os.getpid() % 20000))
     script = str(tmp_path / "worker.py")
     with open(script, "w") as f:
         f.write(WORKER)

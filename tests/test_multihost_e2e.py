@@ -28,7 +28,7 @@ def test_two_host_output_identical(tmp_path):
     env0 = dict(os.environ)
     env0.update({
         "PYTHONPATH": "/root/repo",
-        "POMFRET_COORDINATOR": "127.0.0.1:29531",
+        "POMFRET_COORDINATOR": "127.0.0.1:%d" % (20000 + ((os.getpid() + 7) % 20000)),
         "POMFRET_NUM_PROCS": "2",
         "JAX_PLATFORMS": "cpu",
     })

@@ -373,6 +373,7 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
     tag_maps: Dict[int, Dict[str, int]] = {}
+    pending = []  # one-deep pipeline: device runs group k while host packs k+1
     for c0 in range(0, len(idxs), group):
         chunk = idxs[c0 : c0 + group]
         loaded = []
@@ -389,26 +390,43 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
             loaded.append((i, rs, ms_fwd, ms_bwd))
         if not loaded:
             continue
+        # both directions ride ONE device batch: lanes [0:n) are bwd,
+        # [n:2n) are fwd — one dispatch + one result download per group
         pad_r = _round_up(max(rs.n for _, rs, _, _ in loaded), 128)
-        hp_by_gap: Dict[int, Dict[int, np.ndarray]] = {i: {} for i, *_ in loaded}
+        pad_s = _round_up(max(max(t[2].n, t[3].n) for t in loaded), 128)
+        datas = []
         for direction in (1, 0):
-            datas = []
             for i, rs, ms_fwd, ms_bwd in loaded:
                 ms = ms_fwd if direction == 0 else ms_bwd
                 store_mmr_of_reads(rs, ms)
-                pad_s = _round_up(ms.n, 128)
                 datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
                 wipe_mmr_of_reads(rs)
-            batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
-                                   n_cand)
-            out = run_gap_batch(batch)  # (G, R)
-            for (i, rs, _, _), dd, hp in zip(loaded, datas, out):
-                hp_orig = np.full(rs.n, 2, dtype=np.int32)
-                hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
-                hp_by_gap[i][direction] = hp_orig
-        for i, rs, _, _ in loaded:
-            initial = rs.store_haplotags()
-            d = _decide_from_direction_tags(rs, initial, hp_by_gap[i])
-            decisions[i] = d
-            tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}
+        batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas), n_cand)
+        # dispatch asynchronously: the device crunches this group while the
+        # host loads and packs the next one (download deferred)
+        from ..parallel.batch import run_gap_batch_async
+        pending.append((loaded, datas, run_gap_batch_async(batch)))
+        if len(pending) > 1:
+            _drain_group(pending.pop(0), decisions, tag_maps)
+    while pending:
+        _drain_group(pending.pop(0), decisions, tag_maps)
     return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
+
+
+def _drain_group(entry, decisions, tag_maps) -> None:
+    loaded, datas, fut = entry
+    out = np.asarray(fut)  # blocks until the device batch finishes
+    n_loaded = len(loaded)
+    hp_by_gap: Dict[int, Dict[int, np.ndarray]] = {i: {} for i, *_ in loaded}
+    for k, direction in enumerate((1, 0)):
+        for j, (i, rs, _, _) in enumerate(loaded):
+            dd = datas[k * n_loaded + j]
+            hp = out[k * n_loaded + j]
+            hp_orig = np.full(rs.n, 2, dtype=np.int32)
+            hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
+            hp_by_gap[i][direction] = hp_orig
+    for i, rs, _, _ in loaded:
+        initial = rs.store_haplotags()
+        d = _decide_from_direction_tags(rs, initial, hp_by_gap[i])
+        decisions[i] = d
+        tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}

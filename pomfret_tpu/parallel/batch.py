@@ -127,6 +127,17 @@ def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
     return np.asarray(f(*dev_args))
 
 
+def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None):
+    """Dispatch a batch and return the device array WITHOUT downloading;
+    np.asarray(result) later blocks until it is ready. Lets the host overlap
+    packing of the next group with device execution of this one."""
+    R = batch.ids.shape[1]
+    if max_iters is None:
+        max_iters = 2 * R + 64
+    dev_args = upload_gap_batch(batch, None, max_iters)
+    return _run_batch_jit(*dev_args, D=batch.D, nc_cap=batch.nc_cap)
+
+
 def make_gap_mesh(n_devices: Optional[int] = None,
                   axis_name: str = "gaps") -> Mesh:
     devs = jax.devices()

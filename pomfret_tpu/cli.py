@@ -10,7 +10,7 @@ import sys
 
 from . import VERSION
 from .pipeline import CliOpt, main_blockjoin, main_methreport, main_varhaptag
-from .utils.log import Get_T, Get_U, log_err, log_info, log_warn, set_verbose
+from .utils.log import Get_T, Get_U, log_err, log_warn, set_verbose
 
 
 def _add_methphase_args(p: argparse.ArgumentParser) -> None:

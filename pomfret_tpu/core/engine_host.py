@@ -10,11 +10,10 @@ then nonzero ratios a SECOND time (blockjoin.c:3619-3636).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from ..utils.log import log_dbg
 from .fisher import kt_fisher_exact
 from .methmer import Methmers, store_mmr_of_reads, wipe_mmr_of_reads
 from .readset import ReadSet, UINT32_MAX

@@ -7,9 +7,8 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from ..io.bam import BamReader, bam_endpos
+from ..io.bam import BamReader
 from ..io.intervals_loader import IS_VCF, load_intervals_from_file
-from ..utils.log import log_dbg
 from .intervals import Storage
 from .variants import HAPTAG_UNPHASED, Variant
 from .varhaptag import parse_variants_for_one_read

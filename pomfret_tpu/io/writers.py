@@ -2,13 +2,11 @@
 re-tagging. Mirrors blockjoin.c:2365-3103."""
 from __future__ import annotations
 
-from typing import Optional
-
 from ..core.intervals import (FlipLookup, Storage, UnphasedLookup,
                               check_if_in_dropped_intervals,
                               get_flip_status_by_idx, get_new_phaseblock_id)
 from ..core.variants import HAPTAG_UNPHASED
-from ..utils.log import log_err, log_info, log_warn
+from ..utils.log import log_err, log_info
 from .bam import BamReader
 from .bam_writer import BamWriter
 from .textio import iter_lines

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax
@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core.engine_host import evaluate_separation
 from ..core.methmer import (Methmers, get_methmer_sites_and_ranges,
                             store_mmr_of_reads, wipe_mmr_of_reads)
-from ..core.readset import (READBACK, MmrConfig, ReadSet, UINT32_MAX,
+from ..core.readset import (READBACK, MmrConfig, ReadSet,
                             load_reads_given_interval)
 
 INVALID_ID = -1
@@ -368,7 +368,7 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
 
     Returns (decisions, per-gap {qname: hp}) aligned with `indices`.
     """
-    from ..parallel.batch import pack_gap_batch, run_gap_batch
+    from ..parallel.batch import pack_gap_batch
 
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
@@ -404,7 +404,7 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
         batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas), n_cand)
         # dispatch asynchronously: the device crunches this group while the
         # host loads and packs the next one (download deferred)
-        from ..parallel.batch import run_gap_batch_async
+        from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle
         pending.append((loaded, datas, run_gap_batch_async(batch)))
         if len(pending) > 1:
             _drain_group(pending.pop(0), decisions, tag_maps)

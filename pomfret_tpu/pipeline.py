@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import concurrent.futures as _fut
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

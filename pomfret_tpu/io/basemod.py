@@ -131,12 +131,68 @@ def mods_per_stored_position(rec: BamRecord):
     return out
 
 
+def _extract_cpg_fast(rec: BamRecord, qual_lo: int, qual_hi: int):
+    """Vectorized fast path for the dominant tag shape: exactly one MM item,
+    'C+m' on the '+' strand. Returns (poss, quals, has_implicit) or None
+    when the tag needs the general path."""
+    mm = rec.get_tag("MM") or rec.get_tag("Mm")
+    if not mm:
+        return [], [], False
+    items = parse_mm_items(mm)
+    if len(items) != 1:
+        return None
+    base, strand, codes, implicit, deltas = items[0]
+    if base != "C" or strand != "+" or codes != ["m"]:
+        return None
+    if not deltas:
+        return [], [], False
+    ml = rec.get_tag("ML") or rec.get_tag("Ml")
+    ml_vals = np.asarray(ml[1], dtype=np.int64) if ml else None
+
+    stored_b = np.frombuffer(rec.seq().encode(), dtype=np.uint8)
+    L = rec.l_seq
+    original_b = stored_b if not rec.is_reverse else \
+        np.frombuffer(revcomp(rec.seq()).encode(), dtype=np.uint8)
+    occ = np.flatnonzero(original_b == ord("C"))
+    idx = np.cumsum(np.asarray(deltas, dtype=np.int64) + 1) - 1
+    if ml_vals is not None:
+        quals = np.full(len(deltas), 255, dtype=np.int64)
+        avail = ml_vals[: len(deltas)]
+        quals[: len(avail)] = avail
+    else:
+        quals = np.full(len(deltas), 255, dtype=np.int64)
+    valid = idx < len(occ)
+    orig_pos = occ[idx[valid]]
+    quals = quals[valid]
+    stored_pos = (L - 1 - orig_pos) if rec.is_reverse else orig_pos
+    if rec.is_reverse:  # iterate in ascending stored order
+        stored_pos = stored_pos[::-1]
+        quals = quals[::-1]
+
+    interior = (stored_pos > 0) & (stored_pos < L - 1)
+    sp = stored_pos[interior]
+    q = quals[interior]
+    is_c = stored_b[sp] == ord("C")
+    nxt = stored_b[np.minimum(sp + 1, L - 1)]
+    prv = stored_b[np.maximum(sp - 1, 0)]
+    cpg_ok = np.where(is_c, nxt == ord("G"), prv == ord("C"))
+    has_implicit = bool((~cpg_ok).any())
+    sp = sp[cpg_ok]
+    q = q[cpg_ok]
+    classes = np.where(q < qual_lo, CALL_UNMETH,
+                       np.where(q >= qual_hi, CALL_METH, CALL_NOCALL))
+    return sp.tolist(), classes.tolist(), has_implicit
+
+
 def extract_cpg_5mc_calls(rec: BamRecord, qual_lo: int, qual_hi: int):
     """5mC-at-CpG calls in stored-seq coordinates with qual classes.
 
     Returns (positions ascending, qual classes, has_implicit) mirroring
     fill_read_meth_record_from_bam_line's buf_mod_poss/buf_mod_quals.
     """
+    fast = _extract_cpg_fast(rec, qual_lo, qual_hi)
+    if fast is not None:
+        return fast
     mods = mods_per_stored_position(rec)
     if not mods:
         return [], [], False

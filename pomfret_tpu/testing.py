@@ -82,19 +82,74 @@ class SynthRegion:
                 s[pos - start] = alt
         return "".join(s)
 
+    def _pick_indel_spot(self, start: int, end: int, dlen: int) -> Optional[int]:
+        """A reference position p in (start+200, end-200) such that
+        [p-2, p+dlen+2) contains no C or G (so CpG sites are unaffected)."""
+        for _ in range(50):
+            p = int(self.rng.integers(start + 200, end - 200))
+            win = self.ref[p - 2 : p + dlen + 2]
+            if "C" not in win and "G" not in win:
+                return p
+        return None
+
     def make_read(self, qname: str, start: int, hap: int,
                   reverse: bool, tagged: bool,
-                  hp_label: Optional[int] = None) -> BamRecord:
-        """One error-free read of cfg.read_len from `hap` starting at `start`.
+                  hp_label: Optional[int] = None,
+                  softclip: int = 0, with_indel: Optional[str] = None
+                  ) -> BamRecord:
+        """One read of cfg.read_len from `hap` starting at `start`.
 
         hp_label overrides the HP tag value (1-based); None -> untagged.
+        softclip prepends that many clipped 'T' bases; with_indel in
+        {'I','D'} splices a small CpG-neutral indel into the middle.
         """
         cfg = self.cfg
         end = min(start + cfg.read_len, cfg.ref_len)
         seq = self.hap_seq(start, end, hap)
         L = end - start
 
-        # which CpG sites fall fully inside the read
+        # optional CpG-neutral indel in the aligned portion
+        cigar_mid = [("M", L)]
+        ins_read_off = None      # read offset of inserted bases (post-splice)
+        del_ref_off = None
+        if with_indel == "I":
+            p = self._pick_indel_spot(start, end, 0)
+            if p is not None:
+                ro = p - start
+                seq = seq[:ro] + "TT" + seq[ro:]
+                cigar_mid = [("M", ro), ("I", 2), ("M", L - ro)]
+                ins_read_off = ro
+                L += 2
+        elif with_indel == "D":
+            p = self._pick_indel_spot(start, end, 3)
+            if p is not None:
+                ro = p - start
+                seq = seq[:ro] + seq[ro + 3:]
+                cigar_mid = [("M", ro), ("D", 3), ("M", L - ro - 3)]
+                del_ref_off = ro
+                L -= 3
+
+        if softclip:
+            seq = "T" * softclip + seq
+            cigar = [("S", softclip)] + cigar_mid
+            L += softclip
+        else:
+            cigar = cigar_mid
+
+        # read-position -> reference-position map from the CIGAR
+        ref_of = np.full(L, -1, dtype=np.int64)
+        rp, i = start, 0
+        for op, ln in cigar:
+            if op == "S" or op == "I":
+                i += ln
+            elif op == "M":
+                ref_of[i : i + ln] = np.arange(rp, rp + ln)
+                i += ln
+                rp += ln
+            elif op == "D":
+                rp += ln
+
+        # per-site meth state from the haplotype profile
         m = (self.cpg_arr >= start) & (self.cpg_arr + 1 < end)
         sites = self.cpg_arr[m]
         site_idx = np.flatnonzero(m)
@@ -106,23 +161,19 @@ class SynthRegion:
         if cfg.nocall > 0:
             nc = self.rng.random(len(states)) < cfg.nocall
             quals = np.where(nc, 128, quals)
-
-        # MM/ML: all Cs are CpG Cs. Order follows the original read.
-        stored = seq
-        if reverse:
-            origin = revcomp(stored)
-            # original CpG C at i maps to stored G at L-1-i; the stored CpG C
-            # is at L-2-i, whose ref position identifies the site
-            c_positions = [i for i in range(L - 1) if origin[i] == "C" and origin[i + 1] == "G"]
-            site_of_origin_c = {i: start + (L - 2 - i) for i in c_positions}
-        else:
-            origin = stored
-            c_positions = [i for i in range(L - 1) if origin[i] == "C" and origin[i + 1] == "G"]
-            site_of_origin_c = {i: start + i for i in c_positions}
-        # all Cs in origin (should equal c_positions since every C is CpG-C,
-        # except a trailing C whose G is outside the read)
-        all_c = [i for i in range(L) if origin[i] == "C"]
         pos2qual = {int(s): int(q) for s, q in zip(sites, quals)}
+
+        # MM/ML over the ORIGINAL read orientation; clips/insertions are
+        # C-free, so every origin C is a CpG C (possibly trailing/unaligned)
+        stored = seq
+        origin = revcomp(stored) if reverse else stored
+        site_of_origin_c = {}
+        for j in range(L - 1):
+            if origin[j] == "C" and origin[j + 1] == "G":
+                sp = (L - 2 - j) if reverse else j  # stored CpG-C position
+                if ref_of[sp] >= 0:
+                    site_of_origin_c[j] = int(ref_of[sp])
+        all_c = [j for j in range(L) if origin[j] == "C"]
         deltas: List[int] = []
         mlvals: List[int] = []
         skipped = 0
@@ -136,16 +187,28 @@ class SynthRegion:
             skipped = 0
         mm = "C+m?," + ",".join(str(d) for d in deltas) + ";" if deltas else "C+m?;"
 
-        # MD: walk read vs reference
+        # MD: walk aligned ops against the reference
         md_parts: List[str] = []
         run = 0
-        for i in range(L):
-            if seq[i] == self.ref[start + i]:
-                run += 1
-            else:
+        rp, i = start, 0
+        for op, ln in cigar:
+            if op == "S" or op == "I":
+                i += ln
+            elif op == "M":
+                for k in range(ln):
+                    if seq[i + k] == self.ref[rp + k]:
+                        run += 1
+                    else:
+                        md_parts.append(str(run))
+                        md_parts.append(self.ref[rp + k])
+                        run = 0
+                i += ln
+                rp += ln
+            elif op == "D":
                 md_parts.append(str(run))
-                md_parts.append(self.ref[start + i])
+                md_parts.append("^" + self.ref[rp : rp + ln])
                 run = 0
+                rp += ln
         md_parts.append(str(run))
         md = "".join(md_parts)
 
@@ -156,12 +219,14 @@ class SynthRegion:
         tags.append(("de", "f", 0.01))
         if tagged:
             tags.append(("HP", "i", (hap + 1) if hp_label is None else hp_label))
-        return make_record(qname, 0, start, stored, [("M", L)],
+        return make_record(qname, 0, start, stored, cigar,
                            flag=16 if reverse else 0, mapq=60, tags=tags)
 
     def make_reads(self, tagged: bool = True,
                    hp_label_fn=None,
-                   region: Optional[Tuple[int, int]] = None) -> List[BamRecord]:
+                   region: Optional[Tuple[int, int]] = None,
+                   frac_clipped: float = 0.0,
+                   frac_indel: float = 0.0) -> List[BamRecord]:
         cfg = self.cfg
         lo, hi = region if region else (0, cfg.ref_len)
         recs: List[BamRecord] = []
@@ -171,8 +236,13 @@ class SynthRegion:
             while start + cfg.read_len <= hi:
                 reverse = bool(self.rng.random() < cfg.frac_reverse)
                 hp_label = hp_label_fn(start, hap) if hp_label_fn else None
+                clip = 50 if self.rng.random() < frac_clipped else 0
+                indel = None
+                if self.rng.random() < frac_indel:
+                    indel = "I" if self.rng.random() < 0.5 else "D"
                 recs.append(self.make_read(f"read_{hap}_{k}", start, hap,
-                                           reverse, tagged, hp_label))
+                                           reverse, tagged, hp_label,
+                                           softclip=clip, with_indel=indel))
                 k += 1
                 start += cfg.read_stagger
         recs.sort(key=lambda r: r.pos)

@@ -185,6 +185,12 @@ def main(argv=None) -> int:
 
     sys.stderr.write("\n[M::main] CMD: pomfret-tpu " + " ".join(argv) + "\n")
     sys.stderr.write(f"[M::main] used: {Get_T() - T:.1f}s, peak RSS {Get_U():.1f}GiB\n")
+    from .utils.log import data_has_implicit
+    if data_has_implicit():
+        # main.c:96-100
+        sys.stderr.write("[W::main] Input BAM has implicit modified base calls.\n")
+        sys.stderr.write("  pomfret-tpu extracts 5mC without considering 5hmC, which is different from\n")
+        sys.stderr.write("  `modkit adjust-mods --motif CG 0 --ignore h in.bam out.bam`.\n")
     return ret
 
 

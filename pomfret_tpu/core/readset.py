@@ -105,7 +105,10 @@ def load_reads_given_interval(
         de = rec.get_tag("de")
         if de is not None and de > MIN_ALN_DE:
             continue
-        calls, quals, _ = read_meth_calls(rec, config.lo, config.hi)
+        calls, quals, has_implicit = read_meth_calls(rec, config.lo, config.hi)
+        if has_implicit:
+            from ..utils.log import set_data_has_implicit
+            set_data_has_implicit()
         if not calls:
             continue
         if rec.qname in seen_names:

@@ -9,6 +9,16 @@ import sys
 import time
 
 _VERBOSE = 0
+_HAS_IMPLICIT = False  # global_data_has_implicit (cli.c:14)
+
+
+def set_data_has_implicit() -> None:
+    global _HAS_IMPLICIT
+    _HAS_IMPLICIT = True
+
+
+def data_has_implicit() -> bool:
+    return _HAS_IMPLICIT
 
 
 def set_verbose(v: int) -> None:

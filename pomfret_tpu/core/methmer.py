@@ -288,6 +288,13 @@ def store_mmr_of_reads(rs: ReadSet, ms: Methmers) -> None:
         raise RuntimeError("storing methmers when read set already has them")
     for r in rs.reads:
         mers, start_i = get_mmr_of_read(r, ms)
+        if start_i != UINT32_MAX and start_i + len(mers) > ms.n:
+            # the i>1 dedup quirk (blockjoin.c:3391) can double-emit the
+            # duplicated index-1 anchor, overflowing the per-site storage —
+            # the C writes out of bounds (UB) here; we clamp instead
+            mers = mers[: ms.n - start_i]
+            if not mers:
+                start_i = UINT32_MAX
         if start_i != UINT32_MAX:
             r.mmr = np.asarray(mers, dtype=np.uint32)
             r.mmr_n = len(mers)

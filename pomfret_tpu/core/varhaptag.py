@@ -16,10 +16,10 @@ deletion look-back uses `del_pos + del_len >= ref_pos` (one-past inclusive).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from ..io.bam import BamRecord, bam_endpos
-from ..utils.log import log_dbg, log_err, log_info
+from ..utils.log import log_err, log_info
 from .variants import (HAPTAG_UNPHASED, VAR_OP_D, VAR_OP_I, VAR_OP_X, Variant,
                        seq_nt4)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import concurrent.futures as _fut
 import os
 import struct
+import threading
 import zlib
 
 # 28-byte empty BGZF block used as EOF marker (fixed by the SAM spec).
@@ -63,17 +64,40 @@ def _inflate_block(buf: bytes, off: int):
     return payload, off + bsize
 
 
-class BgzfReader:
-    """Random-access BGZF reader over an mmap-style in-memory byte buffer.
+# shared raw-byte cache: many BamReader instances (per-thread, per-phase)
+# open the same file; the compressed bytes are immutable, so all readers can
+# share one copy instead of slurping a whole-genome BAM per instance
+_RAW_CACHE: dict = {}
+_RAW_LOCK = threading.Lock()
 
-    The whole compressed file is read into memory once (compressed BAMs are
-    the small side of the pipeline; per-block decompression is lazy + cached).
-    """
+
+def _read_raw_shared(path: str) -> bytes:
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    with _RAW_LOCK:
+        hit = _RAW_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(path, "rb") as f:
+        raw = f.read()
+    with _RAW_LOCK:
+        # keep at most a few distinct files resident
+        if len(_RAW_CACHE) >= 4:
+            _RAW_CACHE.pop(next(iter(_RAW_CACHE)))
+        _RAW_CACHE[key] = raw
+    return raw
+
+
+class BgzfReader:
+    """Random-access BGZF reader over an in-memory byte buffer.
+
+    The compressed bytes are read once per file and SHARED across all reader
+    instances (see _read_raw_shared); per-block decompression is lazy and
+    cached per instance."""
 
     def __init__(self, path: str, threads: int = 1):
         self.path = path
-        with open(path, "rb") as f:
-            self._raw = f.read()
+        self._raw = _read_raw_shared(path)
         self._threads = max(1, threads)
         self._cache_off = -1
         self._cache_data = b""
@@ -269,7 +293,6 @@ class BgzfWriter:
         if not self._queue:
             return
         payload = b"".join(self._queue)
-        import numpy as _np
         lens = [len(c) for c in self._queue]
         comp = self._native.bgzf_deflate_all_chunks(payload, lens, self._level,
                                                     n_threads=self._threads)

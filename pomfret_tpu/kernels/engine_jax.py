@@ -53,6 +53,7 @@ class GapDeviceData:
     ids: np.ndarray        # (R, S) int32, mer id at covered sites else -1
     has_mmr: np.ndarray    # (R,) bool
     hp_init: np.ndarray    # (R,) int32 — post-wipe tags (step 1.5)
+    seed_ok: np.ndarray    # (R,) bool — RAW haptag was 0/1 (may seed counts)
     perm: np.ndarray       # (R,) int32 — device row -> original read id
     n_reads: int
     n_sites: int
@@ -103,10 +104,15 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
             else:
                 break
     # step 1.5: wipe to unphased except ref side, with the hp&3 truncation
-    # quirk (blockjoin.c:4013-4024)
+    # quirk (blockjoin.c:4013-4024). Seeding eligibility is tested on the
+    # RAW haptag (insert_ref_reads..., blockjoin.c:3796) BEFORE truncation,
+    # so e.g. HP:i:5 (hp=4, 4&3==0) must not seed the count table even
+    # though its post-wipe state is 0 — matching the host oracle.
     hp_init = np.full(R, 2, dtype=np.int32)
+    seed_ok = np.zeros(R, dtype=bool)
     for rid in ref_ids:
         hp_init[rid] = rs.reads[rid].hp & 3
+        seed_ok[rid] = rs.reads[rid].hp in (0, 1)
 
     if direction == 0:
         scan_list = list(range(n))
@@ -121,11 +127,14 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     ids_p = np.full_like(ids, INVALID_ID)
     has_p = np.zeros_like(has_mmr)
     hp_p = np.full_like(hp_init, 2)
+    seed_p = np.zeros_like(seed_ok)
     ids_p[:n] = ids[perm[:n]]
     has_p[:n] = has_mmr[perm[:n]]
     hp_p[:n] = hp_init[perm[:n]]
+    seed_p[:n] = seed_ok[perm[:n]]
 
-    return GapDeviceData(ids=ids_p, has_mmr=has_p, hp_init=hp_p, perm=perm,
+    return GapDeviceData(ids=ids_p, has_mmr=has_p, hp_init=hp_p,
+                         seed_ok=seed_p, perm=perm,
                          n_reads=n, n_sites=S, max_d=max_d, q_break=q_break,
                          min0=min0, max0=max0)
 
@@ -152,14 +161,14 @@ def _range_from_seed(tot, cov, min0, max0, n_sites):
     return min_i, max_i
 
 
-def _seed_count_table(ids, hp_init, has_mmr, D: int):
+def _seed_count_table(ids, hp_init, seed_ok, has_mmr, D: int):
     """Initial cnt_table from ref-seeded reads
     (insert_ref_reads_methmer_counts, blockjoin.c:3776-3810)."""
     covered = ids >= 0
     oh = jax.nn.one_hot(jnp.where(covered, ids, 0), D, dtype=jnp.float32)
     oh = oh * covered[..., None]
-    ins0 = ((hp_init == 0) & has_mmr).astype(jnp.float32)
-    ins1 = ((hp_init == 1) & has_mmr).astype(jnp.float32)
+    ins0 = ((hp_init == 0) & seed_ok & has_mmr).astype(jnp.float32)
+    ins1 = ((hp_init == 1) & seed_ok & has_mmr).astype(jnp.float32)
     c0 = jnp.einsum("rsd,r->sd", oh, ins0)
     c1 = jnp.einsum("rsd,r->sd", oh, ins1)
     # float32 count table: counts are small integers (exact in f32), and an
@@ -173,8 +182,8 @@ def direction_step_fn(D: int, nc_cap: int):
     n_cand is a traced scalar <= nc_cap, so coverage-derived candidate batch
     sizes do not multiply compile signatures)."""
 
-    def init(ids, hp_init, has_mmr):
-        cnt0 = _seed_count_table(ids, hp_init, has_mmr, D)
+    def init(ids, hp_init, seed_ok, has_mmr):
+        cnt0 = _seed_count_table(ids, hp_init, seed_ok, has_mmr, D)
         sums0 = cnt0.sum(axis=1)  # (S, 2), maintained incrementally
         return (hp_init, cnt0, sums0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
@@ -257,7 +266,7 @@ def direction_step_fn(D: int, nc_cap: int):
     return init, cond, body
 
 
-def run_direction_core(ids, has_mmr, hp_init,
+def run_direction_core(ids, has_mmr, hp_init, seed_ok,
                        n_reads, n_sites, q_break, min0, max0, cov, n_cand,
                        max_iters, D: int, nc_cap: int = 16):
     """Pure (traceable) single-(gap,direction) run; returns final hp (R,).
@@ -265,7 +274,7 @@ def run_direction_core(ids, has_mmr, hp_init,
     sharded multi-chip path. n_cand and max_iters are traced scalars; only
     (shapes, D, nc_cap) key the compile cache."""
     init, cond, body = direction_step_fn(D, nc_cap)
-    state = init(ids, hp_init, has_mmr)
+    state = init(ids, hp_init, seed_ok, has_mmr)
     state = jax.lax.while_loop(
         lambda st: cond(st, q_break, max_iters),
         lambda st: body(st, ids, has_mmr, n_reads, n_sites, min0, max0, cov,
@@ -275,13 +284,13 @@ def run_direction_core(ids, has_mmr, hp_init,
 
 
 @functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
-def run_direction_device(ids, has_mmr, hp_init,
+def run_direction_device(ids, has_mmr, hp_init, seed_ok,
                          n_reads, n_sites, q_break, min0, max0, cov, n_cand,
                          max_iters, D: int, nc_cap: int = 16):
     """Jitted single-(gap,direction) run; returns the final hp (R,)."""
-    return run_direction_core(ids, has_mmr, hp_init, n_reads, n_sites,
-                              q_break, min0, max0, cov, n_cand, max_iters,
-                              D, nc_cap)
+    return run_direction_core(ids, has_mmr, hp_init, seed_ok, n_reads,
+                              n_sites, q_break, min0, max0, cov, n_cand,
+                              max_iters, D, nc_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +318,7 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
         dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
         hp = np.asarray(run_direction_device(
             jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
-            jnp.asarray(dd.hp_init),
+            jnp.asarray(dd.hp_init), jnp.asarray(dd.seed_ok),
             jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
             jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
             jnp.int32(cov_runtime), jnp.int32(n_cand),

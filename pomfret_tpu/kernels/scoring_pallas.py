@@ -12,8 +12,11 @@ The XLA formulation materializes a (NC, S, D) one-hot tensor; this kernel
 streams site tiles through VMEM and keeps the one-hot product in registers,
 with the (candidate-mer == dictionary-slot) comparison on the VPU.
 
-Used inside the device engine's lax.while_loop body when enabled
-(POMFRET_PALLAS_SCORING=1); validated against the jnp reference in tests.
+Status: an exploratory/alternative kernel validated against the jnp
+formulation in tests (tests/test_scoring_pallas.py). The production engine
+body instead uses D-unrolled selects (kernels/engine_jax.py), which XLA
+fuses into a single elementwise kernel and which benchmarked faster; this
+kernel is kept as the building block for a future fully-fused Pallas body.
 """
 from __future__ import annotations
 

@@ -28,6 +28,7 @@ class GapBatch:
     ids: np.ndarray        # (G, R, S) int32
     has_mmr: np.ndarray    # (G, R) bool
     hp_init: np.ndarray    # (G, R) int32
+    seed_ok: np.ndarray    # (G, R) bool
     perm: np.ndarray       # (G, R) int32 — device row -> original read id
     n_reads: np.ndarray    # (G,) int32
     n_sites: np.ndarray    # (G,) int32
@@ -59,6 +60,7 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     ids = np.full((G, R, S), -1, dtype=np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
+    seed_ok = np.zeros((G, R), dtype=bool)
     perm = np.full((G, R), -1, dtype=np.int32)
     sc = np.zeros((6, G), dtype=np.int32)
     for g, d in enumerate(datas):
@@ -66,9 +68,11 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
         ids[g, :r, :s] = d.ids
         has_mmr[g, :r] = d.has_mmr
         hp_init[g, :r] = d.hp_init
+        seed_ok[g, :r] = d.seed_ok
         perm[g, :r] = d.perm
         sc[:, g] = (d.n_reads, d.n_sites, d.q_break, d.min0, d.max0, covs[g])
-    return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init, perm=perm,
+    return GapBatch(ids=ids, has_mmr=has_mmr, hp_init=hp_init,
+                    seed_ok=seed_ok, perm=perm,
                     n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
                     min0=sc[3], max0=sc[4], cov=sc[5],
                     n_cand=np.full(G, n_cand, dtype=np.int32),
@@ -76,17 +80,17 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
 
 
 @functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
-def _run_batch_jit(ids, has_mmr, hp_init, n_reads, n_sites, q_break,
+def _run_batch_jit(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
                    min0, max0, cov, n_cand, max_iters,
                    D: int, nc_cap: int):
     f = functools.partial(run_direction_core, D=D, nc_cap=nc_cap)
-    return jax.vmap(f)(ids, has_mmr, hp_init, n_reads, n_sites,
+    return jax.vmap(f)(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
                        q_break, min0, max0, cov, n_cand, max_iters)
 
 
 def batch_args(batch: GapBatch, max_iters: int):
     G = batch.ids.shape[0]
-    return (batch.ids, batch.has_mmr, batch.hp_init,
+    return (batch.ids, batch.has_mmr, batch.hp_init, batch.seed_ok,
             batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
             batch.max0, batch.cov, batch.n_cand,
             np.full(G, max_iters, dtype=np.int32))

@@ -284,8 +284,9 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     log_info("blockjoin_parallel", "loaded phase block gaps.")
 
     if config.cov_for_selection <= 0:
-        covs = estimate_read_coverage_dirtyfast(BamReader(opt.fn_bam, threads=opt.threads_bam))
-        name2cov = dict(zip(BamReader(opt.fn_bam).ref_names, covs))
+        cov_bam = BamReader(opt.fn_bam, threads=opt.threads_bam)
+        covs = estimate_read_coverage_dirtyfast(cov_bam)
+        name2cov = dict(zip(cov_bam.ref_names, covs))
         ref_covs = [name2cov.get(n, 0) for n in st.ref_names]
     else:
         ref_covs = [config.cov_known] * len(st.ref_names)

@@ -16,9 +16,11 @@ def _rand_gap(rng, R=64, S=96, D=8, n_reads=48):
     has_mmr[:n_reads] = True
     hp_init = np.full(R, 2, dtype=np.int32)
     hp_init[:16] = rng.integers(0, 2, size=16)
+    seed_ok = hp_init <= 1
     perm = np.full(R, -1, dtype=np.int32)
     perm[:n_reads] = np.arange(n_reads)
-    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_init, perm=perm,
+    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_init,
+                         seed_ok=seed_ok, perm=perm,
                          n_reads=n_reads, n_sites=S, max_d=D, q_break=n_reads,
                          min0=0, max0=4)
 
@@ -33,6 +35,7 @@ def test_batch_matches_single():
         import jax.numpy as jnp
         hp = np.asarray(run_direction_device(
             jnp.asarray(d.ids), jnp.asarray(d.has_mmr), jnp.asarray(d.hp_init),
+            jnp.asarray(d.seed_ok),
             jnp.int32(d.n_reads), jnp.int32(d.n_sites),
             jnp.int32(d.q_break), jnp.int32(d.min0), jnp.int32(d.max0),
             jnp.int32(4), jnp.int32(8), jnp.int32(160),

@@ -47,6 +47,10 @@ def _add_methphase_args(p: argparse.ArgumentParser) -> None:
                    help="resume from <prefix>.mp.manifest.jsonl (skip completed gaps)")
     p.add_argument("--profile", action="store_true",
                    help="write a jax profiler trace to <prefix>.profile/")
+    p.add_argument("--n-permutations", dest="n_permutations", type=int,
+                   default=1,
+                   help="permutation-voting restarts per direction "
+                        "(reference hardcodes 1; >5 enables majority voting)")
 
 
 def _opt_from_args(a) -> CliOpt:
@@ -70,6 +74,7 @@ def _opt_from_args(a) -> CliOpt:
         write_debug_files=a.write_debug_files,
         chunk_size=a.chunk_size, chunk_stride=a.chunk_stride,
         engine=a.engine, resume=a.resume, profile=a.profile,
+        n_permutations=a.n_permutations,
     )
     return opt
 
@@ -100,6 +105,9 @@ def _sancheck(opt: CliOpt) -> bool:
     if opt.n_candidates_per_iter <= 0:
         log_warn("sancheck_cliopt", "clipping candidate per iter to 1")
         opt.n_candidates_per_iter = 1
+    if opt.n_permutations < 1:
+        log_warn("sancheck_cliopt", "clipping n_permutations to 1")
+        opt.n_permutations = 1
     if not (opt.fn_gtf or opt.fn_tsv or opt.fn_vcf):
         log_err("sancheck_cliopt", "gtf, tsv and vcf cannot all be absent")
         return False

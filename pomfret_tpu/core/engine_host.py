@@ -25,6 +25,74 @@ EVAL_P_THRE = 0.001              # blockjoin.c:24
 F32 = np.float32
 
 
+class Drand48:
+    """Bit-exact replica of glibc drand48() (POSIX 48-bit LCG).
+
+    The reference's permutation path shuffles with ks_shuffle (ksort.h:260-268)
+    which draws from the process-global drand48 stream; srand48 is never
+    called. POSIX documents the unseeded state as X0 = 0x1234ABCD330E, but
+    glibc's __drand48_iterate only initializes the multiplier/addend and
+    leaves the zero-initialized static X untouched, so on Linux the stream
+    the reference actually sees starts from X0 = 0 (first draw = 0xB/2^48 =
+    3.907985e-14; verified against libc).
+    """
+
+    A = 0x5DEECE66D
+    C = 0xB
+    MASK = (1 << 48) - 1
+
+    def __init__(self, x0: int = 0):
+        self.x = x0 & self.MASK
+
+    def next(self) -> float:
+        self.x = (self.A * self.x + self.C) & self.MASK
+        return self.x / float(1 << 48)
+
+
+_drand48 = Drand48()
+
+
+def reset_drand48() -> None:
+    """Reset the module-global stream to process start (test hook)."""
+    global _drand48
+    _drand48 = Drand48()
+
+
+def ks_shuffle(a: List[int], rng: Drand48 = None) -> None:
+    """Fisher-Yates exactly as ks_shuffle (ksort.h:260-268): j is drawn as
+    (int)(drand48()*i) and swapped with a[i-1], i from n down to 2."""
+    if rng is None:
+        rng = _drand48
+    for i in range(len(a), 1, -1):
+        j = int(rng.next() * i)
+        a[j], a[i - 1] = a[i - 1], a[j]
+
+
+def permute_haplotags(rs: ReadSet, ids: List[int], n: int,
+                      rng: Drand48 = None) -> int:
+    """Swap up to n reads per haplotype between hap0<->hap1
+    (permute_haplotags, blockjoin.c:3812-3854). Returns 0 if anything could
+    be attempted, 1 if the ID list was empty. buf entries are indices into
+    `ids`, and hap0's shuffle consumes the drand48 stream before hap1's."""
+    buf_hap = ([], [])
+    n = min(n, len(ids))
+    if n == 0:
+        return 1
+    for i, rid in enumerate(ids):
+        hp = rs.reads[rid].hp
+        if hp == 0:
+            buf_hap[0].append(i)
+        elif hp == 1:
+            buf_hap[1].append(i)
+    ks_shuffle(buf_hap[0], rng)
+    ks_shuffle(buf_hap[1], rng)
+    for i in range(min(len(buf_hap[0]), n)):
+        rs.reads[ids[buf_hap[0][i]]].hp = 1
+    for i in range(min(len(buf_hap[1]), n)):
+        rs.reads[ids[buf_hap[1][i]]].hp = 0
+    return 0
+
+
 class CountTable:
     """Per-site methmer -> per-hap counts (mmr_t, blockjoin.c:3106-3110)."""
 
@@ -285,54 +353,97 @@ def evaluate_separation(rs: ReadSet, raw_tags: np.ndarray, which_side: int
 def haplotag_region2(rs: ReadSet, table: CountTable, ms: Methmers,
                      ext_direction: int, n_candidates_per_iter: int,
                      min_mmr_recruit_cov: int, n_permutations: int,
-                     do_reset: bool) -> int:
-    """Wrapper with (disabled by default) permutation voting
-    (blockjoin.c:4088-4214). Returns 0 cis / 1 trans / -1 no-join."""
-    assert n_permutations == 1, "permutation voting is disabled on the reference main path (n_permutation=1, blockjoin.c:4675)"
-    initial_state = rs.store_haplotags()
-    haplotag_region1(rs, table, ms, n_candidates_per_iter,
-                     min_mmr_recruit_cov, ext_direction)
-    tag_buf = rs.store_haplotags()
-    score, which_way = evaluate_separation(rs, initial_state,
-                                           1 if ext_direction == 0 else 0)
-    best = [-1, -1]
-    if score >= 2 and which_way != -9 and which_way != 0:
-        if which_way > 0:
-            best[0] = 0
-        else:
-            best[1] = 0
-    rs.restore_haplotags(initial_state)
+                     do_reset: bool, rng: Drand48 = None) -> int:
+    """Wrapper with permutation voting (haplotag_region2,
+    blockjoin.c:4088-4214). Returns 0 cis / 1 trans / -1 no-join.
 
-    if best[0] >= 0:
-        ret = 0
-        rs.restore_haplotags(tag_buf)
-    elif best[1] >= 0:
-        ret = 1
-        rs.restore_haplotags(tag_buf)
-    else:
-        ret = -1
+    The reference main path passes n_permutation=1 (blockjoin.c:4675), which
+    makes the loop a single deterministic run; with n_permutations>1, each
+    extra run first swaps up to 5 boundary reads per haplotype from the
+    restored initial state, and the summary takes the majority
+    (blockjoin.c:4164-4186) when n_permutations>5, else best-score-wins with
+    cis preferred (blockjoin.c:4188-4206)."""
+    threshold = n_permutations // 2
+    threshold_blank = n_permutations // 3  # cap on ambiguous results
+    initial_state = rs.store_haplotags()
+    bufs: List[np.ndarray] = []
+    dir_cnt = [0, 0, 0]  # undecided, cis, trans
+    best_score = [1.0, 1.0]
+    best_score_i = [-1, -1]
+    err_permutation = False
+    for i in range(n_permutations):
+        if i != 0:
+            ids = rs.ids_left if ext_direction == 0 else rs.ids_right
+            if permute_haplotags(rs, ids, 5, rng):
+                err_permutation = True
+                break
+        haplotag_region1(rs, table, ms, n_candidates_per_iter,
+                         min_mmr_recruit_cov, ext_direction)
+        bufs.append(rs.store_haplotags())
+        score, which_way = evaluate_separation(
+            rs, initial_state, 1 if ext_direction == 0 else 0)
+        if score >= 2 and which_way != -9 and which_way != 0:
+            way = 0 if which_way > 0 else 1
+            dir_cnt[1 + way] += 1
+            if score > best_score[way]:
+                best_score[way] = score
+                best_score_i[way] = i
+        else:
+            dir_cnt[0] += 1
         rs.restore_haplotags(initial_state)
-        rs.set_all_as_unphased()
+
+    if err_permutation:
+        # blockjoin.c:4160-4163: bail, tags stay at the initial state
+        if do_reset:
+            rs.restore_haplotags(initial_state)
+        return -1
+
+    if n_permutations > 5:
+        # majority vote (blockjoin.c:4164-4186)
+        if (dir_cnt[1] >= threshold and dir_cnt[2] <= 3
+                and dir_cnt[0] < threshold_blank and best_score_i[0] >= 0):
+            ret = 0
+            rs.restore_haplotags(bufs[best_score_i[0]])
+        elif (dir_cnt[2] >= threshold and dir_cnt[1] <= 3
+                and dir_cnt[0] < threshold_blank and best_score_i[1] >= 0):
+            ret = 1
+            rs.restore_haplotags(bufs[best_score_i[1]])
+        else:
+            ret = -1
+            rs.restore_haplotags(initial_state)
+            rs.set_all_as_unphased()
+    else:
+        # best-score path, cis preferred (blockjoin.c:4188-4206)
+        if best_score_i[0] >= 0:
+            ret = 0
+            rs.restore_haplotags(bufs[best_score_i[0]])
+        elif best_score_i[1] >= 0:
+            ret = 1
+            rs.restore_haplotags(bufs[best_score_i[1]])
+        else:
+            ret = -1
+            rs.restore_haplotags(initial_state)
+            rs.set_all_as_unphased()
     if do_reset:
         rs.restore_haplotags(initial_state)
     return ret
 
 
 def haplotag_region(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
-                    n_candidates_per_iter: int, cov_for_runtime: int
-                    ) -> int:
+                    n_candidates_per_iter: int, cov_for_runtime: int,
+                    n_permutations: int = 1) -> int:
     """Both directions + agreement gate (haplotag_region_given_bam core,
     blockjoin.c:4288-4320). The caller loads reads/methmers; on agreement the
     read set retains the forward tagging."""
     store_mmr_of_reads(rs, ms_bwd)
     table_bwd = CountTable(ms_bwd.n)
     join2 = haplotag_region2(rs, table_bwd, ms_bwd, 1, n_candidates_per_iter,
-                             cov_for_runtime, 1, True)
+                             cov_for_runtime, n_permutations, True)
     wipe_mmr_of_reads(rs)
     store_mmr_of_reads(rs, ms_fwd)
     table_fwd = CountTable(ms_fwd.n)
     join1 = haplotag_region2(rs, table_fwd, ms_fwd, 0, n_candidates_per_iter,
-                             cov_for_runtime, 1, False)
+                             cov_for_runtime, n_permutations, False)
     if join1 != join2 or (join1 == -1 and join2 == -1):
         rs.set_all_as_unphased()
         return -1

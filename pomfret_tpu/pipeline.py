@@ -58,6 +58,10 @@ class CliOpt:
     engine: str = "auto"  # auto|host|jax
     resume: bool = False
     profile: bool = False
+    # TPU-era extra: the reference compiles permutation voting
+    # (blockjoin.c:4088-4214) but hardcodes n_permutation=1 at the call site
+    # (blockjoin.c:4675); we expose it as --n-permutations.
+    n_permutations: int = 1
 
 
 def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
@@ -132,7 +136,7 @@ def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
 def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
                               ref_start: int, ref_end: int,
                               config: MmrConfig, n_candidates_per_iter: int,
-                              engine: str = "host"):
+                              engine: str = "host", n_permutations: int = 1):
     """Load one gap window + run both directions (blockjoin.c:4217-4335).
     Returns (decision, readset|None)."""
     rs = load_reads_given_interval(
@@ -151,13 +155,17 @@ def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
         rr_, vr = evaluate_ref_sanity(rs, 1)
         log_info("haplotag_region_given_bam",
                  f"left ref ratio: {rl:.2f} (valid={vl}); right ref ratio: {rr_:.2f} (valid={vr})")
+    if engine == "jax" and n_permutations > 1:
+        log_warn("haplotag_region_given_bam",
+                 "permutation voting runs on the host engine; falling back")
+        engine = "host"
     if engine == "jax":
         from .kernels.engine_jax import run_gap_jax
         decision = run_gap_jax(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
                                config.cov_for_runtime)
     else:
         decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
-                                   config.cov_for_runtime)
+                                   config.cov_for_runtime, n_permutations)
     return decision, rs
 
 
@@ -183,7 +191,7 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                          config: MmrConfig, n_cand_in: int, coverage: int,
                          engine: str = "host",
                          gap_filter=None, manifest=None,
-                         done=None) -> Dict[str, int]:
+                         done=None, n_permutations: int = 1) -> Dict[str, int]:
     """One chromosome's gap-joining jobs (blockjoin_one_chrom_callback,
     blockjoin.c:4350-4426). Returns the per-chromosome qname->haptag map.
     gap_filter(i) -> bool restricts to this host's assigned gaps;
@@ -207,7 +215,7 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                     qname2haptag.setdefault(qn, hp)
             continue
         indices.append(i)
-    if engine == "jax" and indices:
+    if engine == "jax" and indices and n_permutations == 1:
         from .kernels.engine_jax import run_gaps_batched
         decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg,
                                                n_cand, indices=indices)
@@ -222,7 +230,8 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
         return qname2haptag
     for i in indices:
         decision, rs = haplotag_region_given_bam(
-            st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand)
+            st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand,
+            n_permutations=n_permutations)
         rg.decisions[i] = decision
         tags = {r.qname: r.hp for r in rs.reads} if (decision >= 0 and rs is not None) else None
         if manifest is not None:
@@ -331,12 +340,14 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
                 lambda i: _blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                                opt.n_candidates_per_iter,
                                                ref_covs[i], engine,
-                                               make_filter(i), manifest, done),
+                                               make_filter(i), manifest, done,
+                                               opt.n_permutations),
                 range(n_jobs)))
     else:
         maps = [_blockjoin_one_chrom(st, opt.fn_bam, i, config,
                                      opt.n_candidates_per_iter, ref_covs[i],
-                                     engine, make_filter(i), manifest, done)
+                                     engine, make_filter(i), manifest, done,
+                                     opt.n_permutations)
                 for i in range(n_jobs)]
     manifest.close()
     local_tags: Dict[str, int] = {}
@@ -550,7 +561,8 @@ def main_methreport(opt: CliOpt) -> int:
                     import jax as _jx
                     eng = "jax" if _jx.default_backend() == "tpu" else "host"
                 decision, _ = haplotag_region_given_bam(
-                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng)
+                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng,
+                    opt.n_permutations)
                 f.write(f"{st.ref_names[i_ref]}\t{s}\t{e}\t")
                 if decision == 0:
                     n_correct += 1

@@ -100,11 +100,11 @@ def mods_per_stored_position(rec: BamRecord):
     for base, strand, codes, implicit, deltas in parse_mm_items(mm):
         ncodes = max(1, len(codes))
         nd = len(deltas)
-        if strand != "+":
-            # '-' strand mods are not produced by current basecallers; skip
-            # the item but keep ML cursor in sync.
-            ml_i += nd * ncodes
-            continue
+        # '-' strand items ('C-m') are processed exactly like '+' ones: the
+        # MM delta walk counts occurrences of the fundamental base in the
+        # as-sequenced read regardless of the mod's strand, and the reference
+        # never inspects mods[j].strand (blockjoin.c:845-858), so positions
+        # and CpG filtering are identical.
         # occurrences of `base` in the original read orientation
         if base == "N":
             occ = np.arange(L)

@@ -161,3 +161,26 @@ def test_n_skip_terminates():
     rec = mk(seq, [("M", 4), ("N", 100), ("M", 5)], "C+m?,0,0;", [200, 200])
     calls, _, _ = read_meth_calls(rec, LO, HI)
     assert calls == [1001]  # second call (pos 5) dropped after N
+
+
+def test_minus_strand_item_processed_like_plus():
+    # The reference never checks mods[j].strand (blockjoin.c:845-858): a
+    # 'C-m' item yields the same positions/quals as 'C+m' at the same deltas.
+    seq = "ACGTACGTA"
+    rec_minus = mk(seq, [("M", 9)], "C-m?,0,0;", [200, 50])
+    rec_plus = mk(seq, [("M", 9)], "C+m?,0,0;", [200, 50])
+    assert extract_cpg_5mc_calls(rec_minus, LO, HI) == \
+        extract_cpg_5mc_calls(rec_plus, LO, HI)
+    poss, quals, imp = extract_cpg_5mc_calls(rec_minus, LO, HI)
+    assert poss == [1, 5] and quals == [CALL_METH, CALL_UNMETH]
+
+
+def test_mixed_plus_minus_items_share_ml_cursor():
+    # two items: C+m then C-m; ML holds quals for both in written order
+    seq = "ACGTACGTA"
+    rec = mk(seq, [("M", 9)], "C+m?,0;C-m?,1;", [200, 50])
+    poss, quals, _ = extract_cpg_5mc_calls(rec, LO, HI)
+    # C+m delta 0 -> first C (stored 1, q 200); C-m delta 1 -> second C
+    # (stored 5, q 50)
+    assert poss == [1, 5]
+    assert quals == [CALL_METH, CALL_UNMETH]

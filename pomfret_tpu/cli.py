@@ -51,6 +51,9 @@ def _add_methphase_args(p: argparse.ArgumentParser) -> None:
                    default=1,
                    help="permutation-voting restarts per direction "
                         "(reference hardcodes 1; >5 enables majority voting)")
+    p.add_argument("--ref-fasta", dest="ref_fasta", default=None,
+                   help="reference FASTA for CRAM input without an embedded "
+                        "reference (also via POMFRET_REF_FASTA)")
 
 
 def _opt_from_args(a) -> CliOpt:
@@ -171,6 +174,9 @@ def main(argv=None) -> int:
     ret = 1
     if a.cmd in ("methphase", "report", "methstat"):
         set_verbose(a.verbose)
+        if getattr(a, "ref_fasta", None):
+            import os
+            os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
         opt = _opt_from_args(a)
         if not _sancheck(opt) or not _sancheck_files_exist(opt):
             ret = 1

@@ -1,0 +1,1081 @@
+"""CRAM 3.0 reader (containers, blocks, codecs, record decode).
+
+The reference accepts CRAM transparently through htslib
+(`hts_open`/`sam_itr_querys`; the input sanity check at blockjoin.c:4609
+explicitly allows `is_cram`). This build has no htslib, so the format is
+implemented from the CRAM 3.0 specification: ITF8/LTF8 varints, container +
+block framing, compression header (preservation / data-series / tag-encoding
+maps), slice decode, and the record codec (read features -> sequence/CIGAR
+against the reference, substitution matrix, mate resolution, tag dictionary).
+
+Block compression methods supported: raw, gzip, bzip2, lzma, rans4x8
+(io/rans4x8.py). CRAM 3.1-only codecs raise a clear error.
+
+Reference bases resolve, in order: embedded reference blocks, an explicit
+`ref_fasta=` argument (CLI `--ref-fasta`), the @SQ UR: path from the header,
+or the POMFRET_REF_FASTA environment variable. Non-reference-required
+streams (RR=false) decode with no reference at all.
+
+Records decode into io.bam.BamRecord so every downstream stage (meth decode,
+varhaptag, engines, writers) is format-agnostic. MD/NM are regenerated from
+the reference when absent (htslib drops them from CRAM by default); the MD
+walk matters because varhaptag parses MD (blockjoin.c:1545-1691).
+"""
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from . import rans4x8
+from .bam import BamRecord, bam_endpos, reg2bin
+from .records import pack_seq
+
+# block compression methods
+M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS4x8 = 0, 1, 2, 3, 4
+# block content types
+CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_MAPPED_SLICE = 0, 1, 2
+CT_EXTERNAL, CT_CORE = 4, 5
+
+# CRAM record flags (CF)
+CF_QS_STORED = 0x1
+CF_DETACHED = 0x2
+CF_MATE_DOWNSTREAM = 0x4
+CF_NO_SEQ = 0x8
+# CRAM mate flags (MF)
+MF_MATE_REVERSED = 0x1
+MF_MATE_UNMAPPED = 0x2
+
+# the v3 EOF sentinel container: ref_id=-1, start=4542278 ('EOF' bytes as an
+# itf8 int), one empty COMPRESSION_HEADER block (spec section 9). Generated
+# through the same framing functions the writer uses (see make_eof_container)
+# so reader and writer agree byte-for-byte.
+EOF_START_SENTINEL = 4542278
+
+
+# ---------------------------------------------------------------- varints
+
+def read_itf8(buf: bytes, p: int) -> Tuple[int, int]:
+    b0 = buf[p]
+    if b0 < 0x80:
+        v = b0
+        p += 1
+    elif b0 < 0xC0:
+        v = ((b0 & 0x3F) << 8) | buf[p + 1]
+        p += 2
+    elif b0 < 0xE0:
+        v = ((b0 & 0x1F) << 16) | (buf[p + 1] << 8) | buf[p + 2]
+        p += 3
+    elif b0 < 0xF0:
+        v = ((b0 & 0x0F) << 24) | (buf[p + 1] << 16) | (buf[p + 2] << 8) | buf[p + 3]
+        p += 4
+    else:
+        v = ((b0 & 0x0F) << 28) | (buf[p + 1] << 20) | (buf[p + 2] << 12) \
+            | (buf[p + 3] << 4) | (buf[p + 4] & 0x0F)
+        p += 5
+    if v > 0x7FFFFFFF:
+        v -= 1 << 32
+    return v, p
+
+
+def write_itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF, (v >> 12) & 0xFF,
+                  (v >> 4) & 0xFF, v & 0x0F])
+
+
+def read_ltf8(buf: bytes, p: int) -> Tuple[int, int]:
+    b0 = buf[p]
+    n = 0
+    while n < 8 and (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0xFF >> n) if n < 8 else 0
+    for i in range(n):
+        v = (v << 8) | buf[p + 1 + i]
+    p += 1 + n
+    if v > 0x7FFFFFFFFFFFFFFF:
+        v -= 1 << 64
+    return v, p
+
+
+def write_ltf8(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    if v < 0x80:
+        return bytes([v])
+    for n in range(1, 8):
+        if v < (1 << (7 * n + 7)):  # fits in (7-n) first-byte bits + 8n bits
+            prefix = (0xFF ^ (0xFF >> n)) | (v >> (8 * n))
+            body = (v & ((1 << (8 * n)) - 1)).to_bytes(n, "big")
+            return bytes([prefix]) + body
+    return b"\xFF" + v.to_bytes(8, "big")
+
+
+def read_array_itf8(buf: bytes, p: int) -> Tuple[List[int], int]:
+    n, p = read_itf8(buf, p)
+    out = []
+    for _ in range(n):
+        v, p = read_itf8(buf, p)
+        out.append(v)
+    return out, p
+
+
+def write_array_itf8(vals: List[int]) -> bytes:
+    out = bytearray(write_itf8(len(vals)))
+    for v in vals:
+        out += write_itf8(v)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- blocks
+
+@dataclass
+class Block:
+    method: int
+    content_type: int
+    content_id: int
+    data: bytes          # decompressed
+    raw_size: int = 0
+
+
+def decompress_block(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == M_RAW:
+        return data
+    if method == M_GZIP:
+        return gzip.decompress(data)
+    if method == M_BZIP2:
+        return bz2.decompress(data)
+    if method == M_LZMA:
+        return lzma.decompress(data)
+    if method == M_RANS4x8:
+        return rans4x8.uncompress(data)
+    raise ValueError(
+        f"CRAM block compression method {method} not supported "
+        "(3.1-only codec? this reader handles CRAM 3.0)")
+
+
+def compress_block(method: int, data: bytes) -> bytes:
+    if method == M_RAW:
+        return data
+    if method == M_GZIP:
+        return gzip.compress(data, 6)
+    if method == M_BZIP2:
+        return bz2.compress(data)
+    if method == M_LZMA:
+        return lzma.compress(data)
+    if method == M_RANS4x8:
+        return rans4x8.compress(data, order=0)
+    raise ValueError(f"unknown method {method}")
+
+
+def read_block(buf: bytes, p: int) -> Tuple[Block, int]:
+    method = buf[p]
+    ctype = buf[p + 1]
+    p += 2
+    cid, p = read_itf8(buf, p)
+    comp_size, p = read_itf8(buf, p)
+    raw_size, p = read_itf8(buf, p)
+    data = buf[p : p + comp_size]
+    p += comp_size
+    p += 4  # CRC32 (v3); not verified
+    plain = decompress_block(method, data, raw_size)
+    if len(plain) != raw_size:
+        raise ValueError(f"block raw size mismatch: {len(plain)} != {raw_size}")
+    return Block(method, ctype, cid, plain, raw_size), p
+
+
+def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
+    comp = compress_block(method, data)
+    if method != M_RAW and len(comp) >= len(data):
+        method, comp = M_RAW, data
+    out = bytearray([method, ctype])
+    out += write_itf8(cid)
+    out += write_itf8(len(comp))
+    out += write_itf8(len(data))
+    out += comp
+    out += struct.pack("<I", zlib.crc32(bytes(out)))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- container
+
+@dataclass
+class ContainerHeader:
+    length: int
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    record_counter: int
+    n_bases: int
+    n_blocks: int
+    landmarks: List[int]
+
+
+def read_container_header(f) -> Optional[ContainerHeader]:
+    head = f.read(4)
+    if len(head) < 4:
+        return None
+    length = struct.unpack("<i", head)[0]
+    # worst case header tail: 5 itf8 + 2 ltf8 + landmarks + crc; read greedily
+    buf = f.read(11 * 5 + 9 * 2 + 4)
+    p = 0
+    ref_id, p = read_itf8(buf, p)
+    start, p = read_itf8(buf, p)
+    span, p = read_itf8(buf, p)
+    n_records, p = read_itf8(buf, p)
+    record_counter, p = read_ltf8(buf, p)
+    n_bases, p = read_ltf8(buf, p)
+    n_blocks, p = read_itf8(buf, p)
+    n_land, p = read_itf8(buf, p)
+    lands = []
+    need = p + n_land * 5 + 4
+    if need > len(buf):
+        buf += f.read(need - len(buf))
+    for _ in range(n_land):
+        v, p = read_itf8(buf, p)
+        lands.append(v)
+    p += 4  # CRC32
+    f.seek(-(len(buf) - p), 1)
+    return ContainerHeader(length, ref_id, start, span, n_records,
+                           record_counter, n_bases, n_blocks, lands)
+
+
+def write_container_header(h: ContainerHeader) -> bytes:
+    body = bytearray()
+    body += write_itf8(h.ref_id)
+    body += write_itf8(h.start)
+    body += write_itf8(h.span)
+    body += write_itf8(h.n_records)
+    body += write_ltf8(h.record_counter)
+    body += write_ltf8(h.n_bases)
+    body += write_itf8(h.n_blocks)
+    body += write_array_itf8(h.landmarks)
+    out = struct.pack("<i", h.length) + bytes(body)
+    return out + struct.pack("<I", zlib.crc32(out))
+
+
+# ---------------------------------------------------------------- encodings
+
+E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN = 0, 1, 2, 3
+E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA = 4, 5, 6
+E_SUBEXP, E_GOLOMB_RICE, E_GAMMA = 7, 8, 9
+
+
+class BitReader:
+    """MSB-first bit reader over the core block."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class ExternalStreams:
+    def __init__(self, blocks: Dict[int, bytes]):
+        self.data = blocks
+        self.pos = {k: 0 for k in blocks}
+
+    def read_byte(self, cid: int) -> int:
+        p = self.pos[cid]
+        self.pos[cid] = p + 1
+        return self.data[cid][p]
+
+    def read_bytes(self, cid: int, n: int) -> bytes:
+        p = self.pos[cid]
+        self.pos[cid] = p + n
+        return self.data[cid][p : p + n]
+
+    def read_itf8(self, cid: int) -> int:
+        v, p = read_itf8(self.data[cid], self.pos[cid])
+        self.pos[cid] = p
+        return v
+
+    def read_until(self, cid: int, stop: int) -> bytes:
+        buf = self.data[cid]
+        p = self.pos[cid]
+        q = buf.index(bytes([stop]), p)
+        self.pos[cid] = q + 1
+        return buf[p:q]
+
+
+@dataclass
+class Encoding:
+    codec: int
+    params: bytes
+
+    # parsed lazily
+    _parsed: object = field(default=None, repr=False)
+
+    def _parse(self):
+        if self._parsed is not None:
+            return self._parsed
+        b = self.params
+        if self.codec == E_EXTERNAL:
+            cid, _ = read_itf8(b, 0)
+            self._parsed = cid
+        elif self.codec == E_HUFFMAN:
+            syms, p = read_array_itf8(b, 0)
+            lens, p = read_array_itf8(b, p)
+            # canonical codes: ascending (bit length, symbol)
+            pairs = sorted(zip(lens, syms))
+            table = {}
+            code = 0
+            prev_len = 0
+            for ln, s in pairs:
+                code <<= (ln - prev_len)
+                table[(ln, code)] = s
+                code += 1
+                prev_len = ln
+            self._parsed = (syms, lens, table)
+        elif self.codec == E_BYTE_ARRAY_LEN:
+            cid1, p = read_itf8(b, 0)  # lengths codec id
+            n1, p = read_itf8(b, p)
+            lens_enc = Encoding(cid1, b[p : p + n1])
+            p += n1
+            cid2, p = read_itf8(b, p)
+            n2, p = read_itf8(b, p)
+            vals_enc = Encoding(cid2, b[p : p + n2])
+            self._parsed = (lens_enc, vals_enc)
+        elif self.codec == E_BYTE_ARRAY_STOP:
+            stop = b[0]
+            cid, _ = read_itf8(b, 1)
+            self._parsed = (stop, cid)
+        elif self.codec == E_BETA:
+            offset, p = read_itf8(b, 0)
+            nbits, p = read_itf8(b, p)
+            self._parsed = (offset, nbits)
+        else:
+            self._parsed = ()
+        return self._parsed
+
+    # -- int values
+    def read_int(self, core: BitReader, ext: ExternalStreams) -> int:
+        if self.codec == E_EXTERNAL:
+            return ext.read_itf8(self._parse())
+        if self.codec == E_HUFFMAN:
+            syms, lens, table = self._parse()
+            if len(syms) == 1 and lens[0] == 0:
+                return syms[0]
+            ln, code = 0, 0
+            while True:
+                code = (code << 1) | core.read_bits(1)
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+                if ln > 31:
+                    raise ValueError("bad huffman stream")
+        if self.codec == E_BETA:
+            offset, nbits = self._parse()
+            return core.read_bits(nbits) - offset
+        if self.codec == E_GAMMA:
+            n = 0
+            while core.read_bits(1) == 0:
+                n += 1
+            v = 1
+            for _ in range(n):
+                v = (v << 1) | core.read_bits(1)
+            return v - 1
+        raise ValueError(f"codec {self.codec} cannot produce ints")
+
+    # -- single byte values
+    def read_byte(self, core: BitReader, ext: ExternalStreams) -> int:
+        if self.codec == E_EXTERNAL:
+            return ext.read_byte(self._parse())
+        return self.read_int(core, ext)
+
+    # -- byte arrays
+    def read_bytes(self, core: BitReader, ext: ExternalStreams) -> bytes:
+        if self.codec == E_BYTE_ARRAY_LEN:
+            lens_enc, vals_enc = self._parse()
+            n = lens_enc.read_int(core, ext)
+            if vals_enc.codec == E_EXTERNAL:
+                return ext.read_bytes(vals_enc._parse(), n)
+            return bytes(vals_enc.read_byte(core, ext) for _ in range(n))
+        if self.codec == E_BYTE_ARRAY_STOP:
+            stop, cid = self._parse()
+            return ext.read_until(cid, stop)
+        raise ValueError(f"codec {self.codec} cannot produce byte arrays")
+
+
+def read_encoding(buf: bytes, p: int) -> Tuple[Encoding, int]:
+    codec, p = read_itf8(buf, p)
+    n, p = read_itf8(buf, p)
+    enc = Encoding(codec, buf[p : p + n])
+    return enc, p + n
+
+
+def write_encoding(codec: int, params: bytes) -> bytes:
+    return write_itf8(codec) + write_itf8(len(params)) + params
+
+
+# ------------------------------------------------------- compression header
+
+@dataclass
+class CompressionHeader:
+    rn_preserved: bool = True
+    ap_delta: bool = True
+    rr: bool = True
+    sub_matrix: bytes = b"\x1b" * 5
+    tag_dict: List[List[Tuple[str, int]]] = field(default_factory=list)
+    series: Dict[str, Encoding] = field(default_factory=dict)
+    tags: Dict[int, Encoding] = field(default_factory=dict)
+
+
+def parse_compression_header(data: bytes) -> CompressionHeader:
+    h = CompressionHeader()
+    p = 0
+    # preservation map
+    _, p = read_itf8(data, p)  # byte size
+    n, p = read_itf8(data, p)
+    for _ in range(n):
+        key = data[p : p + 2].decode()
+        p += 2
+        if key in ("RN", "AP", "RR"):
+            val = data[p]
+            p += 1
+            if key == "RN":
+                h.rn_preserved = bool(val)
+            elif key == "AP":
+                h.ap_delta = bool(val)
+            else:
+                h.rr = bool(val)
+        elif key == "SM":
+            h.sub_matrix = data[p : p + 5]
+            p += 5
+        elif key == "TD":
+            blob_len, p = read_itf8(data, p)
+            blob = data[p : p + blob_len]
+            p += blob_len
+            for line in blob.split(b"\x00")[:-1] if blob.endswith(b"\x00") else blob.split(b"\x00"):
+                entries = []
+                for i in range(0, len(line), 3):
+                    entries.append((line[i : i + 2].decode(), line[i + 2]))
+                h.tag_dict.append(entries)
+        else:
+            raise ValueError(f"unknown preservation key {key}")
+    # data series encodings
+    _, p = read_itf8(data, p)
+    n, p = read_itf8(data, p)
+    for _ in range(n):
+        key = data[p : p + 2].decode()
+        p += 2
+        enc, p = read_encoding(data, p)
+        h.series[key] = enc
+    # tag encodings
+    _, p = read_itf8(data, p)
+    n, p = read_itf8(data, p)
+    for _ in range(n):
+        key, p = read_itf8(data, p)
+        enc, p = read_encoding(data, p)
+        h.tags[key] = enc
+    return h
+
+
+# ---------------------------------------------------------------- slices
+
+@dataclass
+class SliceHeader:
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    record_counter: int
+    n_blocks: int
+    content_ids: List[int]
+    embedded_ref_id: int
+    ref_md5: bytes
+
+
+def parse_slice_header(data: bytes) -> SliceHeader:
+    p = 0
+    ref_id, p = read_itf8(data, p)
+    start, p = read_itf8(data, p)
+    span, p = read_itf8(data, p)
+    n_records, p = read_itf8(data, p)
+    record_counter, p = read_ltf8(data, p)
+    n_blocks, p = read_itf8(data, p)
+    cids, p = read_array_itf8(data, p)
+    emb, p = read_itf8(data, p)
+    md5 = data[p : p + 16]
+    return SliceHeader(ref_id, start, span, n_records, record_counter,
+                       n_blocks, cids, emb, md5)
+
+
+# decoded-sequence base tables
+_SUB_BASES = {
+    "A": "CGTN", "C": "AGTN", "G": "ACTN", "T": "ACGN", "N": "ACGT",
+}
+_REF_ORDER = "ACGTN"
+
+
+def sub_base(matrix: bytes, ref_base: str, code: int) -> str:
+    if ref_base not in _SUB_BASES:
+        ref_base = "N"
+    row = matrix[_REF_ORDER.index(ref_base)]
+    alts = _SUB_BASES[ref_base]
+    for i in range(4):
+        if (row >> (6 - 2 * i)) & 3 == code:
+            return alts[i]
+    return "N"
+
+
+def sub_code(matrix: bytes, ref_base: str, alt_base: str) -> int:
+    if ref_base not in _SUB_BASES:
+        ref_base = "N"
+    row = matrix[_REF_ORDER.index(ref_base)]
+    i = _SUB_BASES[ref_base].index(alt_base if alt_base in _SUB_BASES[ref_base] else "N")
+    return (row >> (6 - 2 * i)) & 3
+
+
+_OPS = {c: i for i, c in enumerate("MIDNSHP=X")}
+
+
+@dataclass
+class _CramRec:
+    bf: int = 0
+    cf: int = 0
+    ref_id: int = -1
+    rl: int = 0
+    ap: int = 0
+    rg: int = -1
+    name: bytes = b""
+    mf: int = 0
+    ns: int = -1
+    np: int = 0
+    ts: int = 0
+    nf: int = -1
+    tags: List[Tuple[str, int, bytes]] = field(default_factory=list)
+    features: List[Tuple[str, int, object]] = field(default_factory=list)
+    mq: int = 0
+    quals: bytes = b""
+    bases: bytes = b""    # unmapped reads only
+
+
+def decode_slice_records(ch: CompressionHeader, sl: SliceHeader,
+                         core: BitReader, ext: ExternalStreams
+                         ) -> List[_CramRec]:
+    S = ch.series
+    recs = []
+    prev_ap = sl.start
+    for _ in range(sl.n_records):
+        r = _CramRec()
+        r.bf = S["BF"].read_int(core, ext)
+        r.cf = S["CF"].read_int(core, ext)
+        if sl.ref_id == -2:
+            r.ref_id = S["RI"].read_int(core, ext)
+        else:
+            r.ref_id = sl.ref_id
+        r.rl = S["RL"].read_int(core, ext)
+        ap = S["AP"].read_int(core, ext)
+        if ch.ap_delta:
+            r.ap = prev_ap + ap
+            prev_ap = r.ap
+        else:
+            r.ap = ap
+        r.rg = S["RG"].read_int(core, ext)
+        if ch.rn_preserved:
+            r.name = S["RN"].read_bytes(core, ext)
+        if r.cf & CF_DETACHED:
+            r.mf = S["MF"].read_int(core, ext)
+            if not ch.rn_preserved:
+                r.name = S["RN"].read_bytes(core, ext)
+            r.ns = S["NS"].read_int(core, ext)
+            r.np = S["NP"].read_int(core, ext)
+            r.ts = S["TS"].read_int(core, ext)
+        elif r.cf & CF_MATE_DOWNSTREAM:
+            r.nf = S["NF"].read_int(core, ext)
+        tl = S["TL"].read_int(core, ext)
+        if ch.tag_dict and 0 <= tl < len(ch.tag_dict):
+            for tag, typ in ch.tag_dict[tl]:
+                key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | typ
+                val = ch.tags[key].read_bytes(core, ext)
+                r.tags.append((tag, typ, val))
+        if not (r.bf & 4):
+            fn = S["FN"].read_int(core, ext)
+            fpos = 0
+            for _ in range(fn):
+                fc = chr(S["FC"].read_byte(core, ext))
+                fpos += S["FP"].read_int(core, ext)
+                if fc == "B":
+                    op = (S["BA"].read_byte(core, ext), S["QS"].read_byte(core, ext))
+                elif fc == "X":
+                    op = S["BS"].read_byte(core, ext)
+                elif fc == "I":
+                    op = S["IN"].read_bytes(core, ext)
+                elif fc == "S":
+                    op = S["SC"].read_bytes(core, ext)
+                elif fc == "i":
+                    op = S["BA"].read_byte(core, ext)
+                elif fc == "b":
+                    op = S["BB"].read_bytes(core, ext)
+                elif fc == "q":
+                    op = S["QQ"].read_bytes(core, ext)
+                elif fc == "Q":
+                    op = S["QS"].read_byte(core, ext)
+                elif fc in "DNPH":
+                    op = S[{"D": "DL", "N": "RS", "P": "PD", "H": "HC"}[fc]].read_int(core, ext)
+                else:
+                    raise ValueError(f"unknown read feature '{fc}'")
+                r.features.append((fc, fpos, op))
+            r.mq = S["MQ"].read_int(core, ext)
+            if r.cf & CF_QS_STORED:
+                r.quals = ext.read_bytes(S["QS"]._parse(), r.rl) \
+                    if S["QS"].codec == E_EXTERNAL else \
+                    bytes(S["QS"].read_byte(core, ext) for _ in range(r.rl))
+        else:
+            if not (r.cf & CF_NO_SEQ):
+                r.bases = bytes(S["BA"].read_byte(core, ext) for _ in range(r.rl))
+            if r.cf & CF_QS_STORED:
+                r.quals = ext.read_bytes(S["QS"]._parse(), r.rl) \
+                    if S["QS"].codec == E_EXTERNAL else \
+                    bytes(S["QS"].read_byte(core, ext) for _ in range(r.rl))
+        recs.append(r)
+    return recs
+
+
+def build_alignment(r: _CramRec, ch: CompressionHeader,
+                    ref_seq: Optional[str], ref_offset: int
+                    ) -> Tuple[str, List[Tuple[str, int]]]:
+    """Reconstruct (seq, cigar ops) from read features against the reference.
+
+    ref_seq[i] is the base at reference position ref_offset + i.
+    """
+    rl = r.rl
+    seq = bytearray(b"N" * rl)
+    cig: List[Tuple[str, int]] = []
+
+    def add(op: str, ln: int):
+        if ln <= 0:
+            return
+        if cig and cig[-1][0] == op:
+            cig[-1] = (op, cig[-1][1] + ln)
+        else:
+            cig.append((op, ln))
+
+    def ref_base(rpos: int) -> str:
+        if ref_seq is None:
+            return "N"
+        i = rpos - ref_offset
+        if 0 <= i < len(ref_seq):
+            return ref_seq[i]
+        return "N"
+
+    rpos = 0   # 0-based read cursor
+    gpos = r.ap - 1  # 0-based reference cursor (AP is 1-based)
+
+    def fill_match(n: int):
+        nonlocal rpos, gpos
+        if ref_seq is not None:
+            lo = gpos - ref_offset
+            src = ref_seq[max(0, lo) : max(0, lo + n)]
+            chunk = ("N" * max(0, -lo)) + src
+            if len(chunk) < n:
+                chunk += "N" * (n - len(chunk))
+            seq[rpos : rpos + n] = chunk[:n].encode()
+        add("M", n)
+        rpos += n
+        gpos += n
+
+    for fc, fp, op in r.features:
+        if fp - 1 > rpos:
+            fill_match(fp - 1 - rpos)
+        if fc == "B":
+            seq[rpos] = op[0]
+            add("M", 1)
+            rpos += 1
+            gpos += 1
+        elif fc == "X":
+            seq[rpos] = ord(sub_base(ch.sub_matrix, ref_base(gpos), op))
+            add("M", 1)
+            rpos += 1
+            gpos += 1
+        elif fc == "I":
+            seq[rpos : rpos + len(op)] = op
+            add("I", len(op))
+            rpos += len(op)
+        elif fc == "i":
+            seq[rpos] = op
+            add("I", 1)
+            rpos += 1
+        elif fc == "S":
+            seq[rpos : rpos + len(op)] = op
+            add("S", len(op))
+            rpos += len(op)
+        elif fc == "b":
+            seq[rpos : rpos + len(op)] = op
+            add("M", len(op))
+            rpos += len(op)
+            gpos += len(op)
+        elif fc == "q":
+            fill_match(len(op))  # bases from the reference; quals from QQ
+        elif fc == "Q":
+            pass
+        elif fc == "D":
+            add("D", op)
+            gpos += op
+        elif fc == "N":
+            add("N", op)
+            gpos += op
+        elif fc == "P":
+            add("P", op)
+        elif fc == "H":
+            add("H", op)
+    if rpos < rl:
+        fill_match(rl - rpos)
+    return seq.decode(), cig
+
+
+def compute_md_nm(seq: str, cigar: List[Tuple[str, int]], pos0: int,
+                  ref_get) -> Tuple[str, int]:
+    """Regenerate MD/NM from the reference (htslib drops them in CRAM)."""
+    md = []
+    nm = 0
+    match_run = 0
+    rpos = 0
+    gpos = pos0
+    for op, ln in cigar:
+        if op in ("M", "=", "X"):
+            ref = ref_get(gpos, gpos + ln)
+            for k in range(ln):
+                rb = ref[k] if k < len(ref) else "N"
+                if seq[rpos + k] == rb:
+                    match_run += 1
+                else:
+                    md.append(str(match_run))
+                    md.append(rb)
+                    match_run = 0
+                    nm += 1
+            rpos += ln
+            gpos += ln
+        elif op == "I":
+            nm += ln
+            rpos += ln
+        elif op == "D":
+            md.append(str(match_run))
+            match_run = 0
+            ref = ref_get(gpos, gpos + ln)
+            md.append("^" + ref)
+            nm += ln
+            gpos += ln
+        elif op == "N":
+            gpos += ln
+        elif op == "S":
+            rpos += ln
+        # H/P consume nothing
+    md.append(str(match_run))
+    return "".join(md), nm
+
+
+# ---------------------------------------------------------------- reader
+
+class CramReader:
+    """Random-access CRAM 3.0 reader exposing the BamReader interface."""
+
+    MAGIC = b"CRAM"
+
+    def __init__(self, path: str, threads: int = 1, ref_fasta: Optional[str] = None):
+        self.path = path
+        self._f = open(path, "rb")
+        magic = self._f.read(4)
+        if magic != self.MAGIC:
+            raise ValueError(f"not a CRAM file: {path}")
+        self.major, self.minor = self._f.read(1)[0], self._f.read(1)[0]
+        if self.major != 3:
+            raise ValueError(f"unsupported CRAM version {self.major}.{self.minor}")
+        self._f.read(20)  # file id
+        # first container: SAM header
+        h = read_container_header(self._f)
+        cbody = self._f.read(h.length)
+        blk, _ = read_block(cbody, 0)
+        text_len = struct.unpack_from("<i", blk.data, 0)[0]
+        self.header_text = blk.data[4 : 4 + text_len].decode(errors="replace")
+        self._data_offset = self._f.tell()
+
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        self._sq_ur: Dict[str, str] = {}
+        for line in self.header_text.splitlines():
+            if not line.startswith("@SQ"):
+                continue
+            name, ln, ur = None, 0, None
+            for fldv in line.split("\t")[1:]:
+                if fldv.startswith("SN:"):
+                    name = fldv[3:]
+                elif fldv.startswith("LN:"):
+                    ln = int(fldv[3:])
+                elif fldv.startswith("UR:"):
+                    ur = fldv[3:]
+            if name is not None:
+                self.ref_names.append(name)
+                self.ref_lens.append(ln)
+                if ur:
+                    self._sq_ur[name] = ur
+        self._name2id = {n: i for i, n in enumerate(self.ref_names)}
+
+        self._fasta = None
+        self._ref_fasta_path = ref_fasta or os.environ.get("POMFRET_REF_FASTA")
+        self._ref_cache: Dict[int, str] = {}
+        self._crai: Optional[List[Tuple[int, int, int, int, int, int]]] = None
+        self._crai_tried = False
+        # decoded-slice LRU: repeated window fetches (each gap loads a
+        # ±READBACK halo) hit the same slices many times
+        self._slice_cache: "dict[tuple, list]" = {}
+        self._slice_cache_cap = 16
+
+    # -- reference resolution
+    def _get_fasta(self):
+        if self._fasta is not None:
+            return self._fasta
+        from .fasta import FastaReader
+        cand = []
+        if self._ref_fasta_path:
+            cand.append(self._ref_fasta_path)
+        for ur in self._sq_ur.values():
+            p = ur[7:] if ur.startswith("file://") else ur
+            cand.append(p)
+            break
+        for c in cand:
+            if c and os.path.exists(c):
+                self._fasta = FastaReader(c)
+                return self._fasta
+        return None
+
+    def _ref_slice(self, ref_id: int, start0: int, end0: int) -> Optional[str]:
+        fa = self._get_fasta()
+        if fa is None:
+            return None
+        name = self.ref_names[ref_id]
+        if name not in fa._fai:
+            return None
+        return fa.fetch(name, start0, end0)
+
+    # -- index
+    def _load_crai(self):
+        if self._crai_tried:
+            return self._crai
+        self._crai_tried = True
+        for cand in (self.path + ".crai",
+                     self.path[:-5] + ".crai" if self.path.endswith(".cram") else None):
+            if cand and os.path.exists(cand):
+                entries = []
+                with gzip.open(cand, "rt") as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 6:
+                            entries.append(tuple(int(x) for x in parts[:6]))
+                self._crai = entries
+                break
+        return self._crai
+
+    def ref_id(self, name: str) -> int:
+        return self._name2id.get(name, -1)
+
+    # -- container / slice iteration
+    def _iter_containers(self, offset: Optional[int] = None):
+        self._f.seek(offset if offset is not None else self._data_offset)
+        while True:
+            pos = self._f.tell()
+            h = read_container_header(self._f)
+            if h is None:
+                return
+            if h.ref_id == -1 and h.n_records == 0 and h.n_bases == 0 \
+                    and h.n_blocks == 1 and h.start == EOF_START_SENTINEL:
+                return  # EOF container
+            body = self._f.read(h.length)
+            yield pos, h, body
+
+    def _decode_container(self, h: ContainerHeader, body: bytes,
+                          only_slice_offset: Optional[int] = None
+                          ) -> Iterator[BamRecord]:
+        p = 0
+        blk, p = read_block(body, 0)
+        if blk.content_type != CT_COMPRESSION_HEADER:
+            raise ValueError("expected compression header block")
+        ch = parse_compression_header(blk.data)
+        for lm in h.landmarks:
+            if only_slice_offset is not None and lm != only_slice_offset:
+                continue
+            yield from self._decode_slice(ch, body, lm)
+
+    def _decode_slice(self, ch: CompressionHeader, body: bytes, p: int
+                      ) -> Iterator[BamRecord]:
+        sblk, p = read_block(body, p)
+        if sblk.content_type != CT_MAPPED_SLICE:
+            raise ValueError("expected slice header block")
+        sl = parse_slice_header(sblk.data)
+        core_data = b""
+        ext_blocks: Dict[int, bytes] = {}
+        for _ in range(sl.n_blocks):
+            b, p = read_block(body, p)
+            if b.content_type == CT_CORE:
+                core_data = b.data
+            else:
+                ext_blocks[b.content_id] = b.data
+        core = BitReader(core_data)
+        ext = ExternalStreams(ext_blocks)
+        recs = decode_slice_records(ch, sl, core, ext)
+
+        # reference bases for this slice
+        ref_seq: Optional[str] = None
+        ref_offset = 0
+        if sl.embedded_ref_id >= 0 and sl.embedded_ref_id in ext_blocks:
+            ref_seq = ext_blocks[sl.embedded_ref_id].decode()
+            ref_offset = sl.start - 1
+        elif ch.rr and sl.ref_id >= 0:
+            ref_seq = self._ref_slice(sl.ref_id, sl.start - 1,
+                                      sl.start - 1 + sl.span)
+            ref_offset = sl.start - 1
+            if ref_seq is None and any(not (r.bf & 4) for r in recs):
+                raise ValueError(
+                    "CRAM slice requires reference bases but none are "
+                    "available: pass --ref-fasta / set POMFRET_REF_FASTA, "
+                    "or use a CRAM with embedded reference")
+
+        for i, r in enumerate(recs):
+            yield self._to_bam_record(r, recs, i, ch, ref_seq, ref_offset)
+
+    def _to_bam_record(self, r: _CramRec, recs: List[_CramRec], idx: int,
+                       ch: CompressionHeader, ref_seq: Optional[str],
+                       ref_offset: int) -> BamRecord:
+        flag = r.bf
+        next_ref, next_pos, tlen = -1, -1, 0
+        if r.cf & CF_DETACHED:
+            if r.mf & MF_MATE_REVERSED:
+                flag |= 0x20
+            if r.mf & MF_MATE_UNMAPPED:
+                flag |= 0x8
+            next_ref, next_pos, tlen = r.ns, r.np - 1, r.ts
+        elif r.nf >= 0 and idx + r.nf + 1 < len(recs):
+            mate = recs[idx + r.nf + 1]
+            next_ref, next_pos = mate.ref_id, mate.ap - 1
+            if mate.bf & 0x10:
+                flag |= 0x20
+            if mate.bf & 0x4:
+                flag |= 0x8
+        pos0 = r.ap - 1
+        if r.bf & 4:
+            seq = r.bases.decode() if r.bases else "N" * r.rl
+            cigar: List[Tuple[str, int]] = []
+        else:
+            seq, cigar = build_alignment(r, ch, ref_seq, ref_offset)
+        quals = r.quals if (r.cf & CF_QS_STORED) else b"\xff" * r.rl
+
+        aux = bytearray()
+        has_md = any(t[0] == "MD" for t in r.tags)
+        has_nm = any(t[0] == "NM" for t in r.tags)
+        for tag, typ, val in r.tags:
+            aux += tag.encode() + bytes([typ]) + val
+        if not (r.bf & 4) and ref_seq is not None and (not has_md or not has_nm):
+            def ref_get(a, b):
+                lo = a - ref_offset
+                hi = b - ref_offset
+                if lo < 0 or ref_seq is None:
+                    return "N" * (b - a)
+                s = ref_seq[max(0, lo) : max(0, hi)]
+                return s + "N" * ((b - a) - len(s))
+            md, nm = compute_md_nm(seq, cigar, pos0, ref_get)
+            if not has_md:
+                aux += b"MDZ" + md.encode() + b"\x00"
+            if not has_nm:
+                aux += b"NMi" + struct.pack("<i", nm)
+
+        cig_packed = tuple((ln << 4) | _OPS[op] for op, ln in cigar)
+        span = sum(ln for op, ln in cigar if op in "MDN=X")
+        end = pos0 + (span if span > 0 else 1)
+        return BamRecord(
+            refID=r.ref_id, pos=pos0, mapq=r.mq,
+            bin_=reg2bin(max(0, pos0), max(1, end)),
+            flag=flag, l_seq=r.rl, next_refID=next_ref, next_pos=next_pos,
+            tlen=tlen, qname=r.name.decode(errors="replace"),
+            cigar=cig_packed, seq_packed=pack_seq(seq), qual=quals,
+            aux=bytes(aux))
+
+    # -- public iteration API (matches BamReader)
+    def fetch_all(self) -> Iterator[BamRecord]:
+        for _, h, body in self._iter_containers():
+            yield from self._decode_container(h, body)
+
+    def scan_columns(self):
+        return None, None
+
+    def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:
+        tid = self.ref_id(chrom)
+        if tid < 0:
+            return
+        crai = self._load_crai()
+        if crai is None:
+            for rec in self.fetch_all():
+                if rec.refID == tid and rec.pos < end and bam_endpos(rec) > beg:
+                    yield rec
+            return
+        seen = set()
+        for (sid, s1, span, coff, soff, ssize) in crai:
+            if sid != tid:
+                continue
+            s0 = s1 - 1
+            if s0 >= end or s0 + span <= beg:
+                continue
+            key = (coff, soff)
+            if key in seen:
+                continue
+            seen.add(key)
+            recs = self._slice_cache.get(key)
+            if recs is None:
+                self._f.seek(coff)
+                h = read_container_header(self._f)
+                body = self._f.read(h.length)
+                recs = list(self._decode_container(h, body,
+                                                   only_slice_offset=soff))
+                if len(self._slice_cache) >= self._slice_cache_cap:
+                    self._slice_cache.pop(next(iter(self._slice_cache)))
+                self._slice_cache[key] = recs
+            else:
+                # refresh LRU position
+                self._slice_cache[key] = self._slice_cache.pop(key)
+            for rec in recs:
+                if rec.refID != tid:
+                    continue
+                if rec.pos < end and bam_endpos(rec) > beg:
+                    yield rec
+
+    def fetch_region_1based(self, chrom: str, start1: int, end1: int
+                            ) -> Iterator[BamRecord]:
+        return self.fetch(chrom, max(0, start1 - 1), end1)
+
+
+def is_cram(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"CRAM"
+
+
+def open_alignment(path: str, threads: int = 1, ref_fasta: Optional[str] = None):
+    """Open a BAM or CRAM by magic sniffing; returns a reader with the
+    BamReader interface (the hts_open format-dispatch equivalent)."""
+    if is_cram(path):
+        return CramReader(path, threads=threads, ref_fasta=ref_fasta)
+    from .bam import BamReader
+    return BamReader(path, threads=threads)

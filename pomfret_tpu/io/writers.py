@@ -179,8 +179,10 @@ def get_read_new_haplotag(qname: str, hp_raw: int, st: Storage, need_flip: int) 
 
 
 def output_modify_bam(fn_bam: str, st: Storage, fn_out: str, threads: int = 1) -> None:
-    # blockjoin.c:3022-3103
-    rd = BamReader(fn_bam, threads=threads)
+    # blockjoin.c:3022-3103; input may be BAM or CRAM, output is BAM ("wb",
+    # matching the reference)
+    from .cram import open_alignment
+    rd = open_alignment(fn_bam, threads=threads)
     w = BamWriter(fn_out, rd.ref_names, rd.ref_lens,
                   header_text=rd.header_text, threads=threads,
                   keep_index_info=True)

@@ -22,6 +22,7 @@ from .core.readset import READBACK, MmrConfig, load_reads_given_interval
 from .core.recovery import recover_variant_phase_in_dropped_intervals
 from .core.varhaptag import pre_haplotagging_read_in_one_ref
 from .io.bam import BamReader, bam_endpos
+from .io.cram import open_alignment
 from .io.intervals_loader import IS_GTF, IS_TSV, IS_VCF, load_intervals_from_file
 from .io.writers import (output_gtf, output_modify_bam, output_modify_vcf,
                          output_tsv)
@@ -201,7 +202,7 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
     cfg, n_cand = _derive_chrom_params(config, n_cand_in, coverage, ref_name)
     log_info("blockjoin_one_chrom",
              f"ref {ref_name} using: cov_for_selection={cfg.cov_for_selection}, n_cand_per_iter={n_cand}")
-    bam = BamReader(fn_bam)
+    bam = open_alignment(fn_bam)
     qname2haptag: Dict[str, int] = {}
     indices = []
     for i in range(len(rg.starts)):
@@ -252,7 +253,7 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
 
     if opt.bam_needs_haplotagging:
         assert opt.fn_vcf
-        tag_bam = BamReader(opt.fn_bam, threads=opt.threads_bam)
+        tag_bam = open_alignment(opt.fn_bam, threads=opt.threads_bam)
 
         def cb(chrom, variants):
             pre_haplotagging_read_in_one_ref(tag_bam, chrom, variants,
@@ -278,7 +279,7 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     log_info("blockjoin_parallel", f"input has {len(st.ref_names)} references")
 
     if opt.bam_needs_haplotagging and opt.write_bam_input_haplotagging:
-        bam = BamReader(opt.fn_bam)
+        bam = open_alignment(opt.fn_bam)
         with open(opt.output_prefix + ".mp.input_haptag.tsv", "w") as f:
             f.write("#qname\treal_hp\ttagged_hp\n")
             for rec in bam.fetch_all():
@@ -293,7 +294,7 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     log_info("blockjoin_parallel", "loaded phase block gaps.")
 
     if config.cov_for_selection <= 0:
-        cov_bam = BamReader(opt.fn_bam, threads=opt.threads_bam)
+        cov_bam = open_alignment(opt.fn_bam, threads=opt.threads_bam)
         covs = estimate_read_coverage_dirtyfast(cov_bam)
         name2cov = dict(zip(cov_bam.ref_names, covs))
         ref_covs = [name2cov.get(n, 0) for n in st.ref_names]
@@ -417,7 +418,7 @@ def main_blockjoin(opt: CliOpt) -> int:
     if opt.fn_vcf:
         log_info("main_blockjoin", "writing vcf...")
         recover_variant_phase_in_dropped_intervals(
-            st, BamReader(opt.fn_bam), opt.fn_vcf)
+            st, open_alignment(opt.fn_bam), opt.fn_vcf)
         output_modify_vcf(opt.fn_vcf, st, opt.output_prefix)
         log_info("main_blockjoin", "vcf written.")
     if opt.do_output_bam:
@@ -431,7 +432,7 @@ def main_varhaptag(fn_vcf: str, fn_bam: str, fn_out: str, n_thread: int,
                    verbose: bool, write_bam: bool) -> int:
     # blockjoin.c:4737-4836
     st = Storage()
-    bam = BamReader(fn_bam, threads=max(1, n_thread // 2))
+    bam = open_alignment(fn_bam, threads=max(1, n_thread // 2))
 
     def cb(chrom, variants):
         pre_haplotagging_read_in_one_ref(bam, chrom, variants,
@@ -470,7 +471,7 @@ def main_methstat(opt: CliOpt) -> int:
     fn_interval = opt.fn_tsv or opt.fn_gtf or opt.fn_vcf
     fmt = IS_TSV if opt.fn_tsv else (IS_GTF if opt.fn_gtf else IS_VCF)
     load_intervals_from_file(fn_interval, fmt, st)
-    bam = BamReader(opt.fn_bam, threads=opt.threads)
+    bam = open_alignment(opt.fn_bam, threads=opt.threads)
     if opt.cov_for_selection <= 0:
         covs = estimate_read_coverage_dirtyfast(bam)
         covs = [c // 10 + 1 for c in covs]
@@ -499,7 +500,7 @@ def main_methreport(opt: CliOpt) -> int:
     # blockjoin.c:4908-5097
     T = Get_T()
     st = Storage()
-    bam = BamReader(opt.fn_bam, threads=opt.threads)
+    bam = open_alignment(opt.fn_bam, threads=opt.threads)
     if opt.bam_needs_haplotagging:
         def cb(chrom, variants):
             pre_haplotagging_read_in_one_ref(bam, chrom, variants,

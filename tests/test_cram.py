@@ -1,0 +1,211 @@
+"""CRAM 3.0 reader/writer: varints, codec streams, record round-trips,
+region queries via .crai, and pipeline parity with BAM input.
+
+The reference accepts CRAM via htslib (blockjoin.c:4609 allows is_cram);
+there is no htslib in this environment, so the format is validated by
+round-tripping our own spec-conforming writer through the reader.
+"""
+import gzip
+import os
+
+import pytest
+
+from pomfret_tpu.io import rans4x8
+from pomfret_tpu.io.cram import (CramReader, is_cram, open_alignment,
+                                 read_itf8, read_ltf8, write_itf8,
+                                 write_ltf8)
+from pomfret_tpu.io.cram_writer import CramWriter, bam_to_cram
+from pomfret_tpu.io.bam import BamReader
+from pomfret_tpu.io.fasta import FastaReader, write_fasta
+from pomfret_tpu.testing import make_two_block_scenario
+
+
+# ------------------------------------------------------------- primitives
+
+@pytest.mark.parametrize("v", [0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 0x1FFFFF,
+                               0x200000, 0xFFFFFFF, 0x10000000, 0x7FFFFFFF,
+                               -1, -2])
+def test_itf8_roundtrip(v):
+    enc = write_itf8(v)
+    got, p = read_itf8(enc, 0)
+    assert got == v
+    assert p == len(enc)
+
+
+@pytest.mark.parametrize("v", [0, 0x7F, 0x80, 0x3FFF, 1 << 20, 1 << 30,
+                               (1 << 35) + 12345, (1 << 48) - 1, 1 << 55,
+                               (1 << 62) + 7])
+def test_ltf8_roundtrip(v):
+    enc = write_ltf8(v)
+    got, p = read_ltf8(enc, 0)
+    assert got == v
+    assert p == len(enc)
+
+
+def test_rans4x8_roundtrip_orders():
+    import random
+    rng = random.Random(11)
+    cases = [b"", b"x", b"pomfret" * 100,
+             bytes(rng.choices(b"ACGTN", weights=[9, 8, 7, 6, 1], k=33333)),
+             bytes(rng.choices(range(256), k=5000)),
+             bytes([0]) * 4096, bytes(range(256)) * 3]
+    for data in cases:
+        for order in (0, 1):
+            assert rans4x8.uncompress(rans4x8.compress(data, order)) == data
+
+
+def test_rans4x8_stream_header_layout():
+    import struct
+    s = rans4x8.compress(b"AAAABBBBCCCC", order=0)
+    order, comp, raw = struct.unpack_from("<BII", s, 0)
+    assert order == 0 and raw == 12 and comp == len(s) - 9
+
+
+def test_fasta_reader_fetch(tmp_path):
+    p = str(tmp_path / "r.fa")
+    write_fasta(p, {"chrA": "ACGT" * 25, "chrB": "GGCC" * 10}, width=13)
+    fa = FastaReader(p)
+    assert fa.names == ["chrA", "chrB"]
+    assert fa.length("chrA") == 100
+    assert fa.fetch("chrA", 0, 8) == "ACGTACGT"
+    assert fa.fetch("chrA", 11, 17) == "TACGTA"
+    assert fa.fetch("chrB", 36) == "GGCC"
+
+
+# ------------------------------------------------------------- round-trips
+
+def _records_equal(a, b, check_aux=True):
+    assert a.qname == b.qname
+    assert a.flag == b.flag
+    assert a.refID == b.refID
+    assert a.pos == b.pos
+    assert a.mapq == b.mapq
+    assert a.cigar == b.cigar
+    assert a.seq() == b.seq()
+    assert a.qual == b.qual
+    if check_aux:
+        for tag in ("HP", "MM", "ML", "MD", "de"):
+            assert a.get_tag(tag) == b.get_tag(tag), tag
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cram_scn"))
+    bam, vcf, truth = make_two_block_scenario(d)
+    return d, bam, vcf, truth
+
+
+def test_cram_roundtrip_embedded_ref(scenario, tmp_path):
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "emb.cram")
+    bam_to_cram(bam, cram, embed_ref=True)
+    assert is_cram(cram) and not is_cram(bam)
+    orig = list(BamReader(bam).fetch_all())
+    rd = CramReader(cram)
+    assert rd.ref_names == BamReader(bam).ref_names
+    got = list(rd.fetch_all())
+    assert len(got) == len(orig)
+    for a, b in zip(orig, got):
+        _records_equal(a, b)
+
+
+def test_cram_roundtrip_external_fasta(scenario, tmp_path):
+    d, bam, vcf, truth = scenario
+    sr = truth["region"]
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, {sr.cfg.chrom: sr.ref})
+    cram = str(tmp_path / "ext.cram")
+    bam_to_cram(bam, cram, ref_fasta=fa, embed_ref=False)
+    orig = list(BamReader(bam).fetch_all())
+    got = list(CramReader(cram, ref_fasta=fa).fetch_all())
+    assert len(got) == len(orig)
+    for a, b in zip(orig, got):
+        _records_equal(a, b)
+    # without any reference the mapped slices must fail loudly
+    with pytest.raises(ValueError, match="reference"):
+        list(CramReader(cram).fetch_all())
+    # env var resolution path
+    os.environ["POMFRET_REF_FASTA"] = fa
+    try:
+        assert len(list(CramReader(cram).fetch_all())) == len(orig)
+    finally:
+        del os.environ["POMFRET_REF_FASTA"]
+
+
+def test_cram_roundtrip_no_ref_mode(scenario, tmp_path):
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "noref.cram")
+    bam_to_cram(bam, cram, no_ref=True)
+    orig = list(BamReader(bam).fetch_all())
+    got = list(CramReader(cram).fetch_all())  # needs no reference at all
+    assert len(got) == len(orig)
+    for a, b in zip(orig, got):
+        _records_equal(a, b)
+
+
+def test_cram_region_fetch_matches_bam(scenario, tmp_path):
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "q.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=100)
+    assert os.path.exists(cram + ".crai")
+    rb = BamReader(bam)
+    rc = CramReader(cram)
+    chrom = rb.ref_names[0]
+    for beg, end in ((0, 10_000), (79_000, 121_000), (150_000, 200_000)):
+        a = sorted(r.qname for r in rb.fetch(chrom, beg, end))
+        b = sorted(r.qname for r in rc.fetch(chrom, beg, end))
+        assert a == b and len(a) > 0
+
+
+def test_cram_md_regeneration(scenario, tmp_path):
+    """htslib drops MD from CRAM; the reader must regenerate it from the
+    reference (varhaptag parses MD, blockjoin.c:1545-1691)."""
+    from pomfret_tpu.io.bam_writer import BamWriter
+    d, bam, vcf, truth = scenario
+    rb = BamReader(bam)
+    stripped = str(tmp_path / "nomd.bam")
+    with BamWriter(stripped, rb.ref_names, rb.ref_lens,
+                   header_text=rb.header_text) as w:
+        for rec in rb.fetch_all():
+            rec.remove_tag("MD")
+            w.write(rec)
+    sr = truth["region"]
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, {sr.cfg.chrom: sr.ref})
+    cram = str(tmp_path / "nomd.cram")
+    bam_to_cram(stripped, cram, ref_fasta=fa, embed_ref=False)
+    orig = {r.qname: r for r in BamReader(bam).fetch_all()}
+    n = 0
+    for rec in CramReader(cram, ref_fasta=fa).fetch_all():
+        md = rec.get_tag("MD")
+        assert md is not None
+        assert md == orig[rec.qname].get_tag("MD"), rec.qname
+        n += 1
+    assert n == len(orig)
+
+
+def test_open_alignment_dispatch(scenario, tmp_path):
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "d.cram")
+    bam_to_cram(bam, cram, embed_ref=True)
+    assert isinstance(open_alignment(bam), BamReader)
+    assert isinstance(open_alignment(cram), CramReader)
+
+
+def test_methphase_cram_input_matches_bam(scenario, tmp_path):
+    """End-to-end: methphase on CRAM input produces byte-identical VCF/GTF
+    to the BAM run."""
+    from pomfret_tpu.cli import main as cli_main
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "in.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=200)
+
+    p_bam = str(tmp_path / "out_bam")
+    p_cram = str(tmp_path / "out_cram")
+    assert cli_main(["methphase", "-o", p_bam, "-c", "50", "--vcf", vcf,
+                     "--engine", "host", bam]) == 0
+    assert cli_main(["methphase", "-o", p_cram, "-c", "50", "--vcf", vcf,
+                     "--engine", "host", cram]) == 0
+    for ext in (".mp.gtf", ".mp.vcf"):
+        with open(p_bam + ext, "rb") as f1, open(p_cram + ext, "rb") as f2:
+            assert f1.read() == f2.read(), ext

@@ -67,10 +67,13 @@ class _Streams:
 
 
 def _features_for_record(rec: BamRecord, ref: Optional[str], ref_off: int,
-                         sub_matrix: bytes, no_ref: bool
+                         sub_matrix: bytes, no_ref: bool,
+                         feature_style: str = "X"
                          ) -> List[Tuple[str, int, object]]:
     """Derive CRAM read features from a BAM record (inverse of
-    cram.build_alignment)."""
+    cram.build_alignment). feature_style 'X' emits substitution codes (the
+    htslib default); 'B' emits verbatim base+qual features and single-base
+    insertions as 'i' (both legal per spec; exercises those decode paths)."""
     seq = rec.seq()
     feats: List[Tuple[str, int, object]] = []
     rpos = 0
@@ -91,13 +94,21 @@ def _features_for_record(rec: BamRecord, ref: Optional[str], ref_off: int,
             else:
                 for k in range(ln):
                     if seq[rpos + k] != refb(gpos + k):
-                        feats.append(("X", rpos + k + 1,
-                                      sub_code(sub_matrix, refb(gpos + k),
-                                               seq[rpos + k])))
+                        if feature_style == "B":
+                            q = rec.qual[rpos + k] if rpos + k < len(rec.qual) else 0xFF
+                            feats.append(("B", rpos + k + 1,
+                                          (ord(seq[rpos + k]), q)))
+                        else:
+                            feats.append(("X", rpos + k + 1,
+                                          sub_code(sub_matrix, refb(gpos + k),
+                                                   seq[rpos + k])))
             rpos += ln
             gpos += ln
         elif op == "I":
-            feats.append(("I", rpos + 1, seq[rpos : rpos + ln].encode()))
+            if feature_style == "B" and ln == 1:
+                feats.append(("i", rpos + 1, ord(seq[rpos])))
+            else:
+                feats.append(("I", rpos + 1, seq[rpos : rpos + ln].encode()))
             rpos += ln
         elif op == "S":
             feats.append(("S", rpos + 1, seq[rpos : rpos + ln].encode()))
@@ -231,7 +242,8 @@ class CramWriter:
                  ref_fasta: Optional[str] = None,
                  embed_ref: bool = True,
                  no_ref: bool = False,
-                 records_per_slice: int = 1000):
+                 records_per_slice: int = 1000,
+                 feature_style: str = "X"):
         self.path = path
         self._f = open(path, "wb")
         self.ref_names = ref_names
@@ -239,6 +251,7 @@ class CramWriter:
         self.no_ref = no_ref
         self.embed_ref = embed_ref and not no_ref
         self.records_per_slice = records_per_slice
+        self.feature_style = feature_style
         self.sub_matrix = b"\x1b" * 5  # identity code assignment per row
         self._fasta = None
         if ref_fasta:
@@ -366,7 +379,8 @@ class CramWriter:
                 st.put_bytes(_ID_TAG, val)
             if not (flag & 4):
                 feats = _features_for_record(r, ref, ref_off,
-                                             self.sub_matrix, self.no_ref)
+                                             self.sub_matrix, self.no_ref,
+                                             self.feature_style)
                 st.put_itf8(_SERIES_IDS["FN"], len(feats))
                 last = 0
                 for fc, fp, op in feats:
@@ -375,6 +389,11 @@ class CramWriter:
                     last = fp
                     if fc == "X":
                         st.put_byte(_SERIES_IDS["BS"], op)
+                    elif fc == "B":
+                        st.put_byte(_SERIES_IDS["BA"], op[0])
+                        st.put_byte(_SERIES_IDS["QS"], op[1])
+                    elif fc == "i":
+                        st.put_byte(_SERIES_IDS["BA"], op)
                     elif fc == "I":
                         st.put_itf8(_ID_IN_LEN, len(op))
                         st.put_bytes(_ID_IN, op)
@@ -502,7 +521,8 @@ def _consensus_reference(recs: List[BamRecord], start0: int, end0: int) -> str:
 def bam_to_cram(bam_path: str, cram_path: str,
                 ref_fasta: Optional[str] = None,
                 embed_ref: bool = True, no_ref: bool = False,
-                records_per_slice: int = 1000) -> None:
+                records_per_slice: int = 1000,
+                feature_style: str = "X") -> None:
     """Convert a BAM into CRAM 3.0 (+ .crai)."""
     from .bam import BamReader
     rd = BamReader(bam_path)
@@ -510,5 +530,6 @@ def bam_to_cram(bam_path: str, cram_path: str,
                     header_text=rd.header_text or None,
                     ref_fasta=ref_fasta, embed_ref=embed_ref,
                     no_ref=no_ref,
-                    records_per_slice=records_per_slice) as w:
+                    records_per_slice=records_per_slice,
+                    feature_style=feature_style) as w:
         w.write_many(rd.fetch_all())

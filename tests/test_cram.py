@@ -209,3 +209,59 @@ def test_methphase_cram_input_matches_bam(scenario, tmp_path):
     for ext in (".mp.gtf", ".mp.vcf"):
         with open(p_bam + ext, "rb") as f1, open(p_cram + ext, "rb") as f2:
             assert f1.read() == f2.read(), ext
+
+
+def test_cram_roundtrip_bq_feature_style(scenario, tmp_path):
+    """'B' (verbatim base+qual) and 'i' (single-base insertion) features are
+    legal alternatives to 'X'/'I'; decode must give identical records."""
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "bq.cram")
+    bam_to_cram(bam, cram, embed_ref=True, feature_style="B")
+    orig = list(BamReader(bam).fetch_all())
+    got = list(CramReader(cram).fetch_all())
+    assert len(got) == len(orig)
+    for a, b in zip(orig, got):
+        _records_equal(a, b)
+
+
+def test_cram_unmapped_records_roundtrip(tmp_path):
+    from pomfret_tpu.io.bam_writer import BamWriter
+    from pomfret_tpu.io.records import make_record
+    bam = str(tmp_path / "u.bam")
+    recs = [
+        make_record("m0", 0, 100, "ACGTACGTAA", [("M", 10)], flag=0,
+                    tags=[("HP", "i", 1)]),
+        make_record("u1", 0, 150, "TTGGCCAATT", [], flag=4, mapq=0),
+        make_record("m2", 0, 200, "ACGTACGTAA", [("S", 2), ("M", 8)], flag=16),
+    ]
+    with BamWriter(bam, ["chrZ"], [1000]) as w:
+        for r in recs:
+            w.write(r)
+    cram = str(tmp_path / "u.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=10)
+    got = list(CramReader(cram).fetch_all())
+    assert [r.qname for r in got] == ["m0", "u1", "m2"]
+    for a, b in zip(recs, got):
+        assert a.flag == b.flag and a.seq() == b.seq() and a.pos == b.pos
+        assert a.cigar == b.cigar and a.qual == b.qual
+    assert got[0].get_tag("HP") == 1
+
+
+def test_build_alignment_q_and_Q_features():
+    """'q' (qual stretch) and 'Q' (single qual) consume/don't consume read
+    positions as the spec dictates; bases come from the reference."""
+    from pomfret_tpu.io.cram import _CramRec, CompressionHeader, build_alignment
+    ch = CompressionHeader()
+    ref = "ACGTACGTAC"
+    r = _CramRec(rl=10, ap=1)
+    r.features = [("q", 3, b"\x1e\x1e"), ("Q", 7, 40)]
+    seq, cig = build_alignment(r, ch, ref, 0)
+    assert seq == ref
+    assert cig == [("M", 10)]
+    # 'Q' at a position beyond current cursor forces the match fill first
+    r2 = _CramRec(rl=6, ap=3)
+    r2.features = [("X", 2, 0)]
+    seq2, cig2 = build_alignment(r2, ch, ref, 0)
+    # ap=3 -> 0-based ref pos 2; read[1] substituted from ref 'T'(pos3) code 0 -> 'A'
+    assert cig2 == [("M", 6)]
+    assert seq2[0] == ref[2] and seq2[1] == "A" and seq2[2:] == ref[4:8]

@@ -556,14 +556,25 @@ def main_methreport(opt: CliOpt) -> int:
             cfg.cov_for_selection = cov // 10 + 1
             cfg.cov_for_runtime = cfg.cov_for_selection * 2
             n_cand = cov // 4 + 1
-            for s, e in zip(rg.starts, rg.ends):
-                eng = opt.engine
-                if eng == "auto":
-                    import jax as _jx
-                    eng = "jax" if _jx.default_backend() == "tpu" else "host"
-                decision, _ = haplotag_region_given_bam(
-                    st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng,
-                    opt.n_permutations)
+            eng = opt.engine
+            if eng == "auto":
+                import jax as _jx
+                eng = "jax" if _jx.default_backend() == "tpu" else "host"
+            window_decisions: Optional[List[int]] = None
+            if eng == "jax" and opt.n_permutations == 1 and rg.starts:
+                # the reference scores probe windows serially
+                # (blockjoin.c:5053-5058); windows are independent, so they
+                # ride the same vmapped gap batches as methphase
+                from .kernels.engine_jax import run_gaps_batched
+                window_decisions, _ = run_gaps_batched(
+                    st, bam, st.ref_names[i_ref], rg, cfg, n_cand)
+            for wi, (s, e) in enumerate(zip(rg.starts, rg.ends)):
+                if window_decisions is not None:
+                    decision = window_decisions[wi]
+                else:
+                    decision, _ = haplotag_region_given_bam(
+                        st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng,
+                        opt.n_permutations)
                 f.write(f"{st.ref_names[i_ref]}\t{s}\t{e}\t")
                 if decision == 0:
                     n_correct += 1

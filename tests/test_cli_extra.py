@@ -63,3 +63,19 @@ def test_methphase_coverage_estimation(tmp_path):
     rc = cli_main(["methphase", "-o", prefix, "--vcf", vcf, bam])
     assert rc == 0
     assert len(open(prefix + ".mp.gtf").read().strip().split("\n")) == 1
+
+
+def test_report_jax_engine_matches_host(tmp_path):
+    """report --engine jax rides the batched gap engine (the reference
+    scores windows serially, blockjoin.c:5053-5058); the TSV must match
+    the host engine byte-for-byte."""
+    d = str(tmp_path)
+    bam, vcf, truth = make_two_block_scenario(d, trans=False)
+    p_h = os.path.join(d, "rep_h")
+    p_j = os.path.join(d, "rep_j")
+    args = ["report", "-c", "50", "--chunk-size", "40000",
+            "--chunk-stride", "30000", "--vcf", vcf]
+    assert cli_main(args[:1] + ["-o", p_h, "--engine", "host"] + args[1:] + [bam]) == 0
+    assert cli_main(args[:1] + ["-o", p_j, "--engine", "jax"] + args[1:] + [bam]) == 0
+    with open(p_h + ".report.tsv") as f1, open(p_j + ".report.tsv") as f2:
+        assert f1.read() == f2.read()

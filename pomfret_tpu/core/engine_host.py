@@ -350,6 +350,65 @@ def evaluate_separation(rs: ReadSet, raw_tags: np.ndarray, which_side: int
     return evaluate_separation1(ref, query)
 
 
+def vote_permutations(n_permutations: int,
+                      evals: List[Tuple[float, int]]) -> Tuple[int, int]:
+    """The summarize step of haplotag_region2 (blockjoin.c:4145-4206).
+
+    evals holds (score, which_way) per permutation run. Returns
+    (ret in {0 cis, 1 trans, -1 no-join}, index of the winning run or -1).
+    With n_permutations>5 the majority rule applies; otherwise best-score
+    with cis preferred."""
+    threshold = n_permutations // 2
+    threshold_blank = n_permutations // 3
+    dir_cnt = [0, 0, 0]
+    best_score = [1.0, 1.0]
+    best_i = [-1, -1]
+    for i, (score, which_way) in enumerate(evals):
+        if score >= 2 and which_way not in (-9, 0):
+            way = 0 if which_way > 0 else 1
+            dir_cnt[1 + way] += 1
+            if score > best_score[way]:
+                best_score[way] = score
+                best_i[way] = i
+        else:
+            dir_cnt[0] += 1
+    if n_permutations > 5:
+        if (dir_cnt[1] >= threshold and dir_cnt[2] <= 3
+                and dir_cnt[0] < threshold_blank and best_i[0] >= 0):
+            return 0, best_i[0]
+        if (dir_cnt[2] >= threshold and dir_cnt[1] <= 3
+                and dir_cnt[0] < threshold_blank and best_i[1] >= 0):
+            return 1, best_i[1]
+        return -1, -1
+    if best_i[0] >= 0:
+        return 0, best_i[0]
+    if best_i[1] >= 0:
+        return 1, best_i[1]
+    return -1, -1
+
+
+def make_permutation_seeds(rs: ReadSet, ext_direction: int,
+                           n_permutations: int, rng: Drand48 = None
+                           ) -> Tuple[List[np.ndarray], bool]:
+    """Seed-tag vectors for the permutation runs of haplotag_region2: run 0
+    uses the initial tags; each later run permutes up to 5 boundary reads
+    per haplotype starting from the restored initial state
+    (blockjoin.c:4115-4134). Consumes the (glibc-exact) drand48 stream in
+    the same order the reference would. Returns (seeds, err_permutation)."""
+    initial = rs.store_haplotags()
+    seeds = [initial.copy()]
+    err = False
+    for _ in range(1, n_permutations):
+        ids = rs.ids_left if ext_direction == 0 else rs.ids_right
+        if permute_haplotags(rs, ids, 5, rng):
+            err = True
+            break
+        seeds.append(rs.store_haplotags())
+        rs.restore_haplotags(initial)
+    rs.restore_haplotags(initial)
+    return seeds, err
+
+
 def haplotag_region2(rs: ReadSet, table: CountTable, ms: Methmers,
                      ext_direction: int, n_candidates_per_iter: int,
                      min_mmr_recruit_cov: int, n_permutations: int,
@@ -363,33 +422,21 @@ def haplotag_region2(rs: ReadSet, table: CountTable, ms: Methmers,
     restored initial state, and the summary takes the majority
     (blockjoin.c:4164-4186) when n_permutations>5, else best-score-wins with
     cis preferred (blockjoin.c:4188-4206)."""
-    threshold = n_permutations // 2
-    threshold_blank = n_permutations // 3  # cap on ambiguous results
     initial_state = rs.store_haplotags()
+    # a failed permute (empty boundary list) breaks the C loop after the
+    # already-completed runs; those runs' results are then discarded by the
+    # err path below, exactly like blockjoin.c:4117-4163
+    seeds, err_permutation = make_permutation_seeds(rs, ext_direction,
+                                                    n_permutations, rng)
     bufs: List[np.ndarray] = []
-    dir_cnt = [0, 0, 0]  # undecided, cis, trans
-    best_score = [1.0, 1.0]
-    best_score_i = [-1, -1]
-    err_permutation = False
-    for i in range(n_permutations):
-        if i != 0:
-            ids = rs.ids_left if ext_direction == 0 else rs.ids_right
-            if permute_haplotags(rs, ids, 5, rng):
-                err_permutation = True
-                break
+    evals: List[Tuple[float, int]] = []
+    for seed in seeds:
+        rs.restore_haplotags(seed)
         haplotag_region1(rs, table, ms, n_candidates_per_iter,
                          min_mmr_recruit_cov, ext_direction)
         bufs.append(rs.store_haplotags())
-        score, which_way = evaluate_separation(
-            rs, initial_state, 1 if ext_direction == 0 else 0)
-        if score >= 2 and which_way != -9 and which_way != 0:
-            way = 0 if which_way > 0 else 1
-            dir_cnt[1 + way] += 1
-            if score > best_score[way]:
-                best_score[way] = score
-                best_score_i[way] = i
-        else:
-            dir_cnt[0] += 1
+        evals.append(evaluate_separation(
+            rs, initial_state, 1 if ext_direction == 0 else 0))
         rs.restore_haplotags(initial_state)
 
     if err_permutation:
@@ -398,32 +445,12 @@ def haplotag_region2(rs: ReadSet, table: CountTable, ms: Methmers,
             rs.restore_haplotags(initial_state)
         return -1
 
-    if n_permutations > 5:
-        # majority vote (blockjoin.c:4164-4186)
-        if (dir_cnt[1] >= threshold and dir_cnt[2] <= 3
-                and dir_cnt[0] < threshold_blank and best_score_i[0] >= 0):
-            ret = 0
-            rs.restore_haplotags(bufs[best_score_i[0]])
-        elif (dir_cnt[2] >= threshold and dir_cnt[1] <= 3
-                and dir_cnt[0] < threshold_blank and best_score_i[1] >= 0):
-            ret = 1
-            rs.restore_haplotags(bufs[best_score_i[1]])
-        else:
-            ret = -1
-            rs.restore_haplotags(initial_state)
-            rs.set_all_as_unphased()
+    ret, chosen = vote_permutations(n_permutations, evals)
+    if ret >= 0:
+        rs.restore_haplotags(bufs[chosen])
     else:
-        # best-score path, cis preferred (blockjoin.c:4188-4206)
-        if best_score_i[0] >= 0:
-            ret = 0
-            rs.restore_haplotags(bufs[best_score_i[0]])
-        elif best_score_i[1] >= 0:
-            ret = 1
-            rs.restore_haplotags(bufs[best_score_i[1]])
-        else:
-            ret = -1
-            rs.restore_haplotags(initial_state)
-            rs.set_all_as_unphased()
+        rs.restore_haplotags(initial_state)
+        rs.set_all_as_unphased()
     if do_reset:
         rs.restore_haplotags(initial_state)
     return ret

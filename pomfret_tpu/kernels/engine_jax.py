@@ -302,9 +302,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
-                n_cand: int, cov_runtime: int) -> int:
+                n_cand: int, cov_runtime: int,
+                n_permutations: int = 1) -> int:
     """Device-engine version of core.engine_host.haplotag_region
-    (blockjoin.c:4288-4320): bwd then fwd, agreement gate."""
+    (blockjoin.c:4288-4320): bwd then fwd, agreement gate.
+
+    Permutation voting (haplotag_region2's restarts) runs as extra device
+    dispatches: each permutation is just a different seed-tag vector, so the
+    greedy loop itself is unchanged. Seed vectors come from the same
+    glibc-exact drand48 stream (and stream order: all bwd permutes before
+    fwd) as the host engine, so decisions are engine-independent."""
+    from ..core.engine_host import make_permutation_seeds, vote_permutations
+
     if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
         return -1
     initial = rs.store_haplotags()
@@ -312,29 +321,39 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
     results = {}
     for direction, ms in ((1, ms_bwd), (0, ms_fwd)):
         store_mmr_of_reads(rs, ms)
+        seeds, err_permutation = make_permutation_seeds(rs, direction,
+                                                        n_permutations)
+        if err_permutation:
+            # blockjoin.c:4160-4163: treat the direction as unphased
+            results[direction] = (-1, None)
+            rs.restore_haplotags(initial)
+            wipe_mmr_of_reads(rs)
+            continue
         # pad shapes to buckets to bound jit recompilation
         pad_r = _round_up(max(rs.n, 8), 128)
         pad_s = _round_up(max(ms.n, 8), 128)
-        dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
-        hp = np.asarray(run_direction_device(
-            jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
-            jnp.asarray(dd.hp_init), jnp.asarray(dd.seed_ok),
-            jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
-            jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
-            jnp.int32(cov_runtime), jnp.int32(n_cand),
-            jnp.int32(2 * pad_r + 64),
-            D=_round_up(dd.max_d, 16), nc_cap=_round_up(n_cand, 16)))
-        # un-permute: device rows are in scan order
-        hp_orig = np.full(rs.n, 2, dtype=np.int32)
-        hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
-        hp = hp_orig
-        rs.restore_haplotags(hp[:rs.n])
-        score, which_way = evaluate_separation(rs, initial,
-                                               1 if direction == 0 else 0)
-        join = -1
-        if score >= 2 and which_way not in (-9, 0):
-            join = 0 if which_way > 0 else 1
-        results[direction] = (join, hp[:rs.n].copy())
+        evals = []
+        bufs = []
+        for seed in seeds:
+            rs.restore_haplotags(seed)
+            dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
+            hp = np.asarray(run_direction_device(
+                jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
+                jnp.asarray(dd.hp_init), jnp.asarray(dd.seed_ok),
+                jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
+                jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),
+                jnp.int32(cov_runtime), jnp.int32(n_cand),
+                jnp.int32(2 * pad_r + 64),
+                D=_round_up(dd.max_d, 16), nc_cap=_round_up(n_cand, 16)))
+            # un-permute: device rows are in scan order
+            hp_orig = np.full(rs.n, 2, dtype=np.int32)
+            hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
+            rs.restore_haplotags(hp_orig[: rs.n])
+            evals.append(evaluate_separation(rs, initial,
+                                             1 if direction == 0 else 0))
+            bufs.append(hp_orig[: rs.n].copy())
+        join, chosen = vote_permutations(n_permutations, evals)
+        results[direction] = (join, bufs[chosen] if join >= 0 else None)
         rs.restore_haplotags(initial)
         wipe_mmr_of_reads(rs)
 

@@ -156,14 +156,10 @@ def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
         rr_, vr = evaluate_ref_sanity(rs, 1)
         log_info("haplotag_region_given_bam",
                  f"left ref ratio: {rl:.2f} (valid={vl}); right ref ratio: {rr_:.2f} (valid={vr})")
-    if engine == "jax" and n_permutations > 1:
-        log_warn("haplotag_region_given_bam",
-                 "permutation voting runs on the host engine; falling back")
-        engine = "host"
     if engine == "jax":
         from .kernels.engine_jax import run_gap_jax
         decision = run_gap_jax(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
-                               config.cov_for_runtime)
+                               config.cov_for_runtime, n_permutations)
     else:
         decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
                                    config.cov_for_runtime, n_permutations)
@@ -230,9 +226,12 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                     qname2haptag.setdefault(qn, hp)
         return qname2haptag
     for i in indices:
+        # reached with engine='jax' only when n_permutations>1: permutation
+        # restarts dispatch per gap through run_gap_jax instead of the
+        # grouped batch
         decision, rs = haplotag_region_given_bam(
             st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand,
-            n_permutations=n_permutations)
+            engine, n_permutations)
         rg.decisions[i] = decision
         tags = {r.qname: r.hp for r in rs.reads} if (decision >= 0 and rs is not None) else None
         if manifest is not None:

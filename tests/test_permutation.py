@@ -122,3 +122,42 @@ def test_cli_n_permutations_flag(tmp_path):
     assert ret == 0
     gtf = open(prefix + ".mp.gtf").read()
     assert "exon" in gtf
+
+
+@pytest.mark.parametrize("trans,noise,n_perm", [
+    (False, 0.0, 3),
+    (False, 0.08, 7),
+    (True, 0.05, 7),
+])
+def test_permutation_voting_device_matches_host(tmp_path, trans, noise, n_perm):
+    """With n_permutations>1 the device engine dispatches one lane per
+    permutation seed; decisions AND per-read tags must equal the host
+    oracle's (both draw seeds from the same drand48 stream position)."""
+    from pomfret_tpu.testing import SynthConfig, make_two_block_scenario
+    from pomfret_tpu.io.bam import BamReader
+    from pomfret_tpu.core.readset import READBACK, MmrConfig, load_reads_given_interval
+    from pomfret_tpu.core.methmer import get_methmer_sites_and_ranges
+    from pomfret_tpu.core.engine_host import haplotag_region, reset_drand48
+    from pomfret_tpu.kernels.engine_jax import run_gap_jax
+
+    synth_cfg = SynthConfig(noise=noise, nocall=noise, seed=13)
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path), trans=trans,
+                                              cfg=synth_cfg)
+    bamr = BamReader(bam)
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    gs, ge = truth["gap"]
+
+    reset_drand48()
+    rs_h = load_reads_given_interval(bamr, "chr1", gs, ge, READBACK, cfg)
+    f_h = get_methmer_sites_and_ranges(rs_h, cfg, 0)
+    b_h = get_methmer_sites_and_ranges(rs_h, cfg, 1)
+    dec_h = haplotag_region(rs_h, f_h, b_h, 14, 10, n_perm)
+
+    reset_drand48()
+    rs_j = load_reads_given_interval(bamr, "chr1", gs, ge, READBACK, cfg)
+    f_j = get_methmer_sites_and_ranges(rs_j, cfg, 0)
+    b_j = get_methmer_sites_and_ranges(rs_j, cfg, 1)
+    dec_j = run_gap_jax(rs_j, f_j, b_j, 14, 10, n_perm)
+
+    assert dec_h == dec_j
+    assert [r.hp for r in rs_h.reads] == [r.hp for r in rs_j.reads]

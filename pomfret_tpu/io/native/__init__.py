@@ -62,6 +62,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint16), u8p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        lib.rans4x8_uncompress.restype = ctypes.c_int32
+        lib.rans4x8_uncompress.argtypes = [u8p, ctypes.c_int64,
+                                           u8p, ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -193,3 +196,17 @@ def bam_scan(buf: bytes, start: int) -> Optional[dict]:
         "mapq": mapq[sl].copy(), "l_seq": l_seq[sl].copy(),
         "endpos": endpos[sl].copy(), "hp": hp[sl].copy(), "de": de[sl].copy(),
     }
+
+
+def rans4x8_uncompress(stream: bytes, raw_size: int) -> Optional[bytes]:
+    """Native rANS4x8 decode of a full stream (9-byte header + payload)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(stream, dtype=np.uint8)
+    out = np.empty(raw_size, dtype=np.uint8)
+    r = lib.rans4x8_uncompress(_p(src, ctypes.c_uint8), len(src),
+                               _p(out, ctypes.c_uint8), raw_size)
+    if r != 0:
+        return None
+    return out.tobytes()

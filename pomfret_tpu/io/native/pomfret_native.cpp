@@ -267,4 +267,159 @@ int64_t bam_scan_records(const uint8_t* buf, int64_t len, int64_t start,
     return n;
 }
 
+// ------------------------------------------------------------------ rANS4x8
+// CRAM 3.0 block codec (spec section 13): 12-bit frequencies, four
+// interleaved rANS states, byte renormalization at 2^23. Stream layout
+// matches io/rans4x8.py (which carries the reference docs); this is the
+// production decode path for CRAM inputs.
+
+namespace {
+
+constexpr uint32_t TF_SHIFT = 12;
+constexpr uint32_t TOTFREQ = 1u << TF_SHIFT;
+constexpr uint32_t RANS_LOW = 1u << 23;
+
+struct FreqTab {
+    uint32_t freq[256] = {0};
+    uint32_t cum[257] = {0};
+    uint8_t lut[TOTFREQ];
+};
+
+// returns new offset or -1
+int64_t read_freqs_order0(const uint8_t* b, int64_t p, int64_t n, FreqTab& t) {
+    if (p >= n) return -1;
+    int rle = 0;
+    int j = b[p++];
+    while (true) {
+        if (p >= n) return -1;
+        uint32_t f = b[p++];
+        if (f >= 128) {
+            if (p >= n) return -1;
+            f = ((f & 127) << 8) | b[p++];
+        }
+        t.freq[j] = f;
+        if (rle) {
+            rle--;
+            j++;
+        } else {
+            if (p >= n) return -1;
+            if (b[p] == j + 1) {
+                j = b[p++];
+                if (p >= n) return -1;
+                rle = b[p++];
+            } else {
+                j = b[p++];
+            }
+        }
+        if (j == 0) break;
+    }
+    uint32_t c = 0;
+    for (int s = 0; s < 256; s++) {
+        t.cum[s] = c;
+        c += t.freq[s];
+        if (c > TOTFREQ) return -1;
+        for (uint32_t k = t.cum[s]; k < c; k++) t.lut[k] = (uint8_t)s;
+    }
+    t.cum[256] = c;
+    return p;
+}
+
+inline void dec_renorm(uint32_t& x, const uint8_t* b, int64_t& p, int64_t n) {
+    while (x < RANS_LOW && p < n) x = (x << 8) | b[p++];
+}
+
+}  // namespace
+
+extern "C" int32_t rans4x8_uncompress(const uint8_t* in, int64_t in_len,
+                                      uint8_t* out, int64_t out_len) {
+    // `in` is the full stream: order u8, comp_size u32le, raw_size u32le,
+    // then freq table + 4 states + byte stream
+    if (out_len == 0) return 0;
+    if (in_len < 9) return -1;
+    int order = in[0];
+    uint32_t raw_size = (uint32_t)in[5] | ((uint32_t)in[6] << 8) |
+                        ((uint32_t)in[7] << 16) | ((uint32_t)in[8] << 24);
+    if ((int64_t)raw_size != out_len) return -1;
+    int64_t p = 9;
+    const uint8_t* b = in;
+    if (order == 0) {
+        FreqTab t;
+        p = read_freqs_order0(b, p, in_len, t);
+        if (p < 0 || p + 16 > in_len) return -1;
+        uint32_t st[4];
+        for (int k = 0; k < 4; k++) {
+            st[k] = (uint32_t)b[p] | ((uint32_t)b[p + 1] << 8) |
+                    ((uint32_t)b[p + 2] << 16) | ((uint32_t)b[p + 3] << 24);
+            p += 4;
+        }
+        for (int64_t i = 0; i < out_len; i++) {
+            uint32_t& x = st[i & 3];
+            uint32_t f = x & (TOTFREQ - 1);
+            if (f >= t.cum[256]) return -1;
+            uint8_t s = t.lut[f];
+            out[i] = s;
+            x = t.freq[s] * (x >> TF_SHIFT) + f - t.cum[s];
+            dec_renorm(x, b, p, in_len);
+        }
+        return 0;
+    }
+    if (order == 1) {
+        static thread_local FreqTab tabs[256];
+        bool present[256] = {false};
+        int rle = 0;
+        if (p >= in_len) return -1;
+        int c = b[p++];
+        while (true) {
+            tabs[c] = FreqTab();
+            p = read_freqs_order0(b, p, in_len, tabs[c]);
+            if (p < 0) return -1;
+            present[c] = true;
+            if (rle) {
+                rle--;
+                c++;
+            } else {
+                if (p >= in_len) return -1;
+                if (b[p] == c + 1) {
+                    c = b[p++];
+                    if (p >= in_len) return -1;
+                    rle = b[p++];
+                } else {
+                    c = b[p++];
+                }
+            }
+            if (c == 0) break;
+        }
+        if (p + 16 > in_len) return -1;
+        uint32_t st[4];
+        for (int k = 0; k < 4; k++) {
+            st[k] = (uint32_t)b[p] | ((uint32_t)b[p + 1] << 8) |
+                    ((uint32_t)b[p + 2] << 16) | ((uint32_t)b[p + 3] << 24);
+            p += 4;
+        }
+        int64_t isz4 = out_len >> 2;
+        int64_t ptr4[4] = {0, isz4, 2 * isz4, 3 * isz4};
+        uint8_t ctx[4] = {0, 0, 0, 0};
+        auto step = [&](int k) -> bool {
+            uint32_t& x = st[k];
+            const FreqTab& t = tabs[ctx[k]];
+            if (!present[ctx[k]]) return false;
+            uint32_t f = x & (TOTFREQ - 1);
+            if (f >= t.cum[256]) return false;
+            uint8_t s = t.lut[f];
+            x = t.freq[s] * (x >> TF_SHIFT) + f - t.cum[s];
+            dec_renorm(x, b, p, in_len);
+            out[ptr4[k]++] = s;
+            ctx[k] = s;
+            return true;
+        };
+        for (int64_t i = 0; i < isz4; i++)
+            for (int k = 0; k < 4; k++)
+                if (!step(k)) return -1;
+        while (ptr4[3] < out_len)
+            if (!step(3)) return -1;
+        return 0;
+    }
+    return -1;
+}
+
 }  // extern "C"

@@ -317,8 +317,15 @@ def uncompress(stream: bytes) -> bytes:
     order, comp_size, raw_size = struct.unpack_from("<BII", stream, 0)
     if raw_size == 0:
         return b""
-    if order == 0:
-        return _decode_order0_payload(stream, 9, raw_size)
-    if order == 1:
+    if order in (0, 1):
+        try:
+            from . import native
+            out = native.rans4x8_uncompress(stream, raw_size)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
+        if order == 0:
+            return _decode_order0_payload(stream, 9, raw_size)
         return _decode_order1_payload(stream, 9, raw_size)
     raise ValueError(f"unknown rans4x8 order {order}")

@@ -30,6 +30,24 @@ import jax
 import jax.numpy as jnp
 
 from ..core.engine_host import evaluate_separation
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: the remote TPU compile service has huge
+    latency variance (3-500 s for the same program — see CLAUDE.md), so
+    every CLI process should reuse cached executables."""
+    import os
+    try:
+        d = os.environ.get("POMFRET_JAX_CACHE",
+                           os.path.expanduser("~/.cache/pomfret_tpu_jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 from ..core.methmer import (Methmers, get_methmer_sites_and_ranges,
                             store_mmr_of_reads, wipe_mmr_of_reads)
 from ..core.readset import (READBACK, MmrConfig, ReadSet,

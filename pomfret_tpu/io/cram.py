@@ -752,6 +752,7 @@ def build_alignment(r: _CramRec, ch: CompressionHeader,
 def compute_md_nm(seq: str, cigar: List[Tuple[str, int]], pos0: int,
                   ref_get) -> Tuple[str, int]:
     """Regenerate MD/NM from the reference (htslib drops them in CRAM)."""
+    import numpy as np
     md = []
     nm = 0
     match_run = 0
@@ -760,15 +761,18 @@ def compute_md_nm(seq: str, cigar: List[Tuple[str, int]], pos0: int,
     for op, ln in cigar:
         if op in ("M", "=", "X"):
             ref = ref_get(gpos, gpos + ln)
-            for k in range(ln):
-                rb = ref[k] if k < len(ref) else "N"
-                if seq[rpos + k] == rb:
-                    match_run += 1
-                else:
-                    md.append(str(match_run))
-                    md.append(rb)
-                    match_run = 0
-                    nm += 1
+            if len(ref) < ln:
+                ref = ref + "N" * (ln - len(ref))
+            a = np.frombuffer(seq[rpos : rpos + ln].encode(), dtype=np.uint8)
+            b = np.frombuffer(ref[:ln].encode(), dtype=np.uint8)
+            prev_end = 0
+            for k in np.flatnonzero(a != b).tolist():
+                md.append(str(match_run + (k - prev_end)))
+                md.append(ref[k])
+                match_run = 0
+                prev_end = k + 1
+                nm += 1
+            match_run += ln - prev_end
             rpos += ln
             gpos += ln
         elif op == "I":

@@ -5,21 +5,23 @@ from __future__ import annotations
 import struct
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from .bam import BamRecord, reg2bin
 
 _NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 _OPS = {c: i for i, c in enumerate("MIDNSHP=X")}
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _NT16.items():
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
 
 
 def pack_seq(seq: str) -> bytes:
-    out = bytearray((len(seq) + 1) // 2)
-    for i, ch in enumerate(seq):
-        v = _NT16.get(ch.upper(), 15)
-        if i & 1:
-            out[i >> 1] |= v
-        else:
-            out[i >> 1] |= v << 4
-    return bytes(out)
+    v = _NT16_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if len(v) & 1:
+        v = np.concatenate([v, np.zeros(1, dtype=np.uint8)])
+    return ((v[0::2] << 4) | v[1::2]).tobytes()
 
 
 def encode_cigar(cig: Sequence[Tuple[str, int]]) -> Tuple[int, ...]:

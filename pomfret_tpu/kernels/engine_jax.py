@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.engine_host import evaluate_separation
+from ..core.methmer import (Methmers, get_methmer_sites_and_ranges,
+                            store_mmr_of_reads, wipe_mmr_of_reads)
+from ..core.readset import (READBACK, MmrConfig, ReadSet,
+                            load_reads_given_interval)
+
+INVALID_ID = -1
 
 
 def _enable_compile_cache() -> None:
@@ -48,12 +54,6 @@ def _enable_compile_cache() -> None:
 
 
 _enable_compile_cache()
-from ..core.methmer import (Methmers, get_methmer_sites_and_ranges,
-                            store_mmr_of_reads, wipe_mmr_of_reads)
-from ..core.readset import (READBACK, MmrConfig, ReadSet,
-                            load_reads_given_interval)
-
-INVALID_ID = -1
 
 
 # ---------------------------------------------------------------------------

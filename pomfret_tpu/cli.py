@@ -167,6 +167,18 @@ def main(argv=None) -> int:
     p_vh.add_argument("-t", dest="threads", type=int, default=1)
     p_vh.add_argument("-v", dest="verbose", action="store_true")
     p_vh.add_argument("--dont-write-bam", dest="write_bam", action="store_false")
+    p_vh.add_argument("--ref-fasta", dest="ref_fasta", default=None,
+                      help="reference FASTA for CRAM input")
+    # TPU-era extra (no reference equivalent): BAM -> CRAM 3.0 conversion
+    p_bc = sub.add_parser("bam2cram", help="convert BAM to CRAM 3.0 + .crai")
+    p_bc.add_argument("bam")
+    p_bc.add_argument("cram")
+    p_bc.add_argument("--ref-fasta", dest="ref_fasta", default=None,
+                      help="encode against this FASTA (default: embed a "
+                           "consensus reference per slice)")
+    p_bc.add_argument("--no-ref", dest="no_ref", action="store_true",
+                      help="store sequences verbatim (RR=false)")
+    p_bc.add_argument("--records-per-slice", type=int, default=1000)
 
     a = parser.parse_args(argv)
     from .parallel.distributed import initialize as _dist_init
@@ -192,7 +204,17 @@ def main(argv=None) -> int:
         else:
             ret = main_blockjoin(opt)
     elif a.cmd == "varhaptag":
+        if a.ref_fasta:
+            import os
+            os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
         ret = main_varhaptag(a.vcf, a.bam, a.fn_out, a.threads, a.verbose, a.write_bam)
+    elif a.cmd == "bam2cram":
+        from .io.cram_writer import bam_to_cram
+        bam_to_cram(a.bam, a.cram, ref_fasta=a.ref_fasta,
+                    embed_ref=a.ref_fasta is None and not a.no_ref,
+                    no_ref=a.no_ref, records_per_slice=a.records_per_slice)
+        sys.stderr.write(f"[M::bam2cram] wrote {a.cram} (+ .crai)\n")
+        ret = 0
     else:
         parser.print_help(sys.stderr)
         ret = 1

@@ -535,45 +535,81 @@ def main_methreport(opt: CliOpt) -> int:
     config = MmrConfig(k=opt.k, k_span=opt.k_span, lo=opt.lo, hi=opt.hi,
                        readlen_threshold=opt.readlen_threshold,
                        min_mapq=opt.mapq)
+    # window sharding across hosts (TPU-era extra: the reference report is
+    # single-process and serial, blockjoin.c:5053-5058); windows round-robin
+    # over processes, decisions allgather, host 0 writes
+    import jax as _jax
+    n_procs = _jax.process_count()
+    proc_id = _jax.process_index()
+    win_global: Dict[Tuple[int, int], int] = {}
+    g = 0
+    for i_ref, rg in enumerate(st.ranges):
+        for wi in range(len(rg.starts)):
+            win_global[(i_ref, wi)] = g
+            g += 1
+    n_windows = g
+    local_dec: Dict[int, int] = {}
+
+    for i_ref, rg in enumerate(st.ranges):
+        # NOTE: the reference indexes its coverage array by the STORAGE
+        # ref index (blockjoin.c:5046) — wrong when the VCF's chromosome
+        # order differs from the BAM header's. We look up by name and
+        # warn when a VCF contig is absent from the BAM.
+        if opt.cov <= 0:
+            name2cov = dict(zip(bam.ref_names, covs))
+            if st.ref_names[i_ref] not in name2cov:
+                log_warn("main_methreport",
+                         f"contig {st.ref_names[i_ref]} not in BAM header; assuming coverage 0")
+            cov = name2cov.get(st.ref_names[i_ref], 0)
+        else:
+            cov = opt.cov
+        import dataclasses
+        cfg = dataclasses.replace(config)
+        cfg.cov_for_selection = cov // 10 + 1
+        cfg.cov_for_runtime = cfg.cov_for_selection * 2
+        n_cand = cov // 4 + 1
+        eng = opt.engine
+        if eng == "auto":
+            eng = "jax" if _jax.default_backend() == "tpu" else "host"
+        mine = [wi for wi in range(len(rg.starts))
+                if win_global[(i_ref, wi)] % n_procs == proc_id]
+        if eng == "jax" and opt.n_permutations == 1 and mine:
+            # windows are independent, so they ride the same vmapped gap
+            # batches as methphase
+            from .kernels.engine_jax import run_gaps_batched
+            decs, _ = run_gaps_batched(st, bam, st.ref_names[i_ref], rg,
+                                       cfg, n_cand, indices=mine)
+            for wi, d in zip(mine, decs):
+                local_dec[win_global[(i_ref, wi)]] = d
+        else:
+            for k, wi in enumerate(mine):
+                decision, _ = haplotag_region_given_bam(
+                    st, bam, st.ref_names[i_ref], rg.starts[wi], rg.ends[wi],
+                    cfg, n_cand, eng, opt.n_permutations)
+                local_dec[win_global[(i_ref, wi)]] = decision
+                if (k + 1) % 100 == 0:
+                    log_info("main_methreport",
+                             f"scored {k + 1}/{len(mine)} windows on "
+                             f"{st.ref_names[i_ref]}")
+
+    if n_procs > 1:
+        from .parallel.distributed import allgather_decisions
+        dec_vec = allgather_decisions(local_dec, n_windows)
+        log_info("main_methreport",
+                 f"multi-host merge: {n_procs} hosts, {n_windows} windows")
+        if proc_id != 0:
+            log_info("main_methreport", "non-zero host: skipping report write")
+            return 0
+    else:
+        dec_vec = np.full(n_windows, -1, dtype=np.int32)
+        for i, d in local_dec.items():
+            dec_vec[i] = d
+
     n_correct = n_switch = n_fail = tot = 0
     with open(opt.output_prefix + ".report.tsv", "w") as f:
         for i_ref, rg in enumerate(st.ranges):
-            # NOTE: the reference indexes its coverage array by the STORAGE
-            # ref index (blockjoin.c:5046) — wrong when the VCF's chromosome
-            # order differs from the BAM header's. We look up by name and
-            # warn when a VCF contig is absent from the BAM.
-            if opt.cov <= 0:
-                name2cov = dict(zip(bam.ref_names, covs))
-                if st.ref_names[i_ref] not in name2cov:
-                    log_warn("main_methreport",
-                             f"contig {st.ref_names[i_ref]} not in BAM header; assuming coverage 0")
-                cov = name2cov.get(st.ref_names[i_ref], 0)
-            else:
-                cov = opt.cov
-            import dataclasses
-            cfg = dataclasses.replace(config)
-            cfg.cov_for_selection = cov // 10 + 1
-            cfg.cov_for_runtime = cfg.cov_for_selection * 2
-            n_cand = cov // 4 + 1
-            eng = opt.engine
-            if eng == "auto":
-                import jax as _jx
-                eng = "jax" if _jx.default_backend() == "tpu" else "host"
-            window_decisions: Optional[List[int]] = None
-            if eng == "jax" and opt.n_permutations == 1 and rg.starts:
-                # the reference scores probe windows serially
-                # (blockjoin.c:5053-5058); windows are independent, so they
-                # ride the same vmapped gap batches as methphase
-                from .kernels.engine_jax import run_gaps_batched
-                window_decisions, _ = run_gaps_batched(
-                    st, bam, st.ref_names[i_ref], rg, cfg, n_cand)
             for wi, (s, e) in enumerate(zip(rg.starts, rg.ends)):
-                if window_decisions is not None:
-                    decision = window_decisions[wi]
-                else:
-                    decision, _ = haplotag_region_given_bam(
-                        st, bam, st.ref_names[i_ref], s, e, cfg, n_cand, eng,
-                        opt.n_permutations)
+                decision = int(dec_vec[win_global[(i_ref, wi)]])
                 f.write(f"{st.ref_names[i_ref]}\t{s}\t{e}\t")
                 if decision == 0:
                     n_correct += 1

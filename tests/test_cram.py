@@ -291,3 +291,20 @@ def test_rans4x8_native_matches_python():
     c = rans4x8.compress(b"hello world" * 10, 0)
     bad = c[:9] + bytes([255]) * (len(c) - 9)
     assert native.rans4x8_uncompress(bad, 110) in (None, b"") or True
+
+
+def test_bam2cram_cli_and_varhaptag_on_cram(scenario, tmp_path):
+    """bam2cram subcommand (TPU-era extra) + varhaptag accepting CRAM input;
+    the varhaptag TSV must match the BAM run's."""
+    from pomfret_tpu.cli import main as cli_main
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "conv.cram")
+    assert cli_main(["bam2cram", bam, cram]) == 0
+    assert os.path.exists(cram) and os.path.exists(cram + ".crai")
+
+    out_b = str(tmp_path / "vb.bam")
+    out_c = str(tmp_path / "vc.bam")
+    assert cli_main(["varhaptag", "-o", out_b, "--dont-write-bam", vcf, bam]) == 0
+    assert cli_main(["varhaptag", "-o", out_c, "--dont-write-bam", vcf, cram]) == 0
+    with open(out_b + ".varhaptag.tsv") as f1, open(out_c + ".varhaptag.tsv") as f2:
+        assert f1.read() == f2.read()

@@ -27,7 +27,7 @@ from .cram import (CF_DETACHED, CF_QS_STORED, MF_MATE_REVERSED,
                    CT_EXTERNAL, CT_FILE_HEADER, CT_MAPPED_SLICE,
                    ContainerHeader, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP,
                    E_EXTERNAL, EOF_START_SENTINEL, M_GZIP, M_RANS4x8, M_RAW,
-                   sub_code, write_array_itf8, write_block,
+                   _SUB_BASES, sub_code, write_array_itf8, write_block,
                    write_container_header, write_encoding, write_itf8,
                    write_ltf8)
 
@@ -93,15 +93,20 @@ def _features_for_record(rec: BamRecord, ref: Optional[str], ref_off: int,
                 feats.append(("b", rpos + 1, seq[rpos : rpos + ln].encode()))
             else:
                 for k in range(ln):
-                    if seq[rpos + k] != refb(gpos + k):
-                        if feature_style == "B":
-                            q = rec.qual[rpos + k] if rpos + k < len(rec.qual) else 0xFF
-                            feats.append(("B", rpos + k + 1,
-                                          (ord(seq[rpos + k]), q)))
-                        else:
-                            feats.append(("X", rpos + k + 1,
-                                          sub_code(sub_matrix, refb(gpos + k),
-                                                   seq[rpos + k])))
+                    sb = seq[rpos + k]
+                    rb = refb(gpos + k)
+                    if sb == rb:
+                        continue
+                    # a substitution code exists only for ACGTN alts of the
+                    # (effective) reference base; anything else — IUPAC
+                    # bases, N-vs-N — is stored verbatim as a 'B' feature
+                    eff = rb if rb in _SUB_BASES else "N"
+                    if feature_style != "B" and sb in _SUB_BASES[eff]:
+                        feats.append(("X", rpos + k + 1,
+                                      sub_code(sub_matrix, rb, sb)))
+                    else:
+                        q = rec.qual[rpos + k] if rpos + k < len(rec.qual) else 0xFF
+                        feats.append(("B", rpos + k + 1, (ord(sb), q)))
             rpos += ln
             gpos += ln
         elif op == "I":

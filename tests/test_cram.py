@@ -308,3 +308,85 @@ def test_bam2cram_cli_and_varhaptag_on_cram(scenario, tmp_path):
     assert cli_main(["varhaptag", "-o", out_c, "--dont-write-bam", vcf, cram]) == 0
     with open(out_b + ".varhaptag.tsv") as f1, open(out_c + ".varhaptag.tsv") as f2:
         assert f1.read() == f2.read()
+
+
+def test_cram_fuzz_roundtrip(tmp_path):
+    """Randomized records: mixed CIGARs (S/I/D/N/P/H), IUPAC bases, every
+    aux type, paired/detached mates, multiple chromosomes, multiple slices."""
+    import random
+    from pomfret_tpu.io.bam_writer import BamWriter
+    from pomfret_tpu.io.records import make_record
+
+    rng = random.Random(4242)
+    bam = str(tmp_path / "fz.bam")
+    refs = ["cA", "cB"]
+    lens = [50_000, 30_000]
+    recs = []
+    for tid in (0, 1):
+        pos = 100
+        for k in range(120):
+            L = rng.randint(30, 300)
+            # random cigar consuming exactly L query bases
+            cig = []
+            left = L
+            if rng.random() < 0.3:
+                s = rng.randint(1, min(10, left - 1)); cig.append(("S", s)); left -= s
+            m1 = rng.randint(1, left); cig.append(("M", m1)); left -= m1
+            while left > 0:
+                op = rng.choice(["M", "I", "D", "N", "M", "M"])
+                if op in ("M", "I"):
+                    n = rng.randint(1, left)
+                    left -= n
+                else:
+                    n = rng.randint(1, 50)
+                if cig and cig[-1][0] == op:  # decode canonicalizes runs
+                    cig[-1] = (op, cig[-1][1] + n)
+                else:
+                    cig.append((op, n))
+            if rng.random() < 0.2 and cig[-1][0] != "S":
+                cig.append(("S", 3))
+            if rng.random() < 0.15:
+                cig.insert(0, ("H", rng.randint(1, 5)))
+            if rng.random() < 0.1:
+                cig.append(("P", 2))
+            L = sum(n for op, n in cig if op in ("M", "I", "S", "=", "X"))
+            seq = "".join(rng.choices("ACGTNRYKM", weights=[8, 8, 8, 8, 1, 1, 1, 1, 1], k=L))
+            flag = rng.choice([0, 16, 1 | 32, 1 | 16 | 8, 4])
+            if flag & 4:
+                cig = []
+            tags = [("HP", "i", rng.randint(1, 2)),
+                    ("de", "f", rng.random() / 10),
+                    ("XA", "A", rng.choice("xyz")),
+                    ("XB", "B:S", [rng.randint(0, 65535) for _ in range(3)]),
+                    ("XZ", "Z", "s" * rng.randint(0, 5))]
+            r = make_record(f"fz{tid}_{k}", tid, pos, seq, cig,
+                            flag=flag, mapq=rng.randint(0, 60), tags=tags)
+            if flag & 1:
+                r.next_refID = tid
+                r.next_pos = pos + 500
+                r.tlen = rng.randint(-1000, 1000)
+            recs.append(r)
+            pos += rng.randint(10, 120)
+    with BamWriter(bam, refs, lens) as w:
+        for r in recs:
+            w.write(r)
+    for mode in ({"embed_ref": True}, {"no_ref": True}):
+        cram = str(tmp_path / f"fz_{'e' if mode.get('embed_ref') else 'n'}.cram")
+        bam_to_cram(bam, cram, records_per_slice=37, **mode)
+        got = list(CramReader(cram).fetch_all())
+        assert len(got) == len(recs)
+        for a, b in zip(recs, got):
+            assert a.qname == b.qname
+            assert a.flag == b.flag and a.pos == b.pos and a.refID == b.refID
+            assert a.cigar == b.cigar, (a.qname, a.cigar, b.cigar)
+            # bases outside the substitution alphabet fall back to verbatim
+            # 'B' features, so every mode round-trips sequences exactly
+            assert a.seq() == b.seq(), a.qname
+            assert a.qual == b.qual
+            assert a.get_tag("HP") == b.get_tag("HP")
+            assert a.get_tag("XZ") == b.get_tag("XZ")
+            assert abs((a.get_tag("de") or 0) - (b.get_tag("de") or 0)) < 1e-6
+            if a.flag & 1:
+                assert b.next_refID == a.next_refID
+                assert b.next_pos == a.next_pos
+                assert b.tlen == a.tlen

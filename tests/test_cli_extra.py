@@ -79,3 +79,16 @@ def test_report_jax_engine_matches_host(tmp_path):
     assert cli_main(args[:1] + ["-o", p_j, "--engine", "jax"] + args[1:] + [bam]) == 0
     with open(p_h + ".report.tsv") as f1, open(p_j + ".report.tsv") as f2:
         assert f1.read() == f2.read()
+
+
+def test_methphase_untagged_jax_matches_host(tmp_path):
+    """-u (varhaptag pre-tagging) + jax engine: outputs must match host."""
+    d = str(tmp_path)
+    bam, vcf, truth = make_two_block_scenario(d, trans=False, tagged=False)
+    p_h = os.path.join(d, "uh")
+    p_j = os.path.join(d, "uj")
+    base = ["methphase", "-c", "50", "-u", "--vcf", vcf]
+    assert cli_main(base[:1] + ["-o", p_h, "--engine", "host"] + base[1:] + [bam]) == 0
+    assert cli_main(base[:1] + ["-o", p_j, "--engine", "jax"] + base[1:] + [bam]) == 0
+    for ext in (".mp.gtf", ".mp.vcf"):
+        assert open(p_h + ext).read() == open(p_j + ext).read(), ext

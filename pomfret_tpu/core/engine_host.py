@@ -44,6 +44,14 @@ class Drand48:
     def __init__(self, x0: int = 0):
         self.x = x0 & self.MASK
 
+    @classmethod
+    def from_srand48(cls, seed: int) -> "Drand48":
+        """glibc srand48 semantics: X = seed<<16 | 0x330E. Used to give each
+        gap an independent, distribution-invariant permutation stream (the
+        process-global stream's position would depend on which host scored
+        which earlier gaps — see PARITY.md X7)."""
+        return cls(((seed & 0xFFFFFFFF) << 16) | 0x330E)
+
     def next(self) -> float:
         self.x = (self.A * self.x + self.C) & self.MASK
         return self.x / float(1 << 48)
@@ -458,19 +466,21 @@ def haplotag_region2(rs: ReadSet, table: CountTable, ms: Methmers,
 
 def haplotag_region(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
                     n_candidates_per_iter: int, cov_for_runtime: int,
-                    n_permutations: int = 1) -> int:
+                    n_permutations: int = 1, rng: Drand48 = None) -> int:
     """Both directions + agreement gate (haplotag_region_given_bam core,
     blockjoin.c:4288-4320). The caller loads reads/methmers; on agreement the
-    read set retains the forward tagging."""
+    read set retains the forward tagging. `rng` (when permuting) is shared
+    bwd-then-fwd, matching the C's global-stream consumption order within a
+    gap; the pipeline passes a per-gap srand48 stream (PARITY.md X7)."""
     store_mmr_of_reads(rs, ms_bwd)
     table_bwd = CountTable(ms_bwd.n)
     join2 = haplotag_region2(rs, table_bwd, ms_bwd, 1, n_candidates_per_iter,
-                             cov_for_runtime, n_permutations, True)
+                             cov_for_runtime, n_permutations, True, rng)
     wipe_mmr_of_reads(rs)
     store_mmr_of_reads(rs, ms_fwd)
     table_fwd = CountTable(ms_fwd.n)
     join1 = haplotag_region2(rs, table_fwd, ms_fwd, 0, n_candidates_per_iter,
-                             cov_for_runtime, n_permutations, False)
+                             cov_for_runtime, n_permutations, False, rng)
     if join1 != join2 or (join1 == -1 and join2 == -1):
         rs.set_all_as_unphased()
         return -1

@@ -659,14 +659,19 @@ def decode_slice_records(ch: CompressionHeader, sl: SliceHeader,
 
 def build_alignment(r: _CramRec, ch: CompressionHeader,
                     ref_seq: Optional[str], ref_offset: int
-                    ) -> Tuple[str, List[Tuple[str, int]]]:
-    """Reconstruct (seq, cigar ops) from read features against the reference.
+                    ) -> Tuple[str, List[Tuple[str, int]], Dict[int, int]]:
+    """Reconstruct (seq, cigar ops, qual overlays) from read features against
+    the reference. Quality-bearing features ('B', 'Q', 'q') are OVERLAYS:
+    they set qual bytes at their position without consuming alignment
+    positions ('B' also sets the base inside its M run); the overlays apply
+    only when CF_QS_STORED is unset (a stored QS array wins, like htslib).
 
     ref_seq[i] is the base at reference position ref_offset + i.
     """
     rl = r.rl
     seq = bytearray(b"N" * rl)
     cig: List[Tuple[str, int]] = []
+    qual_overlay: Dict[int, int] = {}
 
     def add(op: str, ln: int):
         if ln <= 0:
@@ -705,6 +710,7 @@ def build_alignment(r: _CramRec, ch: CompressionHeader,
             fill_match(fp - 1 - rpos)
         if fc == "B":
             seq[rpos] = op[0]
+            qual_overlay[rpos] = op[1]
             add("M", 1)
             rpos += 1
             gpos += 1
@@ -731,9 +737,14 @@ def build_alignment(r: _CramRec, ch: CompressionHeader,
             rpos += len(op)
             gpos += len(op)
         elif fc == "q":
-            fill_match(len(op))  # bases from the reference; quals from QQ
+            # quality stretch: overlay only, consumes no positions (htslib
+            # cram_decode.c 'q' case writes quals without touching seq/cigar)
+            for k, qv in enumerate(op):
+                if 0 <= fp - 1 + k < rl:
+                    qual_overlay[fp - 1 + k] = qv
         elif fc == "Q":
-            pass
+            if 0 <= fp - 1 < rl:
+                qual_overlay[fp - 1] = op
         elif fc == "D":
             add("D", op)
             gpos += op
@@ -746,7 +757,7 @@ def build_alignment(r: _CramRec, ch: CompressionHeader,
             add("H", op)
     if rpos < rl:
         fill_match(rl - rpos)
-    return seq.decode(), cig
+    return seq.decode(), cig, qual_overlay
 
 
 def compute_md_nm(seq: str, cigar: List[Tuple[str, int]], pos0: int,
@@ -822,7 +833,14 @@ class CramReader:
         self.ref_names: List[str] = []
         self.ref_lens: List[int] = []
         self._sq_ur: Dict[str, str] = {}
+        self.rg_ids: List[str] = []  # @RG IDs in header order (RG series)
         for line in self.header_text.splitlines():
+            if line.startswith("@RG"):
+                for fldv in line.split("\t")[1:]:
+                    if fldv.startswith("ID:"):
+                        self.rg_ids.append(fldv[3:])
+                        break
+                continue
             if not line.startswith("@SQ"):
                 continue
             name, ln, ur = None, 0, None
@@ -840,9 +858,9 @@ class CramReader:
                     self._sq_ur[name] = ur
         self._name2id = {n: i for i, n in enumerate(self.ref_names)}
 
-        self._fasta = None
+        self._fastas: Optional[list] = None
         self._ref_fasta_path = ref_fasta or os.environ.get("POMFRET_REF_FASTA")
-        self._ref_cache: Dict[int, str] = {}
+        self._ref_cache: Dict[Tuple[int, int, int], str] = {}
         self._crai: Optional[List[Tuple[int, int, int, int, int, int]]] = None
         self._crai_tried = False
         # decoded-slice LRU: repeated window fetches (each gap loads a
@@ -851,31 +869,43 @@ class CramReader:
         self._slice_cache_cap = 16
 
     # -- reference resolution
-    def _get_fasta(self):
-        if self._fasta is not None:
-            return self._fasta
+    def _get_fastas(self) -> list:
+        """All resolvable reference FASTAs: the explicit --ref-fasta /
+        POMFRET_REF_FASTA path plus every distinct @SQ UR: path (multi-contig
+        CRAMs may point different contigs at different files)."""
+        if self._fastas is not None:
+            return self._fastas
         from .fasta import FastaReader
         cand = []
         if self._ref_fasta_path:
             cand.append(self._ref_fasta_path)
         for ur in self._sq_ur.values():
             p = ur[7:] if ur.startswith("file://") else ur
-            cand.append(p)
-            break
+            if p not in cand:
+                cand.append(p)
+        self._fastas = []
         for c in cand:
             if c and os.path.exists(c):
-                self._fasta = FastaReader(c)
-                return self._fasta
-        return None
+                try:
+                    self._fastas.append(FastaReader(c))
+                except Exception:
+                    pass
+        return self._fastas
 
     def _ref_slice(self, ref_id: int, start0: int, end0: int) -> Optional[str]:
-        fa = self._get_fasta()
-        if fa is None:
-            return None
+        key = (ref_id, start0, end0)
+        hit = self._ref_cache.get(key)
+        if hit is not None:
+            return hit
         name = self.ref_names[ref_id]
-        if name not in fa._fai:
-            return None
-        return fa.fetch(name, start0, end0)
+        for fa in self._get_fastas():
+            if name in fa._fai:
+                s = fa.fetch(name, start0, end0)
+                if len(self._ref_cache) >= 32:
+                    self._ref_cache.pop(next(iter(self._ref_cache)))
+                self._ref_cache[key] = s
+                return s
+        return None
 
     # -- index
     def _load_crai(self):
@@ -959,8 +989,31 @@ class CramReader:
                     "available: pass --ref-fasta / set POMFRET_REF_FASTA, "
                     "or use a CRAM with embedded reference")
 
+        out = [self._to_bam_record(r, recs, i, ch, ref_seq, ref_offset)
+               for i, r in enumerate(recs)]
+        # two-sided mate resolution for NF-linked (non-detached) pairs:
+        # the upstream record got its mate fields in _to_bam_record; fix up
+        # the downstream mate's RNEXT/PNEXT/flags and set TLEN on both
+        # (htslib reconstructs both directions)
         for i, r in enumerate(recs):
-            yield self._to_bam_record(r, recs, i, ch, ref_seq, ref_offset)
+            j = i + r.nf + 1
+            if r.cf & CF_DETACHED or r.nf < 0 or j >= len(recs):
+                continue
+            a, b = out[i], out[j]
+            b.next_refID = a.refID
+            b.next_pos = a.pos
+            if a.flag & 0x10:
+                b.flag |= 0x20
+            if a.flag & 0x4:
+                b.flag |= 0x8
+            left = min(a.pos, b.pos)
+            right = max(bam_endpos(a), bam_endpos(b))
+            span = right - left
+            if a.pos <= b.pos:
+                a.tlen, b.tlen = span, -span
+            else:
+                a.tlen, b.tlen = -span, span
+        yield from out
 
     def _to_bam_record(self, r: _CramRec, recs: List[_CramRec], idx: int,
                        ch: CompressionHeader, ref_seq: Optional[str],
@@ -981,18 +1034,33 @@ class CramReader:
             if mate.bf & 0x4:
                 flag |= 0x8
         pos0 = r.ap - 1
+        qual_overlay: Dict[int, int] = {}
         if r.bf & 4:
             seq = r.bases.decode() if r.bases else "N" * r.rl
             cigar: List[Tuple[str, int]] = []
         else:
-            seq, cigar = build_alignment(r, ch, ref_seq, ref_offset)
-        quals = r.quals if (r.cf & CF_QS_STORED) else b"\xff" * r.rl
+            seq, cigar, qual_overlay = build_alignment(r, ch, ref_seq,
+                                                       ref_offset)
+        if r.cf & CF_QS_STORED:
+            quals = r.quals  # a stored QS array wins over feature overlays
+        elif qual_overlay:
+            qb = bytearray(b"\xff" * r.rl)
+            for k, qv in qual_overlay.items():
+                qb[k] = qv
+            quals = bytes(qb)
+        else:
+            quals = b"\xff" * r.rl
 
         aux = bytearray()
         has_md = any(t[0] == "MD" for t in r.tags)
         has_nm = any(t[0] == "NM" for t in r.tags)
         for tag, typ, val in r.tags:
             aux += tag.encode() + bytes([typ]) + val
+        # the RG data series carries the read-group as an index into the
+        # header's @RG lines; reconstruct the RG:Z aux tag like htslib does
+        if r.rg >= 0 and r.rg < len(self.rg_ids) \
+                and not any(t[0] == "RG" for t in r.tags):
+            aux += b"RGZ" + self.rg_ids[r.rg].encode() + b"\x00"
         if not (r.bf & 4) and ref_seq is not None and (not has_md or not has_nm):
             def ref_get(a, b):
                 lo = a - ref_offset
@@ -1026,16 +1094,28 @@ class CramReader:
     def scan_columns(self):
         return None, None
 
+    def _build_index_in_memory(self):
+        """No .crai on disk: scan container + slice headers once (no record
+        decode) and synthesize the index, so region fetches stay O(slices
+        touched) instead of re-decoding the whole file per window."""
+        entries = []
+        for pos, h, body in self._iter_containers():
+            for k, lm in enumerate(h.landmarks):
+                sblk, _ = read_block(body, lm)
+                if sblk.content_type != CT_MAPPED_SLICE:
+                    continue
+                sl = parse_slice_header(sblk.data)
+                nxt = h.landmarks[k + 1] if k + 1 < len(h.landmarks) else h.length
+                entries.append((sl.ref_id, sl.start, sl.span, pos, lm, nxt - lm))
+        return entries
+
     def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:
         tid = self.ref_id(chrom)
         if tid < 0:
             return
         crai = self._load_crai()
         if crai is None:
-            for rec in self.fetch_all():
-                if rec.refID == tid and rec.pos < end and bam_endpos(rec) > beg:
-                    yield rec
-            return
+            crai = self._crai = self._build_index_in_memory()
         seen = set()
         for (sid, s1, span, coff, soff, ssize) in crai:
             if sid != tid:

@@ -280,6 +280,16 @@ class CramWriter:
             header_text = "".join(lines[:at]) + missing + "".join(lines[at:])
         self.header_text = header_text
 
+        # @RG IDs in header order: the RG data series stores the index
+        self.rg_ids: List[str] = []
+        for line in self.header_text.splitlines():
+            if line.startswith("@RG"):
+                for fldv in line.split("\t")[1:]:
+                    if fldv.startswith("ID:"):
+                        self.rg_ids.append(fldv[3:])
+                        break
+        self._rg_index = {rg: i for i, rg in enumerate(self.rg_ids)}
+
         self._f.write(b"CRAM" + bytes([3, 0]) + b"\x00" * 20)
         hdr_blob = struct.pack("<i", len(header_text)) + header_text.encode()
         blk = write_block(M_RAW, CT_FILE_HEADER, 0, hdr_blob)
@@ -338,8 +348,20 @@ class CramWriter:
         line_idx: Dict[tuple, int] = {}
         rec_tags: List[List[Tuple[str, int, bytes]]] = []
         rec_tl: List[int] = []
+        rec_rg: List[int] = []
         for r in recs:
             triplets = _split_aux(r)
+            # RG:Z rides the RG data series (as an @RG index), not the tag
+            # dictionary — matching htslib's encoding
+            rg = -1
+            if self._rg_index:
+                for t, ty, val in triplets:
+                    if t == "RG" and ty == ord("Z"):
+                        rg = self._rg_index.get(val[:-1].decode(errors="replace"), -1)
+                        break
+                if rg >= 0:
+                    triplets = [x for x in triplets if x[0] != "RG"]
+            rec_rg.append(rg)
             key = tuple((t, ty) for t, ty, _ in triplets)
             if key not in line_idx:
                 line_idx[key] = len(tag_lines)
@@ -352,7 +374,7 @@ class CramWriter:
         st = _Streams()
         prev_ap = start0 + 1
         n_bases = 0
-        for r, triplets, tl in zip(recs, rec_tags, rec_tl):
+        for r, triplets, tl, rg in zip(recs, rec_tags, rec_tl, rec_rg):
             n_bases += r.l_seq
             flag = r.flag
             bf = flag & ~(0x20 | 0x8)
@@ -366,7 +388,7 @@ class CramWriter:
             ap = r.pos + 1
             st.put_itf8(_SERIES_IDS["AP"], ap - prev_ap)
             prev_ap = ap
-            st.put_itf8(_SERIES_IDS["RG"], -1)
+            st.put_itf8(_SERIES_IDS["RG"], rg)
             st.put_bytes(_ID_RN, r.qname.encode() + b"\x00")
             if detached:
                 mf = 0

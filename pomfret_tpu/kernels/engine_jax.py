@@ -321,7 +321,7 @@ def _round_up(x: int, m: int) -> int:
 
 def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
                 n_cand: int, cov_runtime: int,
-                n_permutations: int = 1) -> int:
+                n_permutations: int = 1, rng=None) -> int:
     """Device-engine version of core.engine_host.haplotag_region
     (blockjoin.c:4288-4320): bwd then fwd, agreement gate.
 
@@ -340,7 +340,7 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
     for direction, ms in ((1, ms_bwd), (0, ms_fwd)):
         store_mmr_of_reads(rs, ms)
         seeds, err_permutation = make_permutation_seeds(rs, direction,
-                                                        n_permutations)
+                                                        n_permutations, rng)
         if err_permutation:
             # blockjoin.c:4160-4163: treat the direction as unphased
             results[direction] = (-1, None)

@@ -137,9 +137,12 @@ def estimate_read_coverage_dirtyfast(bam: BamReader) -> List[int]:
 def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
                               ref_start: int, ref_end: int,
                               config: MmrConfig, n_candidates_per_iter: int,
-                              engine: str = "host", n_permutations: int = 1):
+                              engine: str = "host", n_permutations: int = 1,
+                              perm_key: Optional[int] = None):
     """Load one gap window + run both directions (blockjoin.c:4217-4335).
-    Returns (decision, readset|None)."""
+    Returns (decision, readset|None). perm_key seeds a per-gap srand48
+    stream for permutation voting so results are independent of which host
+    scores which gap (PARITY.md X7); None keeps the process-global stream."""
     rs = load_reads_given_interval(
         bam, chrom, ref_start, ref_end, READBACK, config,
         st.qname2haptag_raw if st.stores_raw_tag else None)
@@ -156,13 +159,17 @@ def haplotag_region_given_bam(st: Storage, bam: BamReader, chrom: str,
         rr_, vr = evaluate_ref_sanity(rs, 1)
         log_info("haplotag_region_given_bam",
                  f"left ref ratio: {rl:.2f} (valid={vl}); right ref ratio: {rr_:.2f} (valid={vr})")
+    rng = None
+    if n_permutations > 1 and perm_key is not None:
+        from .core.engine_host import Drand48
+        rng = Drand48.from_srand48(perm_key)
     if engine == "jax":
         from .kernels.engine_jax import run_gap_jax
         decision = run_gap_jax(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
-                               config.cov_for_runtime, n_permutations)
+                               config.cov_for_runtime, n_permutations, rng)
     else:
         decision = haplotag_region(rs, ms_fwd, ms_bwd, n_candidates_per_iter,
-                                   config.cov_for_runtime, n_permutations)
+                                   config.cov_for_runtime, n_permutations, rng)
     return decision, rs
 
 
@@ -231,7 +238,7 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
         # grouped batch
         decision, rs = haplotag_region_given_bam(
             st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand,
-            engine, n_permutations)
+            engine, n_permutations, perm_key=job_i * 1_000_003 + i)
         rg.decisions[i] = decision
         tags = {r.qname: r.hp for r in rs.reads} if (decision >= 0 and rs is not None) else None
         if manifest is not None:
@@ -585,7 +592,8 @@ def main_methreport(opt: CliOpt) -> int:
             for k, wi in enumerate(mine):
                 decision, _ = haplotag_region_given_bam(
                     st, bam, st.ref_names[i_ref], rg.starts[wi], rg.ends[wi],
-                    cfg, n_cand, eng, opt.n_permutations)
+                    cfg, n_cand, eng, opt.n_permutations,
+                    perm_key=i_ref * 1_000_003 + wi)
                 local_dec[win_global[(i_ref, wi)]] = decision
                 if (k + 1) % 100 == 0:
                     log_info("main_methreport",

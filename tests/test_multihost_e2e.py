@@ -87,3 +87,40 @@ def test_two_host_report_identical(tmp_path):
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err[-3000:]
     assert open(p1 + ".report.tsv").read() == open(p2 + ".report.tsv").read()
+
+
+@pytest.mark.slow
+def test_two_host_permutation_voting_identical(tmp_path):
+    """--n-permutations draws per-gap srand48 streams (PARITY.md X7), so a
+    2-host run must still equal the single-host run byte-for-byte."""
+    d = str(tmp_path)
+    bam, vcf, truth = make_two_block_scenario(d, trans=False)
+    base = ["methphase", "-c", "50", "--n-permutations", "7", "--vcf", vcf]
+
+    p1 = os.path.join(d, "single")
+    assert cli_main(base[:1] + ["-o", p1] + base[1:] + [bam]) == 0
+
+    p2 = os.path.join(d, "multi")
+    env0 = dict(os.environ)
+    env0.update({
+        "PYTHONPATH": "/root/repo",
+        "POMFRET_COORDINATOR": "127.0.0.1:%d" % (20000 + ((os.getpid() + 977) % 20000)),
+        "POMFRET_NUM_PROCS": "2",
+        "JAX_PLATFORMS": "cpu",
+    })
+    cli_args = base[:1] + ["-o", p2] + base[1:] + [bam]
+    procs = []
+    for pid in range(2):
+        env = dict(env0)
+        env["POMFRET_PROC_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "from pomfret_tpu.cli import main; import sys;"
+             f"sys.exit(main({cli_args!r}))"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+    for suffix in (".mp.gtf", ".mp.vcf"):
+        assert open(p1 + suffix).read() == open(p2 + suffix).read(), suffix

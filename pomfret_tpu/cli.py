@@ -184,11 +184,12 @@ def main(argv=None) -> int:
     from .parallel.distributed import initialize as _dist_init
     _dist_init()  # multi-host when POMFRET_COORDINATOR is set
     ret = 1
+    if getattr(a, "ref_fasta", None) and a.cmd != "bam2cram":
+        # CramReader resolves POMFRET_REF_FASTA at every internal open site
+        import os
+        os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
     if a.cmd in ("methphase", "report", "methstat"):
         set_verbose(a.verbose)
-        if getattr(a, "ref_fasta", None):
-            import os
-            os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
         opt = _opt_from_args(a)
         if not _sancheck(opt) or not _sancheck_files_exist(opt):
             ret = 1
@@ -204,9 +205,6 @@ def main(argv=None) -> int:
         else:
             ret = main_blockjoin(opt)
     elif a.cmd == "varhaptag":
-        if a.ref_fasta:
-            import os
-            os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
         ret = main_varhaptag(a.vcf, a.bam, a.fn_out, a.threads, a.verbose, a.write_bam)
     elif a.cmd == "bam2cram":
         from .io.cram_writer import bam_to_cram

@@ -29,6 +29,8 @@ import lzma
 import os
 import struct
 import zlib
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -760,10 +762,21 @@ def build_alignment(r: _CramRec, ch: CompressionHeader,
     return seq.decode(), cig, qual_overlay
 
 
+def parse_rg_ids(header_text: str) -> List[str]:
+    """@RG IDs in header order — the index space of the RG data series."""
+    out = []
+    for line in header_text.splitlines():
+        if line.startswith("@RG"):
+            for fldv in line.split("\t")[1:]:
+                if fldv.startswith("ID:"):
+                    out.append(fldv[3:])
+                    break
+    return out
+
+
 def compute_md_nm(seq: str, cigar: List[Tuple[str, int]], pos0: int,
                   ref_get) -> Tuple[str, int]:
     """Regenerate MD/NM from the reference (htslib drops them in CRAM)."""
-    import numpy as np
     md = []
     nm = 0
     match_run = 0
@@ -833,14 +846,8 @@ class CramReader:
         self.ref_names: List[str] = []
         self.ref_lens: List[int] = []
         self._sq_ur: Dict[str, str] = {}
-        self.rg_ids: List[str] = []  # @RG IDs in header order (RG series)
+        self.rg_ids = parse_rg_ids(self.header_text)
         for line in self.header_text.splitlines():
-            if line.startswith("@RG"):
-                for fldv in line.split("\t")[1:]:
-                    if fldv.startswith("ID:"):
-                        self.rg_ids.append(fldv[3:])
-                        break
-                continue
             if not line.startswith("@SQ"):
                 continue
             name, ln, ur = None, 0, None
@@ -1058,7 +1065,7 @@ class CramReader:
             aux += tag.encode() + bytes([typ]) + val
         # the RG data series carries the read-group as an index into the
         # header's @RG lines; reconstruct the RG:Z aux tag like htslib does
-        if r.rg >= 0 and r.rg < len(self.rg_ids) \
+        if 0 <= r.rg < len(self.rg_ids) \
                 and not any(t[0] == "RG" for t in r.tags):
             aux += b"RGZ" + self.rg_ids[r.rg].encode() + b"\x00"
         if not (r.bf & 4) and ref_seq is not None and (not has_md or not has_nm):

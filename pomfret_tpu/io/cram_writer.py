@@ -281,13 +281,8 @@ class CramWriter:
         self.header_text = header_text
 
         # @RG IDs in header order: the RG data series stores the index
-        self.rg_ids: List[str] = []
-        for line in self.header_text.splitlines():
-            if line.startswith("@RG"):
-                for fldv in line.split("\t")[1:]:
-                    if fldv.startswith("ID:"):
-                        self.rg_ids.append(fldv[3:])
-                        break
+        from .cram import parse_rg_ids
+        self.rg_ids = parse_rg_ids(self.header_text)
         self._rg_index = {rg: i for i, rg in enumerate(self.rg_ids)}
 
         self._f.write(b"CRAM" + bytes([3, 0]) + b"\x00" * 20)

@@ -335,7 +335,23 @@ def read_meth_calls(rec: BamRecord, qual_lo: int, qual_hi: int):
 
     Mirrors fill_read_meth_record_from_bam_line + get_mod_poss_on_ref.
     Returns ([], [], has_implicit) when the read has no usable call.
+
+    The dominant single-'C+m' MM shape goes through the native C++ decoder
+    (io/native meth_decode_read, the window-load hot path); everything else
+    (multi-item MM, ChEBI codes, '-' strand items) uses the Python oracle
+    below, which also pins the native path's semantics in parity tests.
     """
+    mm = rec.get_tag("MM") or rec.get_tag("Mm")
+    if mm and rec.l_seq >= 2:
+        from . import native as _native
+        if _native.native_available():
+            ml = rec.get_tag("ML") or rec.get_tag("Ml")
+            res = _native.meth_decode_read(
+                rec.seq_packed, rec.l_seq, 1 if rec.is_reverse else 0, mm,
+                ml[1] if ml else None, rec.cigar, rec.pos, qual_lo, qual_hi)
+            if res is not None:
+                poss_n, quals_n, has_implicit = res
+                return poss_n.tolist(), quals_n.tolist(), has_implicit
     poss, quals, has_implicit = extract_cpg_5mc_calls(rec, qual_lo, qual_hi)
     if not poss:
         # reference: stat=0 from get_mod_poss_on_ref when mod_l==0

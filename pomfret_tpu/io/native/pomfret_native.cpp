@@ -7,6 +7,7 @@
 // entry point.
 //
 // Build: g++ -O3 -march=native -shared -fPIC pomfret_native.cpp -lz -lpthread
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -265,6 +266,219 @@ int64_t bam_scan_records(const uint8_t* buf, int64_t len, int64_t start,
         off += 4 + block_size;
     }
     return n;
+}
+
+// ------------------------------------------------------------ meth decode
+// Per-read 5mC-at-CpG extraction + CIGAR ref-lift for the dominant MM shape
+// (exactly one 'C+m' item). Mirrors io/basemod.py (the oracle kept for the
+// general path and for parity tests), which itself mirrors
+// fill_read_meth_record_from_bam_line + get_mod_poss_on_ref
+// (blockjoin.c:605-908) including quirks D1-D7 of PARITY.md.
+
+namespace {
+
+const char NT16_CHARS[17] = "=ACMGRSVTWYHKDBN";
+
+inline char compl_base(char c) {
+    switch (c) {
+        case 'A': return 'T';
+        case 'T': return 'A';
+        case 'C': return 'G';
+        case 'G': return 'C';
+        default: return c;  // matches Python revcomp table (N etc. unchanged)
+    }
+}
+
+}  // namespace
+
+extern "C" int32_t meth_decode_read(
+    const uint8_t* seq_packed, int32_t l_seq, int32_t strand,
+    const char* mm, const uint8_t* ml, int32_t n_ml,
+    const uint32_t* cigar, int32_t n_cigar, int32_t qs,
+    int32_t lo, int32_t hi,
+    uint32_t* out_pos, uint8_t* out_qual, int32_t cap,
+    int32_t* out_has_implicit) {
+    // returns number of lifted calls; -2 => caller must use the Python path
+    *out_has_implicit = 0;
+    if (!mm || l_seq < 2) return -2;
+
+    // --- strict single-item 'C+m' MM parse (anything else -> fallback)
+    const char* p = mm;
+    if (!(p[0] == 'C' && p[1] == '+' && p[2] == 'm')) return -2;
+    p += 3;
+    if (*p == '.' || *p == '?') p++;
+    if (*p != ',' && *p != ';' && *p != '\0') return -2;  // multi-code item
+    std::vector<int64_t> deltas;
+    while (*p == ',') {
+        p++;
+        int64_t v = 0;
+        if (*p < '0' || *p > '9') return -2;
+        while (*p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+        deltas.push_back(v);
+    }
+    if (*p == ';') p++;
+    if (*p != '\0') return -2;  // a second MM item follows
+    if (deltas.empty()) return 0;
+
+    // --- unpack stored sequence
+    std::vector<char> stored(l_seq);
+    for (int32_t i = 0; i < l_seq; i++) {
+        uint8_t b = seq_packed[i >> 1];
+        stored[i] = NT16_CHARS[(i & 1) ? (b & 0xF) : (b >> 4)];
+    }
+
+    // --- occurrences of 'C' in the original (as-sequenced) orientation
+    // original[i] = strand ? compl(stored[L-1-i]) : stored[i]
+    std::vector<int32_t> occ;
+    occ.reserve(l_seq / 4);
+    for (int32_t i = 0; i < l_seq; i++) {
+        char c = strand ? compl_base(stored[l_seq - 1 - i]) : stored[i];
+        if (c == 'C') occ.push_back(i);
+    }
+
+    // --- delta walk -> stored positions + quals (ascending stored order)
+    struct Call { int32_t pos; uint8_t q; };
+    std::vector<Call> raw;
+    raw.reserve(deltas.size());
+    int64_t idx = -1;
+    for (size_t k = 0; k < deltas.size(); k++) {
+        idx += deltas[k] + 1;
+        if (idx >= (int64_t)occ.size()) continue;  // valid mask
+        uint8_t q = (ml && (int32_t)k < n_ml) ? ml[k] : 255;
+        int32_t sp = strand ? (l_seq - 1 - occ[idx]) : occ[idx];
+        raw.push_back({sp, q});
+    }
+    if (strand) std::reverse(raw.begin(), raw.end());
+
+    // --- interior + CpG filter, implicit detection, qual classes
+    std::vector<int32_t> mod_poss;
+    std::vector<uint8_t> mod_quals;
+    mod_poss.reserve(raw.size());
+    for (auto& c : raw) {
+        if (c.pos <= 0 || c.pos >= l_seq - 1) continue;
+        bool cpg_ok = stored[c.pos] == 'C' ? stored[c.pos + 1] == 'G'
+                                           : stored[c.pos - 1] == 'C';
+        if (!cpg_ok) {
+            *out_has_implicit = 1;
+            continue;
+        }
+        mod_poss.push_back(c.pos);
+        mod_quals.push_back(c.q < lo ? 1 : (c.q >= hi ? 0 : 2));
+    }
+    if (mod_poss.empty()) return 0;
+
+    // --- CIGAR lift (lift_mod_positions_to_ref; blockjoin.c:605-792)
+    const bool implicit = *out_has_implicit != 0;  // insert CpG unmeth calls
+    const uint32_t NONE = 0xFFFFFFFFu;
+    int32_t n_out = 0;
+    auto emit = [&](int64_t pos, uint8_t q) -> bool {
+        if (n_out >= cap) return false;
+        out_pos[n_out] = (uint32_t)pos;
+        out_qual[n_out] = q;
+        n_out++;
+        return true;
+    };
+    int64_t cgoffset = strand ? -1 : 0;
+    int32_t mod_l = (int32_t)mod_poss.size();
+    int64_t i_read = 0;
+    int64_t i_ref = qs;
+    int32_t i_trigger = 0;
+    uint32_t next_trigger = (uint32_t)mod_poss[0];
+    uint8_t next_qual = mod_quals[0];
+    auto is_cpg = [&](int64_t i) {
+        return i < l_seq - 1 && stored[i] == 'C' && stored[i + 1] == 'G';
+    };
+
+    int32_t i_cigar = 0;
+    if (n_cigar > 0 && (cigar[0] & 0xF) == 4) {  // leading soft clip
+        i_read = cigar[0] >> 4;
+        while (next_trigger < i_read) {
+            i_trigger++;
+            if (i_trigger < mod_l) {
+                next_trigger = (uint32_t)mod_poss[i_trigger];
+                next_qual = mod_quals[i_trigger];
+            } else {
+                break;
+            }
+        }
+        if ((int64_t)next_trigger == i_read) {
+            if (!emit(i_ref + cgoffset, next_qual)) return -1;
+            i_trigger++;
+            if (i_trigger < mod_l) {
+                next_trigger = (uint32_t)mod_poss[i_trigger];
+                next_qual = mod_quals[i_trigger];
+            }
+            // else: stale next_trigger kept on purpose (reference behavior)
+        }
+        i_ref -= cigar[0] >> 4;
+        i_cigar = 1;
+    }
+
+    int64_t offset = 0;
+    for (; i_cigar < n_cigar; i_cigar++) {
+        uint32_t action = cigar[i_cigar] & 0xF;
+        int64_t length = cigar[i_cigar] >> 4;
+        if (action <= 1) {  // M or I
+            int64_t pos_canonical = i_read;
+            while (next_trigger != NONE && i_read + length >= next_trigger) {
+                if (action == 0) {
+                    if (implicit) {
+                        int64_t until = (int64_t)next_trigger - 1;
+                        if (i_read + length < until) until = i_read + length;
+                        for (int64_t tmpi = pos_canonical; tmpi < until; tmpi++) {
+                            if (is_cpg(tmpi)) {
+                                int64_t pos_cano = i_ref + tmpi + offset;
+                                if (!(n_out && out_pos[n_out - 1] == (uint32_t)pos_cano)) {
+                                    if (!emit(pos_cano, 1)) return -1;
+                                }
+                                tmpi++;  // skip the G
+                            }
+                        }
+                    }
+                    int64_t pos_trigger = i_ref + next_trigger + cgoffset + offset;
+                    if (n_out && out_pos[n_out - 1] == (uint32_t)pos_trigger) {
+                        out_qual[n_out - 1] = next_qual;
+                    } else {
+                        if (!emit(pos_trigger, next_qual)) return -1;
+                    }
+                    pos_canonical = cgoffset == 0 ? (int64_t)next_trigger + 1
+                                                  : (int64_t)next_trigger + 2;
+                }
+                i_trigger++;
+                if (i_trigger >= mod_l) {
+                    next_trigger = NONE;
+                    break;
+                }
+                next_trigger = (uint32_t)mod_poss[i_trigger];
+                next_qual = mod_quals[i_trigger];
+            }
+            if (action == 0) {
+                if (implicit) {
+                    int64_t until = i_read + length;
+                    for (int64_t tmpi = pos_canonical; tmpi < until; tmpi++) {
+                        if (is_cpg(tmpi)) {
+                            int64_t pos_cano = i_ref + tmpi + offset;
+                            if (!(n_out && out_pos[n_out - 1] == (uint32_t)pos_cano)) {
+                                if (!emit(pos_cano, 1)) return -1;
+                            }
+                            tmpi++;
+                        }
+                    }
+                }
+                i_read += length;
+            } else {
+                i_read += length;
+                offset -= length;
+            }
+        } else if (action == 2) {  // D
+            offset += length;
+        } else if (action == 3 || action == 4 || action == 5) {  // N, S, H
+            break;
+        } else {
+            return -2;  // unknown op: let the Python path raise
+        }
+    }
+    return n_out;
 }
 
 // ------------------------------------------------------------------ rANS4x8

@@ -219,28 +219,38 @@ def rans4x8_uncompress(stream: bytes, raw_size: int) -> Optional[bytes]:
     return out.tobytes()
 
 
+_meth_tl = threading.local()
+
+
 def meth_decode_read(seq_packed: bytes, l_seq: int, strand: int,
                      mm: str, ml, cigar, pos: int, lo: int, hi: int):
     """Native per-read 5mC extraction + CIGAR ref-lift for the dominant
     single-'C+m' MM shape. Returns (ref_pos uint32 array, qual-class uint8
-    array, has_implicit) or None when the read needs the Python path."""
-    lib = get_lib()
+    array, has_implicit) or None when the read needs the Python path.
+
+    Hot path (called once per read per window load): output buffers and the
+    has_implicit cell are thread-local and reused across calls."""
+    lib = _LIB if _LIB is not None else get_lib()
     if lib is None:
         return None
     sp = np.frombuffer(seq_packed, dtype=np.uint8)
     ml_arr = np.asarray(ml, dtype=np.uint8) if ml is not None else None
     cig = np.asarray(cigar, dtype=np.uint32)
     cap = l_seq + 16
-    out_pos = np.empty(cap, dtype=np.uint32)
-    out_qual = np.empty(cap, dtype=np.uint8)
-    has_implicit = ctypes.c_int32(0)
+    bufs = getattr(_meth_tl, "bufs", None)
+    if bufs is None or len(bufs[0]) < cap:
+        bufs = _meth_tl.bufs = (np.empty(max(cap, 65536), dtype=np.uint32),
+                                np.empty(max(cap, 65536), dtype=np.uint8),
+                                ctypes.c_int32(0))
+    out_pos, out_qual, has_implicit = bufs
+    has_implicit.value = 0
     n = lib.meth_decode_read(
         _p(sp, ctypes.c_uint8), l_seq, strand, mm.encode(),
         _p(ml_arr, ctypes.c_uint8) if ml_arr is not None else None,
         len(ml_arr) if ml_arr is not None else 0,
         _p(cig, ctypes.c_uint32) if len(cig) else None, len(cig), pos,
         lo, hi, _p(out_pos, ctypes.c_uint32), _p(out_qual, ctypes.c_uint8),
-        cap, ctypes.byref(has_implicit))
+        len(out_pos), ctypes.byref(has_implicit))
     if n < 0:
         return None
-    return out_pos[:n], out_qual[:n], bool(has_implicit.value)
+    return out_pos[:n].copy(), out_qual[:n].copy(), bool(has_implicit.value)

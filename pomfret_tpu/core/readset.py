@@ -7,6 +7,7 @@ prepares the end-sorted ordering used by backward extension.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -82,6 +83,9 @@ class ReadSet:
             r.hp = 2
 
 
+_HP_ABSENT = -(2 ** 31)  # native bam_window_load's "no HP tag" sentinel
+
+
 def load_reads_given_interval(
     bam: BamReader,
     chrom: str,
@@ -95,45 +99,30 @@ def load_reads_given_interval(
     lo1 = itvl_s - readback if itvl_s - readback > 0 else 0
     left_cov = [0, 0]
     seen_names = set()
-    for rec in bam.fetch_region_1based(chrom, lo1, itvl_e + readback):
-        if rec.flag & (4 | 256 | 2048):
-            continue
-        if rec.mapq < config.min_mapq:
-            continue
-        if rec.l_seq < 2 or rec.l_seq < config.readlen_threshold:
-            continue
-        de = rec.get_tag("de")
-        if de is not None and de > MIN_ALN_DE:
-            continue
-        calls, quals, has_implicit = read_meth_calls(rec, config.lo, config.hi)
-        if has_implicit:
-            from ..utils.log import set_data_has_implicit
-            set_data_has_implicit()
-        if not calls:
-            continue
-        if rec.qname in seen_names:
-            raise ValueError(f"duplicated read name seen from reading bam: {rec.qname}")
-        seen_names.add(rec.qname)
-        hp = rec.get_tag("HP")
-        if hp is None:
+
+    def add_read(qname, hp_tag, start_pos, strand, length, end_pos,
+                 calls, quals) -> None:
+        # shared tail: dup check, HP semantics (get_hp_from_aln,
+        # blockjoin.c:910-923), raw-tag override, boundary classification
+        if qname in seen_names:
+            raise ValueError(f"duplicated read name seen from reading bam: {qname}")
+        seen_names.add(qname)
+        if hp_tag is None:
             hp = HAPTAG_UNPHASED
-        elif hp == 0:
-            log_warn("get_hp_from_aln", f"irregular HP tag? qn={rec.qname} qs={rec.pos}")
+        elif hp_tag == 0:
+            log_warn("get_hp_from_aln", f"irregular HP tag? qn={qname} qs={start_pos}")
             hp = HAPTAG_UNPHASED
         else:
-            hp = hp - 1
+            hp = hp_tag - 1
         if qname2haptag_raw is not None:
-            hp = qname2haptag_raw.get(rec.qname, HAPTAG_UNPHASED)
+            hp = qname2haptag_raw.get(qname, HAPTAG_UNPHASED)
         rid = rs.n
-        end_pos = bam_endpos(rec)
         rs.reads.append(Read(
-            i=rid, qname=rec.qname, hp=hp,
-            strand=1 if rec.is_reverse else 0,
-            length=rec.l_seq, start_pos=rec.pos, end_pos=end_pos,
-            calls=np.asarray(calls, dtype=np.uint32),
-            quals=np.asarray(quals, dtype=np.uint8),
+            i=rid, qname=qname, hp=hp, strand=strand,
+            length=length, start_pos=start_pos, end_pos=end_pos,
+            calls=calls, quals=quals,
         ))
-        if rec.pos <= itvl_s:
+        if start_pos <= itvl_s:
             rs.ids_left.append(rid)
             if end_pos > itvl_s:
                 rs.ids_left_strict.append(rid)
@@ -141,8 +130,70 @@ def load_reads_given_interval(
                 left_cov[hp] += 1
         elif end_pos >= itvl_e:
             rs.ids_right.append(rid)
-            if rec.pos < itvl_e:
+            if start_pos < itvl_e:
                 rs.ids_right_strict.append(rid)
+
+    cols = buf = None
+    fwc = getattr(bam, "fetch_window_columnar", None)
+    if fwc is not None and not os.environ.get("POMFRET_NO_NATIVE_WINDOW"):
+        cols, buf = fwc(chrom, max(0, lo1 - 1), itvl_e + readback,
+                        config.min_mapq, config.readlen_threshold,
+                        MIN_ALN_DE, config.lo, config.hi)
+    if cols is not None:
+        # native fast path: one C++ call decoded the window; only reads the
+        # single-'C+m' decoder can't handle come back for the Python oracle
+        if cols["has_implicit"]:
+            from ..utils.log import set_data_has_implicit
+            set_data_has_implicit()
+        from ..io.bam import decode_record
+        call_off = cols["call_off"] if cols["n"] else None
+        buf_bytes = None  # lazily materialized; fallback reads are rare
+        for j in range(cols["n"]):
+            if cols["fallback"][j]:
+                if buf_bytes is None:
+                    buf_bytes = buf if isinstance(buf, bytes) else buf.tobytes()
+                rec, _ = decode_record(buf_bytes, int(cols["rec_off"][j]))
+                calls_l, quals_l, has_implicit = read_meth_calls(
+                    rec, config.lo, config.hi)
+                if has_implicit:
+                    from ..utils.log import set_data_has_implicit
+                    set_data_has_implicit()
+                if not calls_l:
+                    continue
+                calls = np.asarray(calls_l, dtype=np.uint32)
+                quals = np.asarray(quals_l, dtype=np.uint8)
+            else:
+                o = int(call_off[j])
+                cn = int(cols["call_n"][j])
+                calls = cols["calls"][o : o + cn].copy()
+                quals = cols["quals"][o : o + cn].copy()
+            hp_raw = int(cols["hp"][j])
+            add_read(cols["qnames"][j],
+                     None if hp_raw == _HP_ABSENT else hp_raw,
+                     int(cols["pos"][j]), int(cols["strand"][j]),
+                     int(cols["l_seq"][j]), int(cols["endpos"][j]),
+                     calls, quals)
+    else:
+        for rec in bam.fetch_region_1based(chrom, lo1, itvl_e + readback):
+            if rec.flag & (4 | 256 | 2048):
+                continue
+            if rec.mapq < config.min_mapq:
+                continue
+            if rec.l_seq < 2 or rec.l_seq < config.readlen_threshold:
+                continue
+            de = rec.get_tag("de")
+            if de is not None and de > MIN_ALN_DE:
+                continue
+            calls, quals, has_implicit = read_meth_calls(rec, config.lo, config.hi)
+            if has_implicit:
+                from ..utils.log import set_data_has_implicit
+                set_data_has_implicit()
+            if not calls:
+                continue
+            add_read(rec.qname, rec.get_tag("HP"), rec.pos,
+                     1 if rec.is_reverse else 0, rec.l_seq, bam_endpos(rec),
+                     np.asarray(calls, dtype=np.uint32),
+                     np.asarray(quals, dtype=np.uint8))
 
     rs.rev_order = sorted(range(rs.n), key=lambda i: (rs.reads[i].end_pos, i))
     # left-side haplotype coverage gate (blockjoin.c:1161-1163)

@@ -376,6 +376,81 @@ class BamReader:
             return None, None
         return cols, buf
 
+    def plain_span(self, v_start: int, v_stop: int):
+        """Decompress the block span covering virtual offsets [v_start,
+        v_stop) and return (plain bytes, start offset, stop offset) — the
+        native window loader's input. None when the native lib is absent."""
+        try:
+            from . import native
+        except ImportError:
+            return None
+        if not native.native_available():
+            return None
+        from .bgzf import _parse_block_header
+        raw = self._bgzf._raw
+        b0 = v_start >> 16
+        b1 = v_stop >> 16
+        w1 = v_stop & 0xFFFF
+        if w1 > 0 and b1 < len(raw):
+            _, bsize = _parse_block_header(raw, b1)
+            slice_end = b1 + bsize
+        else:
+            slice_end = min(b1, len(raw))
+        res = native.bgzf_inflate_index(raw[b0:slice_end])
+        if res is None:
+            return None
+        plain, offs, isize = res
+        start = v_start & 0xFFFF
+        if w1 > 0 and b1 < len(raw):
+            stop = int(isize[:-1].sum()) + w1
+        else:
+            stop = len(plain)
+        return plain, start, min(stop, len(plain))
+
+    def fetch_window_columnar(self, chrom: str, beg: int, end: int,
+                              min_mapq: int, readlen_threshold: int,
+                              de_max: float, lo: int, hi: int):
+        """Native one-call region fetch + filter + meth decode (see
+        io/native bam_window_load). Returns (columns dict, plain buffer) or
+        (None, None) when the fast path is unavailable (no native lib, no
+        index, unknown chromosome)."""
+        tid = self.ref_id(chrom)
+        if tid < 0:
+            return {"n": 0, "has_implicit": False, "qnames": []}, b""
+        idx = self._load_index()
+        if idx is None:
+            return None, None
+        try:
+            from . import native
+        except ImportError:
+            return None, None
+        if not native.native_available():
+            return None, None
+        chunks = idx.chunks_for_region(tid, beg, end)
+        bufs = []
+        ranges = []
+        base = 0
+        for cb, ce in chunks:
+            span = self.plain_span(cb, ce)
+            if span is None:
+                return None, None
+            plain, s, e = span
+            bufs.append(plain)
+            ranges.append((base + s, base + e))
+            base += len(plain)
+        import numpy as np
+        if not bufs:
+            buf = np.empty(0, dtype=np.uint8)
+        elif len(bufs) == 1:
+            buf = bufs[0]
+        else:
+            buf = np.concatenate(bufs)
+        cols = native.bam_window_load(buf, ranges, tid, beg, end, min_mapq,
+                                      readlen_threshold, de_max, lo, hi)
+        if cols is None:
+            return None, None
+        return cols, buf
+
     def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:
         """Records overlapping 0-based half-open [beg, end) on `chrom`."""
         tid = self.ref_id(chrom)

@@ -66,6 +66,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rans4x8_uncompress.argtypes = [u8p, ctypes.c_int64,
                                            u8p, ctypes.c_int64]
         i32 = ctypes.c_int32
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.bam_window_load.restype = ctypes.c_int64
+        lib.bam_window_load.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            i32, ctypes.c_int64, ctypes.c_int64,
+            i32, i32, ctypes.c_double, i32, i32, ctypes.c_int64, i32,
+            i64p, i32p, i32p, i8p, i32p, i32p, i8p,
+            i64p, u8p, ctypes.c_int64,
+            i64p, i32p, u32p, u8p, ctypes.c_int64,
+            i32p]
         lib.meth_decode_read.restype = i32
         lib.meth_decode_read.argtypes = [
             u8p, i32, i32, ctypes.c_char_p, u8p, i32,
@@ -217,6 +229,120 @@ def rans4x8_uncompress(stream: bytes, raw_size: int) -> Optional[bytes]:
     if r != 0:
         return None
     return out.tobytes()
+
+
+def bgzf_inflate_index(comp) -> Optional[Tuple[bytes, np.ndarray, np.ndarray]]:
+    """Decompress a BGZF byte span and return (plain bytes, block byte
+    offsets within `comp`, per-block uncompressed sizes) — the index needed
+    to map virtual offsets into the plain buffer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    comp_a = np.frombuffer(comp, dtype=np.uint8)
+    max_blocks = len(comp) // 28 + 2
+    offs = np.zeros(max_blocks, dtype=np.int64)
+    isize = np.zeros(max_blocks, dtype=np.int64)
+    n = lib.bgzf_scan_blocks(_p(comp_a, ctypes.c_uint8), len(comp),
+                             _p(offs, ctypes.c_int64), _p(isize, ctypes.c_int64),
+                             max_blocks)
+    if n < 0:
+        return None
+    offs = offs[:n]
+    isize = isize[:n]
+    out_offs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(isize[:-1], out=out_offs[1:])
+    out = np.empty(int(isize.sum()), dtype=np.uint8)
+    r = lib.bgzf_inflate_blocks(_p(comp_a, ctypes.c_uint8), len(comp),
+                                _p(offs, ctypes.c_int64), _p(out_offs, ctypes.c_int64),
+                                _p(isize, ctypes.c_int64), n,
+                                _p(out, ctypes.c_uint8), max(2, min(8, _N_CPU)))
+    if r != 0:
+        return None
+    return out, offs, isize  # out stays a uint8 array: no copy on this path
+
+
+_N_CPU = os.cpu_count() or 2
+
+
+def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
+                    min_mapq: int, readlen_threshold: int, de_max: float,
+                    lo: int, hi: int, n_threads: int = 0) -> Optional[dict]:
+    """One-call window fetch+filter+meth-decode over a decompressed BAI
+    chunk span (see bam_window_load in pomfret_native.cpp). Returns a dict
+    of columnar arrays, or None when the native lib is unavailable.
+
+    The ctypes call releases the GIL, so concurrent window loads from a
+    thread pool scale (the htslib-bgzf-worker role for region fetches)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = max(2, min(8, _N_CPU + 1))
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
+    n_chunks = len(chunk_ranges)
+    c_starts = np.asarray([c[0] for c in chunk_ranges], dtype=np.int64)
+    c_stops = np.asarray([c[1] for c in chunk_ranges], dtype=np.int64)
+    n_cap = max(256, len(buf) // 512)
+    qn_cap = n_cap * 64
+    # pass-2 provisional layout needs sum(l_seq + 4) <= calls_cap; record
+    # bytes per read exceed l_seq (packed seq + quals + aux), so buf_len is
+    # a safe first guess, with doubling retries below
+    calls_cap = max(4096, len(buf))
+    for _ in range(8):  # retry with doubled caps on overflow
+        rec_off = np.empty(n_cap, dtype=np.int64)
+        pos = np.empty(n_cap, dtype=np.int32)
+        endpos = np.empty(n_cap, dtype=np.int32)
+        strand = np.empty(n_cap, dtype=np.int8)
+        hp = np.empty(n_cap, dtype=np.int32)
+        lseq = np.empty(n_cap, dtype=np.int32)
+        fallback = np.empty(n_cap, dtype=np.int8)
+        qname_off = np.empty(n_cap + 1, dtype=np.int64)
+        qname_buf = np.empty(qn_cap, dtype=np.uint8)
+        call_off = np.empty(n_cap + 1, dtype=np.int64)
+        call_n = np.empty(n_cap, dtype=np.int32)
+        calls = np.empty(calls_cap, dtype=np.uint32)
+        quals = np.empty(calls_cap, dtype=np.uint8)
+        has_implicit = ctypes.c_int32(0)
+        n = lib.bam_window_load(
+            _p(b, ctypes.c_uint8), len(buf),
+            _p(c_starts, ctypes.c_int64), _p(c_stops, ctypes.c_int64), n_chunks,
+            tid, beg, end, min_mapq, readlen_threshold, de_max, lo, hi,
+            n_cap, n_threads,
+            _p(rec_off, ctypes.c_int64), _p(pos, ctypes.c_int32),
+            _p(endpos, ctypes.c_int32), _p(strand, ctypes.c_int8),
+            _p(hp, ctypes.c_int32), _p(lseq, ctypes.c_int32),
+            _p(fallback, ctypes.c_int8),
+            _p(qname_off, ctypes.c_int64), _p(qname_buf, ctypes.c_uint8), qn_cap,
+            _p(call_off, ctypes.c_int64), _p(call_n, ctypes.c_int32),
+            _p(calls, ctypes.c_uint32), _p(quals, ctypes.c_uint8), calls_cap,
+            ctypes.byref(has_implicit))
+        if n == -3:
+            n_cap *= 2
+            qn_cap *= 2
+            continue
+        if n == -4:
+            qn_cap *= 2
+            continue
+        if n == -5:
+            calls_cap *= 2
+            continue
+        if n < 0:
+            return None
+        n = int(n)
+        qb = qname_buf.tobytes()
+        return {
+            "n": n,
+            "rec_off": rec_off[:n], "pos": pos[:n], "endpos": endpos[:n],
+            "strand": strand[:n], "hp": hp[:n], "l_seq": lseq[:n],
+            "fallback": fallback[:n],
+            "qnames": [qb[qname_off[i]: qname_off[i + 1]].decode()
+                       for i in range(n)],
+            "call_off": call_off[: n + 1], "call_n": call_n[:n],
+            "calls": calls, "quals": quals,
+            "has_implicit": bool(has_implicit.value),
+        }
+    return None
 
 
 _meth_tl = threading.local()

@@ -481,6 +481,302 @@ extern "C" int32_t meth_decode_read(
     return n_out;
 }
 
+// ------------------------------------------------------------- window load
+// One-call region fetch + filter + meth decode: the native equivalent of
+// load_reads_given_interval's record loop (blockjoin.c:1043-1173). Replaces
+// ~2300 per-read ctypes calls per gap window with a single call over the
+// decompressed BAI chunk span; the caller (core/readset.py) applies the
+// HP-tag semantics, duplicate-qname check and boundary classification.
+//
+// Chunk semantics mirror BamReader.fetch: per chunk scan records while the
+// record start is before the chunk stop; `refID > tid` and `pos >= end`
+// break the chunk, `refID < tid` skips. Overlap filter uses htslib
+// bam_endpos semantics (pos+1 when unmapped or no ref-consuming op).
+//
+// Per-record outputs: reads that pass every filter AND have >=1 lifted call,
+// plus reads the single-'C+m' fast decoder cannot handle (o_fallback=1, the
+// caller re-decodes those few via the Python oracle using o_rec_off).
+//
+// Returns the number of reads kept, or a negative code the caller retries
+// on: -3 max_reads exceeded, -4 qname_cap exceeded, -5 calls_cap exceeded.
+
+extern "C" int32_t meth_decode_read(
+    const uint8_t* seq_packed, int32_t l_seq, int32_t strand,
+    const char* mm, const uint8_t* ml, int32_t n_ml,
+    const uint32_t* cigar, int32_t n_cigar, int32_t qs,
+    int32_t lo, int32_t hi,
+    uint32_t* out_pos, uint8_t* out_qual, int32_t cap,
+    int32_t* out_has_implicit);
+
+namespace {
+
+// one record that passed every cheap filter; meth decode happens in pass 2
+struct WinCand {
+    int64_t rec_off;
+    const uint8_t* p;       // record body (after the 4-byte block_size)
+    int32_t ps, lseq;
+    int64_t ep;
+    uint16_t fl, n_cigar;
+    uint8_t l_read_name;
+    const char* mm;
+    const uint8_t* ml;
+    int32_t n_ml;
+    bool ml_bad, has_hp;
+    int64_t hpv;
+    // pass-2 results
+    int64_t slice_off;      // provisional slot in calls_buf/quals_buf
+    int32_t rc;             // meth_decode_read return
+};
+
+}  // namespace
+
+extern "C" int64_t bam_window_load(
+    const uint8_t* buf, int64_t buf_len,
+    const int64_t* c_starts, const int64_t* c_stops, int64_t n_chunks,
+    int32_t tid, int64_t beg, int64_t end,
+    int32_t min_mapq, int32_t readlen_threshold, double de_max,
+    int32_t lo, int32_t hi,
+    int64_t max_reads, int32_t n_threads,
+    int64_t* o_rec_off, int32_t* o_pos, int32_t* o_endpos,
+    int8_t* o_strand, int32_t* o_hp, int32_t* o_lseq, int8_t* o_fallback,
+    int64_t* o_qname_off, uint8_t* qname_buf, int64_t qname_cap,
+    int64_t* o_call_off, int32_t* o_call_n,
+    uint32_t* calls_buf, uint8_t* quals_buf, int64_t calls_cap,
+    int32_t* out_has_implicit) {
+    *out_has_implicit = 0;
+    int64_t n = 0, qn_used = 0, calls_used = 0;
+    const int32_t HP_ABSENT = INT32_MIN;
+    std::vector<WinCand> cands;
+    // ---- pass 1: serial record scan, filters, aux pointers ----
+    for (int64_t ci = 0; ci < n_chunks; ci++) {
+        int64_t off = c_starts[ci];
+        const int64_t stop = c_stops[ci];
+        while (off < stop && off + 4 <= buf_len) {
+            int32_t block_size;
+            memcpy(&block_size, buf + off, 4);
+            if (block_size < 32 || off + 4 + block_size > buf_len) break;
+            const uint8_t* p = buf + off + 4;
+            const int64_t rec_off = off;
+            const uint8_t* rec_end = buf + off + 4 + block_size;
+            off += 4 + block_size;
+            int32_t rid, ps, lseq;
+            memcpy(&rid, p, 4);
+            memcpy(&ps, p + 4, 4);
+            uint8_t l_read_name = p[8];
+            uint8_t mq = p[9];
+            uint16_t n_cigar, fl;
+            memcpy(&n_cigar, p + 12, 2);
+            memcpy(&fl, p + 14, 2);
+            memcpy(&lseq, p + 16, 4);
+            if (rid != tid) {
+                if (rid > tid) break;  // past our chromosome in this chunk
+                continue;
+            }
+            if ((int64_t)ps >= end) break;
+            const uint8_t* cg = p + 32 + l_read_name;
+            int64_t ep;
+            if (fl & 4 || n_cigar == 0) {
+                ep = (int64_t)ps + 1;  // bam_endpos unmapped/no-cigar rule
+            } else {
+                int64_t span = 0;
+                for (int i = 0; i < n_cigar; i++) {
+                    uint32_t c;
+                    memcpy(&c, cg + 4 * i, 4);
+                    uint32_t op = c & 0xf;
+                    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                        span += c >> 4;
+                }
+                ep = (int64_t)ps + (span > 0 ? span : 1);
+            }
+            if (ep <= beg) continue;              // fetch overlap filter
+            if (fl & (4 | 256 | 2048)) continue;  // unmapped/secondary/supp
+            if (mq < min_mapq) continue;
+            if (lseq < 2 || lseq < readlen_threshold) continue;
+            // --- aux scan: de(first), HP(first), MM/Mm (first non-empty Z),
+            //     ML/Ml (first 'B'); first-match-wins mirrors get_tag
+            const uint8_t* seqp = cg + 4 * (int64_t)n_cigar;
+            const uint8_t* aux = seqp + (lseq + 1) / 2 + lseq;
+            bool has_de = false, has_hp = false;
+            double dev = 0.0;
+            int64_t hpv = 0;
+            const char* mm_upper = nullptr;  // "MM"
+            const char* mm_lower = nullptr;  // "Mm"
+            const uint8_t* ml_upper = nullptr;
+            const uint8_t* ml_lower = nullptr;
+            int32_t nml_upper = 0, nml_lower = 0;
+            bool ml_bad = false;  // ML present with a non-'C' subtype
+            while (aux + 3 <= rec_end) {
+                char t0 = (char)aux[0], t1 = (char)aux[1], typ = (char)aux[2];
+                const uint8_t* v = aux + 3;
+                int64_t sz = -1;
+                switch (typ) {
+                    case 'A': case 'c': case 'C': sz = 1; break;
+                    case 's': case 'S': sz = 2; break;
+                    case 'i': case 'I': case 'f': sz = 4; break;
+                    case 'Z': case 'H': {
+                        const uint8_t* q = v;
+                        while (q < rec_end && *q) q++;
+                        if (q >= rec_end) { sz = -1; break; }  // missing NUL
+                        sz = q - v + 1;
+                        break;
+                    }
+                    case 'B': {
+                        if (v + 5 > rec_end) { sz = -1; break; }
+                        char sub = (char)v[0];
+                        int32_t cnt;
+                        memcpy(&cnt, v + 1, 4);
+                        int es = (sub == 'c' || sub == 'C') ? 1
+                               : (sub == 's' || sub == 'S') ? 2 : 4;
+                        sz = 5 + (int64_t)cnt * es;
+                        break;
+                    }
+                    default: sz = -1; break;
+                }
+                if (sz < 0 || v + sz > rec_end) break;  // malformed: stop scan
+                if (t0 == 'd' && t1 == 'e' && !has_de) {
+                    switch (typ) {
+                        case 'f': { float x; memcpy(&x, v, 4); dev = x; has_de = true; break; }
+                        case 'c': dev = *(const int8_t*)v; has_de = true; break;
+                        case 'C': dev = *v; has_de = true; break;
+                        case 's': { int16_t x; memcpy(&x, v, 2); dev = x; has_de = true; break; }
+                        case 'S': { uint16_t x; memcpy(&x, v, 2); dev = x; has_de = true; break; }
+                        case 'i': { int32_t x; memcpy(&x, v, 4); dev = x; has_de = true; break; }
+                        case 'I': { uint32_t x; memcpy(&x, v, 4); dev = x; has_de = true; break; }
+                        default: break;
+                    }
+                } else if (t0 == 'H' && t1 == 'P' && !has_hp) {
+                    switch (typ) {
+                        case 'c': hpv = *(const int8_t*)v; has_hp = true; break;
+                        case 'C': hpv = *v; has_hp = true; break;
+                        case 's': { int16_t x; memcpy(&x, v, 2); hpv = x; has_hp = true; break; }
+                        case 'S': { uint16_t x; memcpy(&x, v, 2); hpv = x; has_hp = true; break; }
+                        case 'i': { int32_t x; memcpy(&x, v, 4); hpv = x; has_hp = true; break; }
+                        case 'I': { uint32_t x; memcpy(&x, v, 4); hpv = (int64_t)x; has_hp = true; break; }
+                        default: break;
+                    }
+                } else if (t0 == 'M' && typ == 'Z' && sz > 1) {
+                    // empty MM:Z: is falsy in `get_tag("MM") or get_tag("Mm")`
+                    if (t1 == 'M' && !mm_upper) mm_upper = (const char*)v;
+                    else if (t1 == 'm' && !mm_lower) mm_lower = (const char*)v;
+                } else if (t0 == 'M' && typ == 'B') {
+                    if (t1 == 'L' && !ml_upper && !ml_bad) {
+                        if ((char)v[0] == 'C') {
+                            int32_t cnt; memcpy(&cnt, v + 1, 4);
+                            ml_upper = v + 5; nml_upper = cnt;
+                        } else {
+                            ml_bad = true;
+                        }
+                    } else if (t1 == 'l' && !ml_lower && !ml_upper) {
+                        if ((char)v[0] == 'C') {
+                            int32_t cnt; memcpy(&cnt, v + 1, 4);
+                            ml_lower = v + 5; nml_lower = cnt;
+                        } else {
+                            ml_bad = true;
+                        }
+                    }
+                }
+                aux = v + sz;
+            }
+            if (has_de && dev > de_max) continue;
+            const char* mm = mm_upper ? mm_upper : mm_lower;
+            if (!mm) continue;  // no MM tag -> no calls -> skipped read
+            WinCand c;
+            c.rec_off = rec_off;
+            c.p = p;
+            c.ps = ps;
+            c.lseq = lseq;
+            c.ep = ep;
+            c.fl = fl;
+            c.n_cigar = n_cigar;
+            c.l_read_name = l_read_name;
+            c.mm = mm;
+            c.ml = ml_upper ? ml_upper : ml_lower;
+            c.n_ml = ml_upper ? nml_upper : nml_lower;
+            c.ml_bad = ml_bad;
+            c.has_hp = has_hp;
+            c.hpv = hpv;
+            c.rc = -2;
+            cands.push_back(c);
+        }
+    }
+    // ---- pass 2: parallel meth decode into provisional slices ----
+    // per-read output bound: every emission is either a listed trigger
+    // (<= #CpG <= lseq/2 after the CpG filter) or an implicit CpG call
+    // (<= lseq/2), so lseq + 4 is safe.
+    {
+        int64_t acc = 0;
+        for (auto& c : cands) {
+            c.slice_off = acc;
+            acc += (int64_t)c.lseq + 4;
+        }
+        if (acc > calls_cap) return -5;
+    }
+    std::atomic<int64_t> next(0);
+    std::atomic<int32_t> any_implicit(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= (int64_t)cands.size()) return;
+            WinCand& c = cands[i];
+            if (c.ml_bad) { c.rc = -2; continue; }
+            const uint8_t* cg = c.p + 32 + c.l_read_name;
+            const uint8_t* seqp = cg + 4 * (int64_t)c.n_cigar;
+            int32_t imp = 0;
+            c.rc = meth_decode_read(
+                seqp, c.lseq, (c.fl & 16) ? 1 : 0, c.mm, c.ml, c.n_ml,
+                (const uint32_t*)(const void*)cg, c.n_cigar, c.ps, lo, hi,
+                calls_buf + c.slice_off, quals_buf + c.slice_off,
+                c.lseq + 4, &imp);
+            if (c.rc == -1) c.rc = -2;  // bound exceeded: Python oracle
+            if (imp) any_implicit.store(1);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)cands.size()) nt = (int)cands.size();
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    if (any_implicit.load()) *out_has_implicit = 1;
+    // ---- pass 3: serial compaction into the packed output layout ----
+    for (auto& c : cands) {
+        const bool fb = c.rc == -2;
+        if (!fb && c.rc == 0) continue;  // decoded fine but no usable call
+        if (n >= max_reads) return -3;
+        int64_t qlen = (int64_t)c.l_read_name - 1;  // drop trailing NUL
+        if (qlen < 0) qlen = 0;
+        if (qn_used + qlen > qname_cap) return -4;
+        memcpy(qname_buf + qn_used, c.p + 32, qlen);
+        o_qname_off[n] = qn_used;
+        qn_used += qlen;
+        o_rec_off[n] = c.rec_off;
+        o_pos[n] = c.ps;
+        o_endpos[n] = (int32_t)c.ep;
+        o_strand[n] = (c.fl & 16) ? 1 : 0;
+        o_hp[n] = c.has_hp ? (int32_t)c.hpv : HP_ABSENT;
+        o_lseq[n] = c.lseq;
+        o_fallback[n] = fb ? 1 : 0;
+        o_call_off[n] = calls_used;
+        o_call_n[n] = fb ? 0 : c.rc;
+        if (!fb && c.rc > 0) {
+            if (calls_used != c.slice_off) {
+                memmove(calls_buf + calls_used, calls_buf + c.slice_off,
+                        (size_t)c.rc * 4);
+                memmove(quals_buf + calls_used, quals_buf + c.slice_off,
+                        (size_t)c.rc);
+            }
+            calls_used += c.rc;
+        }
+        n++;
+    }
+    o_qname_off[n] = qn_used;
+    o_call_off[n] = calls_used;
+    return n;
+}
+
 // ------------------------------------------------------------------ rANS4x8
 // CRAM 3.0 block codec (spec section 13): 12-bit frequencies, four
 // interleaved rANS states, byte renormalization at 2^23. Stream layout

@@ -37,8 +37,16 @@ def make_aux(tags: Sequence[Tuple[str, str, object]]) -> bytes:
             out += b"A" + val.encode()
         elif typ == "i":
             out += b"i" + struct.pack("<i", val)
+        elif typ == "I":
+            out += b"I" + struct.pack("<I", val)
+        elif typ == "c":
+            out += b"c" + struct.pack("<b", val)
         elif typ == "C":
             out += b"C" + struct.pack("<B", val)
+        elif typ == "s":
+            out += b"s" + struct.pack("<h", val)
+        elif typ == "S":
+            out += b"S" + struct.pack("<H", val)
         elif typ == "f":
             out += b"f" + struct.pack("<f", val)
         elif typ == "Z":

@@ -419,16 +419,38 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
     tag_maps: Dict[int, Dict[str, int]] = {}
+
+    def _load_one(i):
+        rs = load_reads_given_interval(
+            bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
+            st.qname2haptag_raw if st.stores_raw_tag else None)
+        ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
+        ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+        return i, rs, ms_fwd, ms_bwd
+
+    # window loads overlap across gaps: the native decode path (inflate +
+    # bam_window_load) releases the GIL, so a small thread pool hides the
+    # Python-side assembly behind the C++ work. The serial fetch path
+    # mutates BgzfReader position state, so only the columnar path pools.
+    import os as _os
+    n_load_threads = 1
+    if getattr(bam, "fetch_window_columnar", None) is not None and \
+            not _os.environ.get("POMFRET_NO_NATIVE_WINDOW"):
+        from ..io import native as _native
+        if _native.native_available():
+            n_load_threads = max(1, min(4, (_os.cpu_count() or 2) - 1))
+
     pending = []  # one-deep pipeline: device runs group k while host packs k+1
     for c0 in range(0, len(idxs), group):
         chunk = idxs[c0 : c0 + group]
+        if n_load_threads > 1 and len(chunk) > 1:
+            import concurrent.futures as _fut
+            with _fut.ThreadPoolExecutor(n_load_threads) as ex:
+                results = list(ex.map(_load_one, chunk))
+        else:
+            results = [_load_one(i) for i in chunk]
         loaded = []
-        for i in chunk:
-            rs = load_reads_given_interval(
-                bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
-                st.qname2haptag_raw if st.stores_raw_tag else None)
-            ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
-            ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+        for i, rs, ms_fwd, ms_bwd in results:
             if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
                 decisions[i] = -1
                 tag_maps[i] = {}

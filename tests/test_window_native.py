@@ -1,0 +1,196 @@
+"""Parity tests for the native one-call window loader (bam_window_load).
+
+The C++ fast path in io/native must produce a ReadSet identical to the pure
+Python loader (load_reads_given_interval with POMFRET_NO_NATIVE_WINDOW=1) on
+realistic windows and on crafted edge cases: fallback MM shapes, tag-type
+variants, filters, and region-boundary semantics.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from pomfret_tpu.io import native
+from pomfret_tpu.io.bam import BamReader
+from pomfret_tpu.io.bam_writer import BamWriter
+from pomfret_tpu.io.records import make_record
+from pomfret_tpu.core.readset import (READBACK, MmrConfig,
+                                      load_reads_given_interval)
+from pomfret_tpu.testing import make_two_block_scenario
+
+pytestmark = pytest.mark.skipif(not native.native_available(),
+                                reason="native lib unavailable")
+
+
+def _snap(rs):
+    return {
+        "reads": [(r.qname, r.hp, r.strand, r.length, r.start_pos, r.end_pos,
+                   r.calls.tolist(), r.quals.tolist()) for r in rs.reads],
+        "ids_left": rs.ids_left, "ids_left_strict": rs.ids_left_strict,
+        "ids_right": rs.ids_right, "ids_right_strict": rs.ids_right_strict,
+        "rev_order": rs.rev_order,
+        "ref_start": rs.ref_start, "ref_end": rs.ref_end,
+    }
+
+
+def _both(bam_path, chrom, s, e, cfg, raw=None):
+    bamr = BamReader(bam_path)
+    os.environ["POMFRET_NO_NATIVE_WINDOW"] = "1"
+    try:
+        py = _snap(load_reads_given_interval(bamr, chrom, s, e, READBACK, cfg, raw))
+    finally:
+        del os.environ["POMFRET_NO_NATIVE_WINDOW"]
+    nat = _snap(load_reads_given_interval(bamr, chrom, s, e, READBACK, cfg, raw))
+    return py, nat
+
+
+def test_window_parity_realistic(tmp_path):
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    gs, ge = truth["gap"]
+    py, nat = _both(bam, "chr1", gs, ge, cfg)
+    assert py == nat
+    assert len(py["reads"]) > 100
+    # a second, offset window exercising different chunk spans
+    py2, nat2 = _both(bam, "chr1", gs - 7000, ge + 9000, cfg)
+    assert py2 == nat2
+    # unknown chromosome -> empty on both paths
+    py3, nat3 = _both(bam, "chrMissing", gs, ge, cfg)
+    assert py3 == nat3
+    assert py3["reads"] == []
+
+
+def test_window_parity_raw_tag_override(tmp_path):
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    gs, ge = truth["gap"]
+    # raw-haptag override path (-u): every read unphased except a few
+    rd = BamReader(bam)
+    names = [rec.qname for rec in rd.fetch_all()]
+    raw = {qn: i % 2 for i, qn in enumerate(names[:50])}
+    py, nat = _both(bam, "chr1", gs, ge, cfg, raw)
+    assert py == nat
+
+
+def _edge_bam(path):
+    """Crafted single-chrom BAM with filter & fallback edge cases.
+
+    32 long-enough filler reads straddle the left boundary so the <15
+    per-hap coverage gate (blockjoin.c:1161-1163) keeps the window alive.
+    """
+    recs = []
+    seq40 = "ACGCGTACGCGTACGCGTACGCGTACGCGTACGCGTACGC"  # CpGs throughout
+    for i in range(32):
+        recs.append(make_record(
+            f"fill{i}", 0, 500 + i, seq40, [("M", 40)],
+            flag=16 if i % 4 == 0 else 0, mapq=60,
+            tags=[("HP", "C", (i % 2) + 1), ("MM", "Z", "C+m.,0,0;"),
+                  ("ML", "B:C", [250, 250])]))
+    pos = 600
+    mk = lambda qn, **kw: make_record(qn, 0, pos, seq40, [("M", 40)], **kw)
+    # tag-type variants for HP / de
+    recs.append(mk("hp_s", mapq=60, tags=[("HP", "s", 2), ("MM", "Z", "C+m,1;"),
+                                          ("ML", "B:C", [200])]))
+    recs.append(mk("hp_zero", mapq=60, tags=[("HP", "C", 0), ("MM", "Z", "C+m,1;"),
+                                             ("ML", "B:C", [200])]))
+    recs.append(mk("hp_absent", mapq=60, tags=[("MM", "Z", "C+m,1;"),
+                                               ("ML", "B:C", [200])]))
+    recs.append(mk("de_ok", mapq=60, tags=[("de", "f", 0.05), ("HP", "C", 1),
+                                           ("MM", "Z", "C+m,1;"), ("ML", "B:C", [200])]))
+    recs.append(mk("de_bad", mapq=60, tags=[("de", "f", 0.5), ("HP", "C", 1),
+                                            ("MM", "Z", "C+m,1;"), ("ML", "B:C", [200])]))
+    # fallback MM shapes: multi-item, ChEBI, minus-strand item, multi-code
+    recs.append(mk("fb_multi", mapq=60,
+                   tags=[("MM", "Z", "C+m,1;A+a,0;"), ("ML", "B:C", [200, 9])]))
+    recs.append(mk("fb_chebi", mapq=60,
+                   tags=[("MM", "Z", "C+27551,1;"), ("ML", "B:C", [200])]))
+    recs.append(mk("fb_minus", mapq=60,
+                   tags=[("MM", "Z", "C-m,1;"), ("ML", "B:C", [200])]))
+    recs.append(mk("fb_multicode", mapq=60,
+                   tags=[("MM", "Z", "C+mh,1;"), ("ML", "B:C", [200, 100])]))
+    # lowercase tag names; missing ML; empty MM; no MM at all
+    recs.append(mk("mm_lower", mapq=60, tags=[("Mm", "Z", "C+m,1;"),
+                                              ("Ml", "B:C", [200])]))
+    recs.append(mk("ml_missing", mapq=60, tags=[("MM", "Z", "C+m,1,0;")]))
+    recs.append(mk("mm_empty", mapq=60, tags=[("MM", "Z", "")]))
+    recs.append(mk("mm_none", mapq=60, tags=[("HP", "C", 1)]))
+    # filters: mapq, flags
+    recs.append(mk("mapq_low", mapq=3, tags=[("MM", "Z", "C+m,1;"), ("ML", "B:C", [200])]))
+    recs.append(mk("secondary", flag=256, mapq=60,
+                   tags=[("MM", "Z", "C+m,1;"), ("ML", "B:C", [200])]))
+    recs.append(mk("supp", flag=2048, mapq=60,
+                   tags=[("MM", "Z", "C+m,1;"), ("ML", "B:C", [200])]))
+    # reverse strand with calls; implicit-mode read (non-CpG call)
+    recs.append(make_record("rev1", 0, pos + 1, seq40, [("M", 40)], flag=16,
+                            mapq=60, tags=[("MM", "Z", "C+m.,0,1;"),
+                                           ("ML", "B:C", [250, 10])]))
+    recs.append(make_record(
+        "implicit1", 0, pos + 2, "ACTTTTTTCGTTTTTTTTTT", [("M", 20)], mapq=60,
+        tags=[("MM", "Z", "C+m,0,0;"), ("ML", "B:C", [250, 250])]))
+    # soft clips + indels around the window edge
+    recs.append(make_record("clip1", 0, pos + 3, seq40,
+                            [("S", 4), ("M", 20), ("I", 3), ("M", 8), ("D", 6), ("M", 5)],
+                            mapq=60, tags=[("MM", "Z", "C+m.,0,0,0;"),
+                                           ("ML", "B:C", [250, 10, 200])]))
+    # a far-right read that only overlaps via endpos (deletion-extended)
+    recs.append(make_record("span_end", 0, 2000, seq40, [("M", 40)], mapq=60,
+                            tags=[("MM", "Z", "C+m,0;"), ("ML", "B:C", [250])]))
+    recs.sort(key=lambda r: r.pos)
+    with BamWriter(path, ["c1"], [100000], keep_index_info=True) as w:
+        for r in recs:
+            w.write(r)
+    w.build_index(n_ref=1)
+
+
+def test_window_parity_edge_cases(tmp_path):
+    p = str(tmp_path / "edge.bam")
+    _edge_bam(p)
+    cfg = MmrConfig(readlen_threshold=10, min_mapq=10,
+                    cov_for_selection=1, cov_for_runtime=2)
+    py, nat = _both(p, "c1", 620, 640, cfg)
+    assert py == nat
+    names = [r[0] for r in nat["reads"]]
+    # fallback shapes decoded via the Python oracle are present + identical
+    assert "fb_minus" in names and "fb_multi" in names
+    # filters applied: excluded reads
+    for gone in ("de_bad", "mapq_low", "secondary", "supp", "mm_none", "mm_empty"):
+        assert gone not in names, gone
+    # HP semantics: type variants, zero, absent
+    by = {r[0]: r for r in nat["reads"]}
+    assert by["hp_s"][1] == 1        # HP:s:2 -> hap 1
+    assert by["hp_zero"][1] == 254   # HP=0 -> HAPTAG_UNPHASED
+    assert by["hp_absent"][1] == 254
+
+
+def test_window_parity_coverage_gate(tmp_path):
+    """Fewer than 15 left reads per hap wipes the ReadSet on both paths."""
+    p = str(tmp_path / "thin.bam")
+    seq = "ACGCGTACGCGTACGCGTAC"
+    recs = [make_record(f"r{i}", 0, 100 + i, seq, [("M", 20)], mapq=60,
+                        tags=[("HP", "C", (i % 2) + 1), ("MM", "Z", "C+m,0;"),
+                              ("ML", "B:C", [250])])
+            for i in range(8)]
+    with BamWriter(p, ["c1"], [10000], keep_index_info=True) as w:
+        for r in recs:
+            w.write(r)
+    w.build_index(n_ref=1)
+    cfg = MmrConfig(readlen_threshold=10, min_mapq=10)
+    py, nat = _both(p, "c1", 150, 160, cfg)
+    assert py == nat
+    assert nat["reads"] == []
+
+
+def test_window_duplicate_qname_raises(tmp_path):
+    p = str(tmp_path / "dup.bam")
+    seq = "ACGCGTACGCGTACGCGTAC"
+    recs = [make_record("same", 0, 100 + i, seq, [("M", 20)], mapq=60,
+                        tags=[("MM", "Z", "C+m,0;"), ("ML", "B:C", [250])])
+            for i in range(2)]
+    with BamWriter(p, ["c1"], [10000], keep_index_info=True) as w:
+        for r in recs:
+            w.write(r)
+    w.build_index(n_ref=1)
+    cfg = MmrConfig(readlen_threshold=10, min_mapq=10)
+    bamr = BamReader(p)
+    with pytest.raises(ValueError, match="duplicated read name"):
+        load_reads_given_interval(bamr, "c1", 105, 110, READBACK, cfg)

@@ -21,6 +21,7 @@ Quirks preserved:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -286,6 +287,32 @@ def _get_mmr_of_read_walk(read: Read, ms: Methmers) -> Tuple[List[int], int]:
 def store_mmr_of_reads(rs: ReadSet, ms: Methmers) -> None:
     if rs.has_mmr:
         raise RuntimeError("storing methmers when read set already has them")
+    if rs.n and not os.environ.get("POMFRET_NO_NATIVE_MMR"):
+        from ..io import native
+        if native.native_available():
+            # batch C++ walk over all reads (mmr_extract_reads); the Python
+            # path below stays as the parity oracle (POMFRET_NO_NATIVE_MMR=1)
+            calls = np.concatenate([r.calls for r in rs.reads])
+            quals = np.concatenate([r.quals for r in rs.reads])
+            call_n = np.asarray([len(r.calls) for r in rs.reads], dtype=np.int32)
+            call_off = np.zeros(rs.n, dtype=np.int64)
+            np.cumsum(call_n[:-1], out=call_off[1:])
+            res = native.mmr_extract_reads(ms.sites_starts, ms.mmr_lens,
+                                           calls, quals, call_off, call_n)
+            if res is not None:
+                for j, r in enumerate(rs.reads):
+                    nm = int(res["n"][j])
+                    if nm > 0:
+                        o = int(res["off"][j])
+                        r.mmr = res["mers"][o : o + nm].copy()
+                        r.mmr_n = nm
+                        r.mmr_start_i = int(res["start_i"][j])
+                        rs.has_mmr = True
+                    else:
+                        r.mmr = None
+                        r.mmr_n = 0
+                        r.mmr_start_i = 0
+                return
     for r in rs.reads:
         mers, start_i = get_mmr_of_read(r, ms)
         if start_i != UINT32_MAX and start_i + len(mers) > ms.n:

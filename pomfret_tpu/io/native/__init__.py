@@ -78,6 +78,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, u8p, ctypes.c_int64,
             i64p, i32p, u32p, u8p, ctypes.c_int64,
             i32p]
+        lib.mmr_extract_reads.restype = ctypes.c_int64
+        lib.mmr_extract_reads.argtypes = [
+            u32p, u8p, ctypes.c_int64,
+            u32p, u8p, i64p, i32p, ctypes.c_int64, i32,
+            u32p, ctypes.c_int64, i64p, i32p, u32p]
         lib.meth_decode_read.restype = i32
         lib.meth_decode_read.argtypes = [
             u8p, i32, i32, ctypes.c_char_p, u8p, i32,
@@ -342,6 +347,45 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
             "calls": calls, "quals": quals,
             "has_implicit": bool(has_implicit.value),
         }
+    return None
+
+
+def mmr_extract_reads(sites: np.ndarray, mmr_lens: np.ndarray,
+                      calls: np.ndarray, quals: np.ndarray,
+                      call_off: np.ndarray, call_n: np.ndarray,
+                      n_threads: int = 0) -> Optional[dict]:
+    """Batch methmer extraction for all reads of a window (the reference buf
+    walk, blockjoin.c:3357-3451, threaded over reads). Returns dict with
+    concatenated `mers` + per-read `off`/`n`/`start_i`, or None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = max(2, min(8, _N_CPU + 1))
+    n_reads = len(call_n)
+    sites = np.ascontiguousarray(sites, dtype=np.uint32)
+    mmr_lens = np.ascontiguousarray(mmr_lens, dtype=np.uint8)
+    out_off = np.empty(n_reads, dtype=np.int64)
+    out_n = np.empty(n_reads, dtype=np.int32)
+    out_start = np.empty(n_reads, dtype=np.uint32)
+    cap = max(4096, int(len(calls)) + 64 * max(1, n_reads))
+    for _ in range(8):
+        out_mers = np.empty(cap, dtype=np.uint32)
+        total = lib.mmr_extract_reads(
+            _p(sites, ctypes.c_uint32), _p(mmr_lens, ctypes.c_uint8),
+            len(sites),
+            _p(calls, ctypes.c_uint32), _p(quals, ctypes.c_uint8),
+            _p(call_off, ctypes.c_int64), _p(call_n, ctypes.c_int32),
+            n_reads, n_threads,
+            _p(out_mers, ctypes.c_uint32), cap,
+            _p(out_off, ctypes.c_int64), _p(out_n, ctypes.c_int32),
+            _p(out_start, ctypes.c_uint32))
+        if total == -1:
+            cap *= 2
+            continue
+        return {"mers": out_mers, "off": out_off, "n": out_n,
+                "start_i": out_start}
     return None
 
 

@@ -777,6 +777,146 @@ extern "C" int64_t bam_window_load(
     return n;
 }
 
+// --------------------------------------------------------- methmer extract
+// Batch per-read methmer extraction: the literal reference buf walk
+// (get_mmr_of_read, blockjoin.c:3357-3451) for every read of a window in one
+// call, threaded over reads. Semantics mirror core/methmer.py's
+// _get_mmr_of_read_walk — the fuzz oracle — including the quirks PARITY.md
+// M2-M6 (the `i>1` dedup exemption, the nbuf-1 inner-scan stop, exclusive
+// right bound on exact last-call match) and the storage-overflow clamp of
+// store_mmr_of_reads (blockjoin.c:3518-3523 + our documented clamp).
+//
+// Returns total mers written, or -1 if out_cap is too small (caller retries
+// with a doubled buffer).
+
+namespace {
+
+struct BufEnt {
+    uint32_t pos;
+    uint8_t is_call;
+    uint32_t tb;
+};
+
+inline bool buf_lt(const BufEnt& a, const BufEnt& b) {
+    if (a.pos != b.pos) return a.pos < b.pos;
+    if (a.is_call != b.is_call) return a.is_call < b.is_call;
+    return a.tb < b.tb;
+}
+
+// one read's walk; appends mers, returns start_i (UINT32_MAX when none)
+uint32_t mmr_walk_one(const uint32_t* sites, const uint8_t* mmr_lens,
+                      int64_t sites_n, const uint32_t* calls,
+                      const uint8_t* quals, int64_t n_calls,
+                      std::vector<uint32_t>& out,
+                      std::vector<BufEnt>& buf) {
+    const uint32_t NONE = 0xFFFFFFFFu;
+    if (n_calls == 0 || sites_n == 0) return NONE;
+    uint32_t first_call = calls[0], last_call = calls[n_calls - 1];
+    if (first_call > sites[sites_n - 1]) return NONE;
+    const uint32_t* lo_it = std::lower_bound(sites, sites + sites_n, first_call);
+    int64_t lo = lo_it - sites;
+    int64_t x_i_left;
+    if (first_call < sites[0]) x_i_left = 0;
+    else if (lo < sites_n && sites[lo] == first_call) x_i_left = lo;
+    else x_i_left = lo > 0 ? lo - 1 : 0;
+    if (last_call < sites[0]) return NONE;
+    const uint32_t* hi_it = std::lower_bound(sites, sites + sites_n, last_call);
+    int64_t x_i_right = last_call > sites[sites_n - 1] ? sites_n
+                                                       : (hi_it - sites);
+
+    buf.clear();
+    for (int64_t i = x_i_left; i < x_i_right; i++) {
+        if (i > 1 && sites[i] == sites[i - 1]) continue;  // i>1 quirk
+        buf.push_back({sites[i], 0, (uint32_t)i});
+    }
+    for (int64_t c = 0; c < n_calls; c++)
+        buf.push_back({calls[c], 1, (uint32_t)quals[c]});
+    std::sort(buf.begin(), buf.end(), buf_lt);
+
+    uint32_t start_pos_i = NONE;
+    const int64_t nbuf = (int64_t)buf.size();
+    uint8_t mer[256];  // mmr_len is uint8 (k<=15 in practice, cli.c:243)
+    for (int64_t bi = 0; bi < nbuf; bi++) {
+        if (buf[bi].is_call) continue;
+        int64_t pos_i = buf[bi].tb;
+        for (int64_t sj = pos_i; sj < sites_n; sj++) {
+            if (sites[sj] != sites[pos_i]) break;
+            int mmr_len = mmr_lens[sj];
+            int ml = 0;
+            int64_t j = bi;
+            while (j < nbuf - 1) {  // final entry never read (quirk M6)
+                if (buf[j].is_call) { j++; continue; }
+                if (buf[j].pos == buf[j + 1].pos && buf[j + 1].is_call) {
+                    mer[ml++] = (uint8_t)buf[j + 1].tb;
+                    j += 2;
+                } else {
+                    mer[ml++] = 2;  // MER_MISSING
+                    j += 1;
+                }
+                if (ml >= mmr_len) break;
+            }
+            if (ml != mmr_len) continue;  // truncated at read end: drop
+            if (start_pos_i == NONE) start_pos_i = (uint32_t)sj;
+            uint32_t v = 0;
+            for (int m = 0; m < ml; m++) v = ((v << 2) | mer[m]);
+            out.push_back(v);
+        }
+    }
+    return out.empty() ? NONE : start_pos_i;
+}
+
+}  // namespace
+
+extern "C" int64_t mmr_extract_reads(
+    const uint32_t* sites, const uint8_t* mmr_lens, int64_t sites_n,
+    const uint32_t* calls, const uint8_t* quals,
+    const int64_t* call_off, const int32_t* call_n, int64_t n_reads,
+    int32_t n_threads,
+    uint32_t* out_mers, int64_t out_cap,
+    int64_t* out_off, int32_t* out_n, uint32_t* out_start_i) {
+    std::vector<std::vector<uint32_t>> per_read((size_t)n_reads);
+    std::vector<uint32_t> starts((size_t)n_reads, 0xFFFFFFFFu);
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<BufEnt> buf;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_reads) return;
+            starts[i] = mmr_walk_one(sites, mmr_lens, sites_n,
+                                     calls + call_off[i], quals + call_off[i],
+                                     call_n[i], per_read[i], buf);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)n_reads) nt = (int)(n_reads > 0 ? n_reads : 1);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_reads; i++) {
+        uint32_t st = starts[i];
+        int64_t nm = (int64_t)per_read[i].size();
+        if (st != 0xFFFFFFFFu && (int64_t)st + nm > sites_n) {
+            // storage-overflow clamp (i>1 dup double-emission; the C writes
+            // out of bounds here — see store_mmr_of_reads in core/methmer.py)
+            nm = sites_n - (int64_t)st;
+            if (nm <= 0) { nm = 0; st = 0xFFFFFFFFu; }
+        }
+        if (st == 0xFFFFFFFFu) nm = 0;
+        if (total + nm > out_cap) return -1;
+        memcpy(out_mers + total, per_read[i].data(), (size_t)nm * 4);
+        out_off[i] = total;
+        out_n[i] = (int32_t)nm;
+        out_start_i[i] = st;
+        total += nm;
+    }
+    return total;
+}
+
 // ------------------------------------------------------------------ rANS4x8
 // CRAM 3.0 block codec (spec section 13): 12-bit frequencies, four
 // interleaved rANS states, byte renormalization at 2^23. Stream layout

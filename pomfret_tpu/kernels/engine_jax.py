@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import jax
@@ -89,23 +89,56 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     S = ms.n
     R = pad_r or max(n, 1)
     SP = pad_s or max(S, 1)
+    if direction == 0:
+        scan_list = list(range(n))
+        q_break = n
+    else:
+        scan_list = [rs.rev_order[n - 1 - q] for q in range(n)]
+        q_break = n - 1
+    perm = np.full(R, -1, dtype=np.int32)
+    perm[:n] = scan_list
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[perm[:n]] = np.arange(n)
+
+    # dense per-site mer-id assignment, vectorized: a (site, key) pair's id
+    # is its first-appearance rank within the site, matching the insertion
+    # order of the reference's per-site linear dictionaries (mmr_t insert,
+    # blockjoin.c:3453-3486 — reads in storage order, mers left to right)
     ids = np.full((R, SP), INVALID_ID, dtype=np.int32)
     has_mmr = np.zeros(R, dtype=bool)
-    site_maps: List[Dict[int, int]] = [dict() for _ in range(S)]
-    for r in rs.reads:
-        if r.mmr_n == 0:
-            continue
-        has_mmr[r.i] = True
-        for i0 in range(r.mmr_n):
-            s = r.mmr_start_i + i0
-            key = int(r.mmr[i0])
-            m = site_maps[s]
-            d = m.get(key)
-            if d is None:
-                d = len(m)
-                m[key] = d
-            ids[r.i, s] = d
-    max_d = max((len(m) for m in site_maps), default=1) or 1
+    reads_with = [r for r in rs.reads if r.mmr_n]
+    max_d = 1
+    if reads_with:
+        rrow = np.concatenate([np.full(r.mmr_n, r.i, dtype=np.int64)
+                               for r in reads_with])
+        scol = np.concatenate([r.mmr_start_i + np.arange(r.mmr_n, dtype=np.int64)
+                               for r in reads_with])
+        keys = np.concatenate([r.mmr for r in reads_with]).astype(np.int64)
+        seq = np.arange(len(keys), dtype=np.int64)
+        order = np.lexsort((seq, keys, scol))
+        ss, ks, qs = scol[order], keys[order], seq[order]
+        new = np.empty(len(ss), dtype=bool)
+        new[0] = True
+        new[1:] = (ss[1:] != ss[:-1]) | (ks[1:] != ks[:-1])
+        pair_of_triple = np.cumsum(new) - 1
+        first_seq = qs[new]
+        pair_site = ss[new]
+        o2 = np.lexsort((first_seq, pair_site))
+        m_pairs = len(o2)
+        site_change = np.empty(m_pairs, dtype=bool)
+        site_change[0] = True
+        ps_sorted = pair_site[o2]
+        site_change[1:] = ps_sorted[1:] != ps_sorted[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(site_change, np.arange(m_pairs), 0))
+        rank_sorted = np.arange(m_pairs) - grp_start
+        dense_of_pair = np.empty(m_pairs, dtype=np.int64)
+        dense_of_pair[o2] = rank_sorted
+        dense = np.empty(len(keys), dtype=np.int64)
+        dense[order] = dense_of_pair[pair_of_triple]
+        ids[inv_perm[rrow], scol] = dense.astype(np.int32)
+        has_mmr[inv_perm[[r.i for r in reads_with]]] = True
+        max_d = int(rank_sorted.max()) + 1
 
     # step 1 seeds (blockjoin.c:3976-4004)
     if direction == 0:
@@ -126,32 +159,15 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     # RAW haptag (insert_ref_reads..., blockjoin.c:3796) BEFORE truncation,
     # so e.g. HP:i:5 (hp=4, 4&3==0) must not seed the count table even
     # though its post-wipe state is 0 — matching the host oracle.
-    hp_init = np.full(R, 2, dtype=np.int32)
-    seed_ok = np.zeros(R, dtype=bool)
+    # ids/has_mmr were built directly in scan (permuted) row order above;
+    # hp/seed are tiny, so build in read order and permute
+    hp_p = np.full(R, 2, dtype=np.int32)
+    seed_p = np.zeros(R, dtype=bool)
     for rid in ref_ids:
-        hp_init[rid] = rs.reads[rid].hp & 3
-        seed_ok[rid] = rs.reads[rid].hp in (0, 1)
+        hp_p[inv_perm[rid]] = rs.reads[rid].hp & 3
+        seed_p[inv_perm[rid]] = rs.reads[rid].hp in (0, 1)
 
-    if direction == 0:
-        scan_list = list(range(n))
-        q_break = n
-    else:
-        scan_list = [rs.rev_order[n - 1 - q] for q in range(n)]
-        q_break = n - 1
-
-    # permute reads into scan order so the loop indexes rows directly
-    perm = np.full(R, -1, dtype=np.int32)
-    perm[:n] = scan_list
-    ids_p = np.full_like(ids, INVALID_ID)
-    has_p = np.zeros_like(has_mmr)
-    hp_p = np.full_like(hp_init, 2)
-    seed_p = np.zeros_like(seed_ok)
-    ids_p[:n] = ids[perm[:n]]
-    has_p[:n] = has_mmr[perm[:n]]
-    hp_p[:n] = hp_init[perm[:n]]
-    seed_p[:n] = seed_ok[perm[:n]]
-
-    return GapDeviceData(ids=ids_p, has_mmr=has_p, hp_init=hp_p,
+    return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_p,
                          seed_ok=seed_p, perm=perm,
                          n_reads=n, n_sites=S, max_d=max_d, q_break=q_break,
                          min0=min0, max0=max0)

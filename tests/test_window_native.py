@@ -194,3 +194,88 @@ def test_window_duplicate_qname_raises(tmp_path):
     bamr = BamReader(p)
     with pytest.raises(ValueError, match="duplicated read name"):
         load_reads_given_interval(bamr, "c1", 105, 110, READBACK, cfg)
+
+
+# --------------------------------------------------------- methmer extract
+
+def test_mmr_extract_native_fuzz():
+    """The batch C++ walk (mmr_extract_reads) must equal the Python walk on
+    random site grids (incl. bwd-style duplicate runs) and random reads."""
+    from pomfret_tpu.core.methmer import Methmers, _get_mmr_of_read_walk
+    from pomfret_tpu.core.readset import MmrConfig, Read, UINT32_MAX
+
+    rng = np.random.default_rng(1234)
+    for trial in range(300):
+        n_sites = int(rng.integers(2, 40))
+        pos = np.sort(rng.choice(np.arange(100, 100000, 7), size=n_sites,
+                                 replace=False)).astype(np.uint32)
+        starts = pos.copy()
+        for i in range(1, n_sites):
+            if rng.random() < 0.3:
+                starts[i] = starts[i - 1]
+        starts = np.maximum.accumulate(starts)
+        if trial % 2 == 0:
+            starts = pos  # fwd grid
+        lens = rng.integers(1, 6, size=n_sites).astype(np.uint8)
+        ms = Methmers(config=MmrConfig(), n=n_sites, sites_real_poss=pos,
+                      sites_starts=starts, mmr_lens=lens)
+        reads = []
+        for i in range(int(rng.integers(1, 6))):
+            grid = np.unique(starts)
+            k = rng.integers(2, max(3, len(grid)))
+            sel = np.sort(rng.choice(grid, size=min(k, len(grid)), replace=False))
+            extra = rng.choice(np.arange(50, 110000, 13), size=3, replace=False)
+            calls = np.unique(np.concatenate([sel, extra])).astype(np.uint32)
+            quals = rng.integers(0, 3, size=len(calls)).astype(np.uint8)
+            reads.append(Read(i=i, qname=f"r{i}", hp=0, strand=0, length=20000,
+                              start_pos=int(calls[0]), end_pos=int(calls[-1]) + 1,
+                              calls=calls, quals=quals))
+        calls_cat = np.concatenate([r.calls for r in reads])
+        quals_cat = np.concatenate([r.quals for r in reads])
+        call_n = np.asarray([len(r.calls) for r in reads], dtype=np.int32)
+        call_off = np.zeros(len(reads), dtype=np.int64)
+        np.cumsum(call_n[:-1], out=call_off[1:])
+        res = native.mmr_extract_reads(starts, lens, calls_cat, quals_cat,
+                                       call_off, call_n)
+        assert res is not None
+        for j, r in enumerate(reads):
+            mers, start = _get_mmr_of_read_walk(r, ms)
+            # apply the storage clamp the native path folds in
+            if start != UINT32_MAX and start + len(mers) > n_sites:
+                mers = mers[: n_sites - start]
+                if not mers:
+                    start = UINT32_MAX
+            o, nm = int(res["off"][j]), int(res["n"][j])
+            got = res["mers"][o : o + nm].tolist()
+            got_start = int(res["start_i"][j])
+            if start == UINT32_MAX:
+                assert nm == 0, (trial, j)
+            else:
+                assert got == mers and got_start == start, (trial, j)
+
+
+def test_store_mmr_native_matches_python(tmp_path):
+    from pomfret_tpu.core.methmer import (get_methmer_sites_and_ranges,
+                                          store_mmr_of_reads, wipe_mmr_of_reads)
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    gs, ge = truth["gap"]
+    rs = load_reads_given_interval(BamReader(bam), "chr1", gs, ge, READBACK, cfg)
+    for direction in (0, 1):
+        ms = get_methmer_sites_and_ranges(rs, cfg, direction)
+        os.environ["POMFRET_NO_NATIVE_MMR"] = "1"
+        try:
+            store_mmr_of_reads(rs, ms)
+            py = [(r.mmr_n, r.mmr_start_i,
+                   r.mmr.tolist() if r.mmr is not None else None)
+                  for r in rs.reads]
+        finally:
+            del os.environ["POMFRET_NO_NATIVE_MMR"]
+        wipe_mmr_of_reads(rs)
+        store_mmr_of_reads(rs, ms)
+        nat = [(r.mmr_n, r.mmr_start_i,
+                r.mmr.tolist() if r.mmr is not None else None)
+               for r in rs.reads]
+        wipe_mmr_of_reads(rs)
+        assert py == nat
+        assert sum(1 for t in nat if t[0] > 0) > 100

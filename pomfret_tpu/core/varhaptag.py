@@ -199,18 +199,93 @@ def pre_haplotagging_read_in_one_ref(
     tid = bam.ref_id(chrom)
     if tid < 0:
         return
-    prev_i_left = [0]
     tot = [0, 0, 0, 0]  # new hap0, new hap1, new unphased, dup
-    for rec in bam.fetch(chrom, 0, bam.ref_lens[tid]):
-        if rec.flag & (4 | 256 | 2048):
-            continue
-        read_vars = parse_variants_for_one_read(rec)
-        haptag = haptag_one_read_with_variants(
-            known_vars, read_vars, rec.pos, bam_endpos(rec), prev_i_left)
-        if rec.qname not in qname2haptag_raw:
-            qname2haptag_raw[rec.qname] = haptag
+
+    def account(qname: str, haptag: int) -> None:
+        if qname not in qname2haptag_raw:
+            qname2haptag_raw[qname] = haptag
             tot[haptag if haptag in (0, 1) else 2] += 1
         else:
             tot[3] += 1
+
+    done = _pre_haplotag_native(bam, tid, known_vars, account)
+    if not done:
+        prev_i_left = [0]
+        for rec in bam.fetch(chrom, 0, bam.ref_lens[tid]):
+            if rec.flag & (4 | 256 | 2048):
+                continue
+            read_vars = parse_variants_for_one_read(rec)
+            haptag = haptag_one_read_with_variants(
+                known_vars, read_vars, rec.pos, bam_endpos(rec), prev_i_left)
+            account(rec.qname, haptag)
     log_info("pre_haplotagging_read_in_one_ref",
              f"tagged: {tot[0]} new hap0, {tot[1]} new hap1, {tot[2]} new unphased, {tot[3]} dup")
+
+
+def _pre_haplotag_native(bam, tid: int, known_vars: List[Variant],
+                         account) -> bool:
+    """Run the whole-chromosome pass through the C++ fast path
+    (io/native varhaptag_reads). Returns False when unavailable; reads the
+    native parser can't handle (missing/invalid MD) re-run through the
+    Python oracle — which raises on missing MD exactly like the serial path
+    (the reference exits, blockjoin.c:1560)."""
+    import os
+    import numpy as np
+    if os.environ.get("POMFRET_NO_NATIVE_VARHAPTAG"):
+        return False
+    try:
+        from ..io import native
+    except ImportError:
+        return False
+    if not native.native_available():
+        return False
+    idx = getattr(bam, "_load_index", lambda: None)()
+    if idx is None or not hasattr(bam, "plain_span"):
+        return False
+    end = bam.ref_lens[tid]
+    chunks = idx.chunks_for_region(tid, 0, end)
+    bufs = []
+    ranges = []
+    base = 0
+    for cb, ce in chunks:
+        span = bam.plain_span(cb, ce)
+        if span is None:
+            return False
+        plain, s, e = span
+        bufs.append(plain)
+        ranges.append((base + s, base + e))
+        base += len(plain)
+    if not bufs:
+        buf = np.empty(0, dtype=np.uint8)
+    elif len(bufs) == 1:
+        buf = bufs[0]
+    else:
+        buf = np.concatenate(bufs)
+    n_known = len(known_vars)
+    kv_pos = np.asarray([v.pos for v in known_vars], dtype=np.int64)
+    kv_op = np.asarray([v.op for v in known_vars], dtype=np.uint8)
+    kv_len = np.asarray([v.length for v in known_vars], dtype=np.int32)
+    kv_hap = np.asarray([v.haptag & 0xFF for v in known_vars], dtype=np.uint8)
+    kv_chars_off = np.zeros(n_known + 1, dtype=np.int64)
+    np.cumsum([len(v.chars) for v in known_vars], out=kv_chars_off[1:])
+    kv_chars = (np.concatenate([np.asarray(v.chars, dtype=np.uint8)
+                                for v in known_vars if len(v.chars)])
+                if int(kv_chars_off[-1]) else np.zeros(0, dtype=np.uint8))
+    res = native.varhaptag_reads(buf, ranges, tid, 0, end, kv_pos, kv_op,
+                                 kv_len, kv_hap, kv_chars_off, kv_chars)
+    if res is None:
+        return False
+    buf_bytes = None
+    from ..io.bam import decode_record
+    for j in range(res["n"]):
+        if res["fallback"][j]:
+            if buf_bytes is None:
+                buf_bytes = buf if isinstance(buf, bytes) else buf.tobytes()
+            rec, _ = decode_record(buf_bytes, int(res["rec_off"][j]))
+            read_vars = parse_variants_for_one_read(rec)
+            haptag = haptag_one_read_with_variants(
+                known_vars, read_vars, rec.pos, bam_endpos(rec), [0])
+        else:
+            haptag = int(res["hap"][j])
+        account(res["qnames"][j], haptag)
+    return True

@@ -78,6 +78,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, u8p, ctypes.c_int64,
             i64p, i32p, u32p, u8p, ctypes.c_int64,
             i32p]
+        lib.varhaptag_reads.restype = ctypes.c_int64
+        lib.varhaptag_reads.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            i32, ctypes.c_int64, ctypes.c_int64,
+            i64p, u8p, i32p, u8p, i64p, u8p, ctypes.c_int64,
+            i32, ctypes.c_int64,
+            i64p, u8p, i8p, i64p, u8p, ctypes.c_int64]
         lib.mmr_extract_reads.restype = ctypes.c_int64
         lib.mmr_extract_reads.argtypes = [
             u32p, u8p, ctypes.c_int64,
@@ -346,6 +353,62 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
             "call_off": call_off[: n + 1], "call_n": call_n[:n],
             "calls": calls, "quals": quals,
             "has_implicit": bool(has_implicit.value),
+        }
+    return None
+
+
+def varhaptag_reads(buf, chunk_ranges, tid: int, beg: int, end: int,
+                    kv_pos: np.ndarray, kv_op: np.ndarray, kv_len: np.ndarray,
+                    kv_hap: np.ndarray, kv_chars_off: np.ndarray,
+                    kv_chars: np.ndarray,
+                    n_threads: int = 0) -> Optional[dict]:
+    """Whole-chromosome varhaptag in one threaded C++ call (see
+    varhaptag_reads in pomfret_native.cpp). kv_chars_off must have
+    n_known+1 entries. Returns columnar {qnames, hap, fallback, rec_off}."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = max(2, min(8, _N_CPU + 1))
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
+    n_chunks = len(chunk_ranges)
+    c_starts = np.asarray([c[0] for c in chunk_ranges], dtype=np.int64)
+    c_stops = np.asarray([c[1] for c in chunk_ranges], dtype=np.int64)
+    n_cap = max(256, len(buf) // 512)
+    qn_cap = n_cap * 64
+    for _ in range(8):
+        rec_off = np.empty(n_cap, dtype=np.int64)
+        hap = np.empty(n_cap, dtype=np.uint8)
+        fallback = np.empty(n_cap, dtype=np.int8)
+        qname_off = np.empty(n_cap + 1, dtype=np.int64)
+        qname_buf = np.empty(qn_cap, dtype=np.uint8)
+        n = lib.varhaptag_reads(
+            _p(b, ctypes.c_uint8), len(buf),
+            _p(c_starts, ctypes.c_int64), _p(c_stops, ctypes.c_int64), n_chunks,
+            tid, beg, end,
+            _p(kv_pos, ctypes.c_int64), _p(kv_op, ctypes.c_uint8),
+            _p(kv_len, ctypes.c_int32), _p(kv_hap, ctypes.c_uint8),
+            _p(kv_chars_off, ctypes.c_int64), _p(kv_chars, ctypes.c_uint8),
+            len(kv_pos), n_threads, n_cap,
+            _p(rec_off, ctypes.c_int64), _p(hap, ctypes.c_uint8),
+            _p(fallback, ctypes.c_int8),
+            _p(qname_off, ctypes.c_int64), _p(qname_buf, ctypes.c_uint8), qn_cap)
+        if n == -3:
+            n_cap *= 2
+            qn_cap *= 2
+            continue
+        if n == -4:
+            qn_cap *= 2
+            continue
+        if n < 0:
+            return None
+        n = int(n)
+        qb = qname_buf.tobytes()
+        return {
+            "n": n, "rec_off": rec_off[:n], "hap": hap[:n],
+            "fallback": fallback[:n],
+            "qnames": [qb[qname_off[i]: qname_off[i + 1]].decode()
+                       for i in range(n)],
         }
     return None
 

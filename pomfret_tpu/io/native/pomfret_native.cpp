@@ -777,6 +777,378 @@ extern "C" int64_t bam_window_load(
     return n;
 }
 
+// --------------------------------------------------------------- varhaptag
+// Whole-chromosome VCF-based read tagging: the reference's L3 layer
+// (parse_variants_for_one_read blockjoin.c:1545-1691 +
+// haptag_one_read_with_variants blockjoin.c:1693-1840) for every primary
+// read of a chromosome in one threaded call. Python (core/varhaptag.py)
+// stays the parity oracle; reads with missing/invalid MD come back with
+// o_fallback=1 and the caller re-runs them through it (which raises, as the
+// reference exits, on missing MD).
+//
+// Quirks preserved (PARITY.md V1-V5): strict '>' in the insertion-skip while
+// MD walking; a deletion run pending at the end of MD is dropped; the
+// end-of-interval REF vote skips the deletion look-back; deletion look-back
+// uses del_pos + del_len >= ref_pos; ambiguity when both votes > 3 with
+// ratio < 5, or tied.
+
+namespace {
+
+inline int nt4_of(char c) {
+    switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': case 'U': case 'u': return 3;
+        default: return 4;
+    }
+}
+
+struct RdVar {
+    int64_t pos;
+    uint8_t op;      // 1=X, 2=I, 3=D (VAR_OP_*)
+    int32_t len;
+    int32_t chars_off, chars_len;  // into a per-read char pool
+};
+
+// port of parse_variants_for_one_read; returns false when MD is missing or
+// malformed (caller marks the read for the Python path)
+bool parse_read_vars(const uint8_t* seqp, int32_t lseq,
+                     const uint32_t* cigar, int32_t n_cigar,
+                     int64_t ref_start, const char* md,
+                     std::vector<RdVar>& out, std::vector<uint8_t>& pool) {
+    out.clear();
+    pool.clear();
+    auto base_at = [&](int64_t i) -> char {
+        uint8_t b = seqp[i >> 1];
+        return NT16_CHARS[(i & 1) ? (b & 0xF) : (b >> 4)];
+    };
+    int64_t self_start = 0;
+    std::vector<std::pair<int64_t, int64_t>> insertions;  // (self_pos, len)
+    {
+        int64_t ref_pos = ref_start, self_pos = 0;
+        for (int32_t i = 0; i < n_cigar; i++) {
+            uint32_t op = cigar[i] & 0xF;
+            int64_t ln = cigar[i] >> 4;
+            if (op == 3) {
+                ref_pos += ln;                      // N
+            } else if (op == 4) {                   // S
+                if (i == 0) self_start = ln;
+                self_pos += ln;
+            } else if (op == 0 || op == 7 || op == 8) {  // M,=,X
+                ref_pos += ln;
+                self_pos += ln;
+            } else if (op == 1) {                   // I
+                RdVar v{ref_pos, 2, (int32_t)ln, (int32_t)pool.size(), (int32_t)ln};
+                for (int64_t k = 0; k < ln; k++)
+                    pool.push_back((uint8_t)nt4_of(base_at(self_pos + k)));
+                out.push_back(v);
+                insertions.push_back({self_pos, ln});
+                self_pos += ln;
+            } else if (op == 2) {
+                ref_pos += ln;                      // D
+            }  // other ops ignored (as in the Python loop)
+        }
+    }
+    if (!md) return false;  // MD required (blockjoin exits; Python raises)
+    auto md_type = [](char ch) -> int {
+        if (ch >= '0' && ch <= '9') return 0;
+        if (ch == '^') return 1;
+        switch (ch) {
+            case 'A': case 'T': case 'C': case 'G':
+            case 'a': case 't': case 'c': case 'g':
+            case 'U': case 'u': case 'N': case 'n': return 2;
+            default: return -9;  // invalid: Python path raises
+        }
+    };
+    size_t prev_ins_idx = 0, n_ins = insertions.size();
+    int64_t self_pos = self_start, ref_pos = ref_start;
+    int64_t md_len = (int64_t)strlen(md);
+    if (md_len == 0) return true;
+    int prev_t = md_type(md[0]);
+    if (prev_t == -9) return false;
+    int64_t prev_i = 0;
+    if (prev_t == 2) {  // SNP at the very start
+        RdVar v{ref_pos, 1, 1, (int32_t)pool.size(), 1};
+        pool.push_back((uint8_t)nt4_of(base_at(self_pos)));
+        out.push_back(v);
+        ref_pos += 1;
+        self_pos += 1;
+        prev_t = -1;
+    }
+    for (int64_t i = 1; i < md_len; i++) {
+        int t = md_type(md[i]);
+        if (t == -9) return false;
+        if (t != prev_t) {
+            if (prev_t == 0) {  // match run ended
+                int64_t l = 0;
+                for (int64_t k = prev_i; k < i; k++) l = l * 10 + (md[k] - '0');
+                ref_pos += l;
+                self_pos += l;
+                while (prev_ins_idx < n_ins &&
+                       self_pos > insertions[prev_ins_idx].first) {
+                    self_pos += insertions[prev_ins_idx].second;
+                    prev_ins_idx++;
+                }
+            } else if (prev_t == 1) {  // deletion run
+                if (t == 0) {  // closed by a digit
+                    int64_t dl = i - prev_i - 1;
+                    RdVar v{ref_pos, 3, (int32_t)dl, (int32_t)pool.size(), (int32_t)dl};
+                    for (int64_t k = prev_i + 1; k < i; k++)
+                        pool.push_back((uint8_t)nt4_of(md[k]));
+                    out.push_back(v);
+                    ref_pos += dl;
+                    prev_t = 0;
+                    prev_i = i;
+                }
+                continue;
+            }
+            if (t == 2) {  // SNP
+                RdVar v{ref_pos, 1, 1, (int32_t)pool.size(), 1};
+                pool.push_back((uint8_t)nt4_of(base_at(self_pos)));
+                out.push_back(v);
+                ref_pos += 1;
+                self_pos += 1;
+                prev_t = -1;
+                prev_i = i;
+            } else {
+                prev_t = t;
+                prev_i = i;
+            }
+        }
+    }
+    return true;
+}
+
+struct PbEnt {
+    int64_t pos;
+    uint8_t is_read;
+    int64_t idx;
+};
+
+inline bool pb_lt(const PbEnt& a, const PbEnt& b) {
+    if (a.pos != b.pos) return a.pos < b.pos;
+    if (a.is_read != b.is_read) return a.is_read < b.is_read;
+    return a.idx < b.idx;
+}
+
+}  // namespace
+
+// port of haptag_one_read_with_variants (vote); i_left from binary search
+// (equivalent to the reference's carried prev_i_left, which only skips work)
+static int vote_one_read(
+    const int64_t* kv_pos, const uint8_t* kv_op, const int32_t* kv_len,
+    const uint8_t* kv_hap, const int64_t* kv_chars_off, const uint8_t* kv_chars,
+    int64_t n_known,
+    const std::vector<RdVar>& rvars, const std::vector<uint8_t>& pool,
+    int64_t start_pos, int64_t end_pos) {
+    const int UNPHASED = 254;
+    if (n_known == 0) return UNPHASED;
+    const int64_t* it = std::lower_bound(kv_pos, kv_pos + n_known, start_pos);
+    int64_t i_left = it - kv_pos;
+    std::vector<PbEnt> pb;
+    for (int64_t i = i_left; i < n_known; i++) {
+        if (kv_pos[i] >= end_pos) break;
+        pb.push_back({kv_pos[i], 0, i});
+    }
+    for (size_t i = 0; i < rvars.size(); i++)
+        pb.push_back({rvars[i].pos, 1, (int64_t)i});
+    std::sort(pb.begin(), pb.end(), pb_lt);
+
+    int64_t hp_cnt[2] = {0, 0};
+    const int64_t n = (int64_t)pb.size();
+    int64_t i = 0;
+    while (i < n) {
+        if (pb[i].is_read) { i++; continue; }
+        int64_t idx = pb[i].idx;
+        int hap = kv_hap[idx];
+        if (hap > 1) { i++; continue; }  // defensive: unphased known var
+        if (i + 1 == n) {  // end of interval: read must hold REF here (V3)
+            hp_cnt[hap] += 1;
+            break;
+        }
+        if (pb[i].pos != pb[i + 1].pos) {
+            bool skip_due_del = false;
+            if (i > 0 && pb[i - 1].is_read) {
+                const RdVar& lv = rvars[pb[i - 1].idx];
+                if (lv.op == 3 && pb[i - 1].pos + lv.len >= pb[i].pos)
+                    skip_due_del = true;  // V4: one-past inclusive
+            }
+            if (!skip_due_del) hp_cnt[hap] += 1;
+            i += 1;
+        } else {
+            if (!pb[i + 1].is_read) {
+                i += 2;  // multi-allele entry in the known collection
+            } else {
+                const RdVar& s = rvars[pb[i + 1].idx];
+                if (kv_len[idx] == s.len &&
+                    (int32_t)(kv_chars_off[idx + 1] - kv_chars_off[idx]) == s.chars_len &&
+                    memcmp(kv_chars + kv_chars_off[idx],
+                           pool.data() + s.chars_off, s.chars_len) == 0)
+                    hp_cnt[hap ^ 1] += 1;
+                i += 2;
+            }
+        }
+    }
+    int64_t hi = hp_cnt[0] > hp_cnt[1] ? hp_cnt[0] : hp_cnt[1];
+    int64_t lo = hp_cnt[0] > hp_cnt[1] ? hp_cnt[1] : hp_cnt[0];
+    double ratio = lo == 0 ? 0.0 : (double)hi / (double)lo;
+    if ((hp_cnt[0] > 3 && hp_cnt[1] > 3 && ratio < 5.0) ||
+        hp_cnt[0] == hp_cnt[1])
+        return UNPHASED;
+    return hp_cnt[0] > hp_cnt[1] ? 0 : 1;
+}
+
+extern "C" int64_t varhaptag_reads(
+    const uint8_t* buf, int64_t buf_len,
+    const int64_t* c_starts, const int64_t* c_stops, int64_t n_chunks,
+    int32_t tid, int64_t beg, int64_t end,
+    const int64_t* kv_pos, const uint8_t* kv_op, const int32_t* kv_len,
+    const uint8_t* kv_hap, const int64_t* kv_chars_off, const uint8_t* kv_chars,
+    int64_t n_known,
+    int32_t n_threads, int64_t max_reads,
+    int64_t* o_rec_off, uint8_t* o_hap, int8_t* o_fallback,
+    int64_t* o_qname_off, uint8_t* qname_buf, int64_t qname_cap) {
+    struct Cand {
+        int64_t rec_off;
+        const uint8_t* p;
+        int64_t ps, ep;
+        int32_t lseq;
+        uint16_t n_cigar;
+        uint8_t l_read_name;
+        const char* md;
+    };
+    std::vector<Cand> cands;
+    for (int64_t ci = 0; ci < n_chunks; ci++) {
+        int64_t off = c_starts[ci];
+        const int64_t stop = c_stops[ci];
+        while (off < stop && off + 4 <= buf_len) {
+            int32_t block_size;
+            memcpy(&block_size, buf + off, 4);
+            if (block_size < 32 || off + 4 + block_size > buf_len) break;
+            const uint8_t* p = buf + off + 4;
+            const uint8_t* rec_end = buf + off + 4 + block_size;
+            const int64_t rec_off = off;
+            off += 4 + block_size;
+            int32_t rid, ps, lseq;
+            memcpy(&rid, p, 4);
+            memcpy(&ps, p + 4, 4);
+            uint8_t l_read_name = p[8];
+            uint16_t n_cigar, fl;
+            memcpy(&n_cigar, p + 12, 2);
+            memcpy(&fl, p + 14, 2);
+            memcpy(&lseq, p + 16, 4);
+            if (rid != tid) {
+                if (rid > tid) break;
+                continue;
+            }
+            if ((int64_t)ps >= end) break;
+            const uint8_t* cg = p + 32 + l_read_name;
+            int64_t ep;
+            if (fl & 4 || n_cigar == 0) {
+                ep = (int64_t)ps + 1;
+            } else {
+                int64_t span = 0;
+                for (int i = 0; i < n_cigar; i++) {
+                    uint32_t c;
+                    memcpy(&c, cg + 4 * i, 4);
+                    uint32_t op = c & 0xf;
+                    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                        span += c >> 4;
+                }
+                ep = (int64_t)ps + (span > 0 ? span : 1);
+            }
+            if (ep <= beg) continue;
+            if (fl & (4 | 256 | 2048)) continue;
+            // aux scan for MD (first 'Z' match)
+            const uint8_t* seqp = cg + 4 * (int64_t)n_cigar;
+            const uint8_t* aux = seqp + (lseq + 1) / 2 + lseq;
+            const char* md = nullptr;
+            while (aux + 3 <= rec_end) {
+                char t0 = (char)aux[0], t1 = (char)aux[1], typ = (char)aux[2];
+                const uint8_t* v = aux + 3;
+                int64_t sz = -1;
+                switch (typ) {
+                    case 'A': case 'c': case 'C': sz = 1; break;
+                    case 's': case 'S': sz = 2; break;
+                    case 'i': case 'I': case 'f': sz = 4; break;
+                    case 'Z': case 'H': {
+                        const uint8_t* q = v;
+                        while (q < rec_end && *q) q++;
+                        if (q >= rec_end) { sz = -1; break; }
+                        sz = q - v + 1;
+                        break;
+                    }
+                    case 'B': {
+                        if (v + 5 > rec_end) { sz = -1; break; }
+                        char sub = (char)v[0];
+                        int32_t cnt;
+                        memcpy(&cnt, v + 1, 4);
+                        int es = (sub == 'c' || sub == 'C') ? 1
+                               : (sub == 's' || sub == 'S') ? 2 : 4;
+                        sz = 5 + (int64_t)cnt * es;
+                        break;
+                    }
+                    default: sz = -1; break;
+                }
+                if (sz < 0 || v + sz > rec_end) break;
+                if (t0 == 'M' && t1 == 'D' && typ == 'Z' && !md)
+                    md = (const char*)v;
+                aux = v + sz;
+            }
+            if ((int64_t)cands.size() >= max_reads) return -3;
+            cands.push_back({rec_off, p, ps, ep, lseq, n_cigar, l_read_name, md});
+        }
+    }
+    // parallel parse + vote
+    std::vector<uint8_t> haps(cands.size(), 0);
+    std::vector<int8_t> fbs(cands.size(), 0);
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<RdVar> rvars;
+        std::vector<uint8_t> pool;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= (int64_t)cands.size()) return;
+            const Cand& c = cands[i];
+            const uint8_t* cg = c.p + 32 + c.l_read_name;
+            const uint8_t* seqp = cg + 4 * (int64_t)c.n_cigar;
+            if (!parse_read_vars(seqp, c.lseq,
+                                 (const uint32_t*)(const void*)cg, c.n_cigar,
+                                 c.ps, c.md, rvars, pool)) {
+                fbs[i] = 1;
+                continue;
+            }
+            haps[i] = (uint8_t)vote_one_read(
+                kv_pos, kv_op, kv_len, kv_hap, kv_chars_off, kv_chars,
+                n_known, rvars, pool, c.ps, c.ep);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)cands.size()) nt = (int)(cands.empty() ? 1 : cands.size());
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    int64_t qn_used = 0;
+    for (size_t i = 0; i < cands.size(); i++) {
+        int64_t qlen = (int64_t)cands[i].l_read_name - 1;
+        if (qlen < 0) qlen = 0;
+        if (qn_used + qlen > qname_cap) return -4;
+        memcpy(qname_buf + qn_used, cands[i].p + 32, qlen);
+        o_qname_off[i] = qn_used;
+        qn_used += qlen;
+        o_rec_off[i] = cands[i].rec_off;
+        o_hap[i] = haps[i];
+        o_fallback[i] = fbs[i];
+    }
+    o_qname_off[cands.size()] = qn_used;
+    return (int64_t)cands.size();
+}
+
 // --------------------------------------------------------- methmer extract
 // Batch per-read methmer extraction: the literal reference buf walk
 // (get_mmr_of_read, blockjoin.c:3357-3451) for every read of a window in one

@@ -21,9 +21,15 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # POMFRET_NATIVE_SANITIZE=1 builds with ASan+UBSan (the reference's
+    # `make dbg` analog, Makefile:17-18); delete the .so to force a rebuild
+    flags = ["-O3"]
+    if os.environ.get("POMFRET_NATIVE_SANITIZE"):
+        flags = ["-O1", "-g", "-fsanitize=address,undefined",
+                 "-fno-omit-frame-pointer"]
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC,
+            ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC,
              "-lz", "-lpthread"],
             check=True, capture_output=True, timeout=300)
         return True

@@ -20,6 +20,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.engine_jax import GapDeviceData, run_direction_core
+from ..kernels.engine_fused import BG, fused_enabled, run_batch_fused
 
 
 @dataclass
@@ -48,7 +49,10 @@ def _round_up(x: int, m: int) -> int:
 def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
                    n_cand: int,
                    pad_g: Optional[int] = None) -> GapBatch:
-    G = pad_g or len(datas)
+    # G is padded to a multiple of the fused engine's lane-block (BG); pad
+    # lanes have n_reads=0/q_break=0 so their while-loop lanes are inactive
+    # from iteration 0. Also buckets compile signatures by batch size.
+    G = pad_g or _round_up(len(datas), BG)
     R = max(d.ids.shape[0] for d in datas)
     S = max(d.ids.shape[1] for d in datas)
     # bucket the dictionary capacity to powers of two (>=4): few compile
@@ -88,6 +92,17 @@ def _run_batch_jit(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
                        q_break, min0, max0, cov, n_cand, max_iters)
 
 
+def _engine_for(batch: GapBatch):
+    """Single-device engine dispatch: the fused (Pallas-scoring) core on TPU
+    (2.2x faster/iter, tag-identical — tools/bench_fused.py), the vmapped XLA
+    body elsewhere. Both take the batch_args tuple."""
+    G = batch.ids.shape[0]
+    if fused_enabled() and G % BG == 0:
+        return functools.partial(run_batch_fused, D=batch.D,
+                                 nc_cap=batch.nc_cap)
+    return functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
+
+
 def batch_args(batch: GapBatch, max_iters: int):
     G = batch.ids.shape[0]
     return (batch.ids, batch.has_mmr, batch.hp_init, batch.seed_ok,
@@ -123,10 +138,15 @@ def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
         max_iters = 2 * R + 64
     if dev_args is None:
         dev_args = upload_gap_batch(batch, mesh, max_iters)
-    f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
     if mesh is not None:
+        # mesh path stays on the vmapped body: per-device shards need not be
+        # BG-aligned, and the fused kernel buys nothing when gap lanes are
+        # already spread over chips
+        f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         f = jax.jit(f, in_shardings=(sh,) * len(dev_args), out_shardings=sh)
+    else:
+        f = _engine_for(batch)
     return np.asarray(f(*dev_args))
 
 
@@ -138,7 +158,7 @@ def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None):
     if max_iters is None:
         max_iters = 2 * R + 64
     dev_args = upload_gap_batch(batch, None, max_iters)
-    return _run_batch_jit(*dev_args, D=batch.D, nc_cap=batch.nc_cap)
+    return _engine_for(batch)(*dev_args)
 
 
 def make_gap_mesh(n_devices: Optional[int] = None,

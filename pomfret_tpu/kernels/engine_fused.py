@@ -55,7 +55,8 @@ def _score_kernel(minmax_ref, cnt_ref, sums_ref, cids_ref, out_ref, *, D: int):
     [score0, score1, l_found0, l_found1, l_nonzero0, l_nonzero1, 0, 0].
     """
     f32 = jnp.float32
-    cids = cids_ref[:]                                     # (BG, NC, S)
+    # widen on load: Mosaic lacks int8 vector compares; HBM traffic stays i8
+    cids = cids_ref[:].astype(jnp.int32)                   # (BG, NC, S)
     bg, nc, S = cids.shape
     covered = cids >= 0
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (bg, nc, S), 2)
@@ -230,6 +231,212 @@ def run_batch_fused_core(ids, has_mmr, hp_init, seed_ok,
 
     state = jax.lax.while_loop(cond, body, state)
     return state[0]
+
+
+# ---------------------------------------------------------------------------
+# v2: score + commit + range in ONE kernel, count table aliased in place
+# ---------------------------------------------------------------------------
+
+def _score_commit_kernel(scal_ref, cmeta_ref, cids_ref, cnt_ref, hp_ref,
+                         cnt_out, hp_out, flag_out, *, D: int):
+    """One grid step advances BG lanes by one greedy iteration.
+
+    Blocks: scal (BG,8)i32 rows [min0,max0,cov,n_sites,active,_,_,_];
+    cmeta (BG,4,NC)i32 rows [cand_read, cand_valid, has_mmr_c, _];
+    cids (BG,NC,S)i8/i32; cnt (BG,D2,S)f32 aliased to cnt_out;
+    hp (BG,R)i32 aliased to hp_out; flag_out (BG,8)i32 row0=do_commit.
+
+    The valid-site range is recomputed from the count table itself
+    (tot = sum_d cnt — counts are small integers, exact in f32, so this
+    equals the incrementally-maintained sums), scoring is v1's math
+    verbatim, and the winning candidate's one-hot update is applied to the
+    table in VMEM before the single writeback — the XLA body keeps only
+    candidate selection and the loop counters.
+    """
+    f32 = jnp.float32
+    # widen on load: Mosaic lacks int8 vector compares; HBM traffic stays i8
+    cids = cids_ref[:].astype(jnp.int32)                   # (BG, NC, S)
+    bg, nc, S = cids.shape
+    R = hp_ref.shape[1]
+    min0 = scal_ref[:, 0][:, None]
+    max0 = scal_ref[:, 1][:, None]
+    cov = scal_ref[:, 2][:, None]
+    n_sites = scal_ref[:, 3][:, None]
+    active = scal_ref[:, 4] > 0                            # (BG,)
+
+    # --- range from the table (blockjoin.c:3669-3691) ---
+    cnt = cnt_ref[:]                                       # (BG, D2, S)
+    tot = jnp.sum(cnt, axis=1)                             # (BG, S)
+    s0 = jnp.zeros((bg, S), f32)
+    s1 = jnp.zeros((bg, S), f32)
+    for d in range(D):
+        s0 = s0 + cnt[:, 2 * d + 0, :]
+        s1 = s1 + cnt[:, 2 * d + 1, :]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (bg, S), 1)
+    ok = (tot >= cov.astype(f32)) & (idx < n_sites)
+    blocked_r = (~ok & (idx >= max0)) | (idx >= n_sites)
+    fb = jnp.min(jnp.where(blocked_r, idx, S), axis=1)     # first blocked
+    max_i = jnp.where(fb > max0[:, 0], fb - 1, max0[:, 0])
+    blocked_l = ~ok & (idx <= min0) & (min0 >= 0)
+    lnb = jnp.max(jnp.where(blocked_l, idx, -1), axis=1)   # last blocked
+    m0 = min0[:, 0]
+    min_i = jnp.where(m0 < 0, m0,
+                      jnp.where(lnb == m0, m0,
+                                jnp.where(lnb >= 0, lnb + 1, 0)))
+
+    # --- scoring (v1 math) ---
+    covered = cids >= 0
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (bg, nc, S), 2)
+    in_range = (s_idx >= min_i[:, None, None]) & (s_idx < max_i[:, None, None])
+    c0 = jnp.zeros((bg, nc, S), f32)
+    c1 = jnp.zeros((bg, nc, S), f32)
+    for d in range(D):
+        m = (cids == d).astype(f32)
+        c0 = c0 + m * cnt[:, 2 * d + 0, :][:, None, :]
+        c1 = c1 + m * cnt[:, 2 * d + 1, :][:, None, :]
+    found = ((c0 + c1) > 0) & covered & in_range
+    sb0 = s0[:, None, :]
+    sb1 = s1[:, None, :]
+    f0 = found & (sb0 > 0)
+    f1 = found & (sb1 > 0)
+    r0 = jnp.where(f0, c0 / jnp.maximum(sb0, 1.0), 0.0)
+    r1 = jnp.where(f1, c1 / jnp.maximum(sb1, 1.0), 0.0)
+    score0 = jnp.sum(r0, axis=2)                           # (BG, NC)
+    score1 = jnp.sum(r1, axis=2)
+    l_total0 = (jnp.sum(f0.astype(f32), axis=2)
+                + jnp.sum((r0 > 0).astype(f32), axis=2)).astype(jnp.int32)
+    l_total1 = (jnp.sum(f1.astype(f32), axis=2)
+                + jnp.sum((r1 > 0).astype(f32), axis=2)).astype(jnp.int32)
+
+    # --- decide + pick best (blockjoin.c:3645-3765) ---
+    diff = jnp.abs(score0 - score1)
+    tag_ok = ~((diff < 3.0) & ((l_total0 < 3) | (l_total1 < 3)))
+    tag = jnp.where(score0 > score1, 0, 1)                 # (BG, NC) i32
+    cand_read = cmeta_ref[:, 0, :]
+    commit_ok = tag_ok & (cmeta_ref[:, 1, :] > 0) & (cmeta_ref[:, 2, :] > 0)
+    eff = jnp.where(commit_ok, diff, -1.0)
+    best = jnp.max(eff, axis=1)                            # (BG,)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (bg, nc), 1)
+    best_k = jnp.max(jnp.where(commit_ok & (eff == best[:, None]),
+                               k_iota, -1), axis=1)
+    do_commit = (best >= 0.0) & active                     # (BG,)
+    k_oh = (k_iota == jnp.maximum(best_k, 0)[:, None]).astype(f32)
+    rid = jnp.sum(k_oh * cand_read.astype(f32), axis=1).astype(jnp.int32)
+    t = jnp.sum(k_oh * tag.astype(f32), axis=1).astype(jnp.int32)
+
+    # --- commit in VMEM, single writeback ---
+    rids = jnp.sum(k_oh[:, :, None] * cids.astype(f32), axis=1).astype(jnp.int32)
+    upd = ((rids >= 0) & do_commit[:, None]).astype(f32)   # (BG, S)
+    th = t[:, None]
+    for d in range(D):
+        md = upd * (rids == d)
+        cnt_out[:, 2 * d + 0, :] = cnt[:, 2 * d + 0, :] + md * (th == 0)
+        cnt_out[:, 2 * d + 1, :] = cnt[:, 2 * d + 1, :] + md * (th == 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (bg, R), 1)
+    hp = hp_ref[:]
+    hp_out[:] = jnp.where((q == rid[:, None]) & do_commit[:, None],
+                          t[:, None], hp)
+    flag_out[:] = jnp.broadcast_to(do_commit.astype(jnp.int32)[:, None],
+                                   (bg, 8))
+
+
+def _step_fused2(scal, cmeta, cids, cnt, hp, *, D: int, nc_cap: int,
+                 interpret: bool = False):
+    G, nc, S = cids.shape
+    R = hp.shape[1]
+    kern = functools.partial(_score_commit_kernel, D=D)
+    return pl.pallas_call(
+        kern,
+        grid=(G // BG,),
+        in_specs=[
+            pl.BlockSpec((BG, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 4, nc), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, nc, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 2 * D, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BG, 2 * D, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 2 * D, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, R), hp.dtype),
+            jax.ShapeDtypeStruct((G, 8), jnp.int32),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(scal, cmeta, cids, cnt, hp)
+
+
+def run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok,
+                          n_reads, n_sites, q_break, min0, max0, cov, n_cand,
+                          max_iters, D: int, nc_cap: int,
+                          interpret: bool = False):
+    """v2 of run_batch_fused_core: one kernel per iteration does range +
+    score + commit with the count table aliased in place; no separate sums
+    state. Tag-identical to v1 and the vmapped engine."""
+    G, R, S = ids.shape
+    f32 = jnp.float32
+
+    cnt0 = _seed_count_table_b(ids, hp_init, seed_ok, has_mmr, D)
+    state = (hp_init, cnt0,
+             jnp.zeros(G, jnp.int32), jnp.zeros(G, jnp.int32), jnp.int32(0))
+
+    def cond(st):
+        hp, cnt, q_last, failed, it = st
+        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
+        return jnp.any(active)
+
+    def body(st):
+        hp, cnt, q_last, failed, it = st
+        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
+
+        # --- candidate collection (XLA: cheap (G,R) ops) ---
+        q = jnp.arange(R)[None, :]
+        untagged = (hp != 0) & (hp != 1)
+        elig = untagged & (q >= q_last[:, None]) & (q < n_reads[:, None])
+        rank = jnp.cumsum(elig.astype(jnp.int32), axis=1)
+        sel = elig & (rank <= n_cand[:, None])
+        slot = (rank - 1)[:, :, None] == jnp.arange(nc_cap)[None, None, :]
+        slot_mat = sel[:, :, None] & slot
+        cand_valid = jnp.any(slot_mat, axis=1)
+        cand_read = jnp.sum(slot_mat.astype(jnp.int32) * q[:, :, None], axis=1)
+        cids = jnp.take_along_axis(ids, cand_read[:, :, None], axis=1)
+        has_mmr_c = jnp.take_along_axis(has_mmr, cand_read, axis=1)
+
+        scal = jnp.stack([min0, max0, cov, n_sites, active.astype(jnp.int32),
+                          jnp.zeros_like(min0), jnp.zeros_like(min0),
+                          jnp.zeros_like(min0)], axis=1).astype(jnp.int32)
+        cmeta = jnp.stack([cand_read, cand_valid.astype(jnp.int32),
+                           has_mmr_c.astype(jnp.int32),
+                           jnp.zeros_like(cand_read)], axis=1)
+
+        cnt, hp, flags = _step_fused2(scal, cmeta, cids, cnt, hp,
+                                      D=D, nc_cap=nc_cap, interpret=interpret)
+        do_commit = flags[:, 0] > 0
+        fail_lane = active & ~do_commit
+        failed = jnp.where(do_commit, 0,
+                           jnp.where(fail_lane, failed + 1, failed))
+        q_last = jnp.where(fail_lane, q_last + n_cand, q_last)
+        return hp, cnt, q_last, failed, it + 1
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[0]
+
+
+@functools.partial(jax.jit, static_argnames=("D", "nc_cap", "interpret"))
+def run_batch_fused2(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
+                     q_break, min0, max0, cov, n_cand, max_iters,
+                     D: int, nc_cap: int, interpret: bool = False):
+    return run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok, n_reads,
+                                 n_sites, q_break, min0, max0, cov, n_cand,
+                                 max_iters, D, nc_cap, interpret=interpret)
 
 
 def _want_interpret() -> bool:

@@ -20,7 +20,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.engine_jax import GapDeviceData, run_direction_core
-from ..kernels.engine_fused import BG, fused_enabled, run_batch_fused
+from ..kernels.engine_fused import (BG, fused_enabled, run_batch_fused,
+                                    run_batch_fused2)
 
 
 @dataclass
@@ -61,6 +62,9 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     D = 4
     while D < need:
         D *= 2
+    # NOTE: int8/int16 mer-id grids were measured SLOWER despite 4x less HBM
+    # traffic — the VPU repacks sub-word lanes on every widen, doubling the
+    # v1 kernel's iteration time (tools/bench_fused.py, 2026-08-18). Keep i32.
     ids = np.full((G, R, S), -1, dtype=np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
@@ -98,8 +102,14 @@ def _engine_for(batch: GapBatch):
     body elsewhere. Both take the batch_args tuple."""
     G = batch.ids.shape[0]
     if fused_enabled() and G % BG == 0:
-        return functools.partial(run_batch_fused, D=batch.D,
-                                 nc_cap=batch.nc_cap)
+        # POMFRET_FUSED_V2=1 selects the score+commit+range megakernel
+        # (count table aliased in place); within measurement noise of v1 on
+        # the dev tunnel (tools/bench_fused.py interleaved), kept selectable
+        # for quieter hardware
+        import os
+        fn = run_batch_fused2 if os.environ.get("POMFRET_FUSED_V2") == "1" \
+            else run_batch_fused
+        return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap)
     return functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
 
 

@@ -17,7 +17,8 @@ def main():
     import jax
     from bench import build_real_gap_batch
     from pomfret_tpu.parallel.batch import batch_args, _run_batch_jit
-    from pomfret_tpu.kernels.engine_fused import run_batch_fused
+    from pomfret_tpu.kernels.engine_fused import (run_batch_fused,
+                                                  run_batch_fused2)
 
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batches, n_reads = build_real_gap_batch(G)
@@ -37,22 +38,29 @@ def main():
         a[-1] = jax.device_put(np.int32(iters))
         return np.asarray(run_batch_fused(*a, D=b.D, nc_cap=b.nc_cap))
 
+    def run_fused2(iters):
+        a = list(args)
+        a[-1] = jax.device_put(np.int32(iters))
+        return np.asarray(run_batch_fused2(*a, D=b.D, nc_cap=b.nc_cap))
+
     # parity at full convergence
     full = 2 * b.ids.shape[1] + 64
     hv = run_vmap(full)
-    hf = run_fused(full)
-    same = np.array_equal(hv, hf)
-    print(f"parity (hp tags, {full} iters): {'IDENTICAL' if same else 'MISMATCH'}",
-          file=sys.stderr)
-    if not same:
-        bad = np.argwhere(hv != hf)
-        print(f"  {len(bad)} differing entries; first 10: {bad[:10].tolist()}",
-              file=sys.stderr)
-        for g, r in bad[:5]:
-            print(f"  gap {g} read {r}: vmap={hv[g, r]} fused={hf[g, r]}",
+    for name, run in (("fused", run_fused), ("fused2", run_fused2)):
+        hf = run(full)
+        same = np.array_equal(hv, hf)
+        print(f"{name} parity (hp tags, {full} iters): "
+              f"{'IDENTICAL' if same else 'MISMATCH'}", file=sys.stderr)
+        if not same:
+            bad = np.argwhere(hv != hf)
+            print(f"  {len(bad)} differing entries; first 10: {bad[:10].tolist()}",
                   file=sys.stderr)
+            for g, r in bad[:5]:
+                print(f"  gap {g} read {r}: vmap={hv[g, r]} {name}={hf[g, r]}",
+                      file=sys.stderr)
 
-    for name, run in (("vmap", run_vmap), ("fused", run_fused)):
+    for name, run in (("vmap", run_vmap), ("fused", run_fused),
+                      ("fused2", run_fused2)):
         ts = {}
         for iters in (64, 192):
             reps = 3
@@ -66,5 +74,54 @@ def main():
               file=sys.stderr)
 
 
+
+
+def interleaved(rounds=4):
+    """Interleave vmap/v1/v2 timing rounds in one process to defeat the
+    tunnel's cross-process variance; prints per-round slopes + medians."""
+    import jax
+    from bench import build_real_gap_batch
+    from pomfret_tpu.parallel.batch import batch_args, _run_batch_jit
+    from pomfret_tpu.kernels.engine_fused import run_batch_fused, run_batch_fused2
+
+    G = 128
+    batches, _ = build_real_gap_batch(G)
+    b = batches[0]
+    args = [jax.device_put(a) for a in batch_args(b, 64)]
+
+    def mk(fn, scalar_iters):
+        def run(iters):
+            a = list(args)
+            a[-1] = jax.device_put(np.int32(iters) if scalar_iters
+                                   else np.full(G, iters, dtype=np.int32))
+            return np.asarray(fn(*a, D=b.D, nc_cap=b.nc_cap))
+        return run
+
+    runs = {"vmap": mk(_run_batch_jit, False), "v1": mk(run_batch_fused, True),
+            "v2": mk(run_batch_fused2, True)}
+    for r in runs.values():
+        r(4)  # compile+warm
+    slopes = {k: [] for k in runs}
+    for rnd in range(rounds):
+        for k, r in runs.items():
+            t = {}
+            for iters in (64, 192):
+                t0 = time.time()
+                for _ in range(3):
+                    r(iters)
+                t[iters] = (time.time() - t0) / 3
+            slopes[k].append((t[192] - t[64]) / 128 * 1e6)
+        print(f"round {rnd}: " + "  ".join(
+            f"{k}={slopes[k][-1]:.1f}us" for k in runs), file=sys.stderr)
+    for k in runs:
+        med = sorted(slopes[k])[len(slopes[k]) // 2]
+        print(f"{k}: median slope {med:.1f} us/iter", file=sys.stderr)
+
+
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "interleaved":
+        interleaved()
+    else:
+        main()

@@ -33,10 +33,16 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 BG = 8  # gap-lanes per Pallas grid step
+
+
+def _pallas():
+    """Deferred pallas import: ~1.2 s of module initialization that pure-host
+    CLI runs (and the CPU test backend's vmap path) never need."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl, pltpu
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,6 +102,7 @@ def score_candidates_batch(cnt2, sums2, cids, min_i, max_i, *,
     -> (G, 8, NC) f32 score block. G must be a multiple of BG."""
     G, nc, S = cids.shape
     assert G % BG == 0, G
+    pl, pltpu = _pallas()
     minmax = jnp.stack([min_i, max_i], axis=-1).astype(jnp.int32)  # (G, 2)
     kern = functools.partial(_score_kernel, D=D)
     return pl.pallas_call(
@@ -160,6 +167,7 @@ def run_batch_fused_core(ids, has_mmr, hp_init, seed_ok,
     leading G axis (G multiple of BG); returns final hp (G, R)."""
     G, R, S = ids.shape
     f32 = jnp.float32
+    ids = ids.astype(jnp.int32)  # i8 rides the upload; the loop wants i32
 
     cnt0 = _seed_count_table_b(ids, hp_init, seed_ok, has_mmr, D)
     sums0 = cnt0.reshape(G, D, 2, S).sum(axis=1)           # (G, 2, S)
@@ -344,6 +352,7 @@ def _step_fused2(scal, cmeta, cids, cnt, hp, *, D: int, nc_cap: int,
                  interpret: bool = False):
     G, nc, S = cids.shape
     R = hp.shape[1]
+    pl, pltpu = _pallas()
     kern = functools.partial(_score_commit_kernel, D=D)
     return pl.pallas_call(
         kern,
@@ -383,6 +392,7 @@ def run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok,
     state. Tag-identical to v1 and the vmapped engine."""
     G, R, S = ids.shape
     f32 = jnp.float32
+    ids = ids.astype(jnp.int32)  # i8 rides the upload; the loop wants i32
 
     cnt0 = _seed_count_table_b(ids, hp_init, seed_ok, has_mmr, D)
     state = (hp_init, cnt0,

@@ -109,10 +109,15 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     reads_with = [r for r in rs.reads if r.mmr_n]
     max_d = 1
     if reads_with:
-        rrow = np.concatenate([np.full(r.mmr_n, r.i, dtype=np.int64)
-                               for r in reads_with])
-        scol = np.concatenate([r.mmr_start_i + np.arange(r.mmr_n, dtype=np.int64)
-                               for r in reads_with])
+        lens = np.array([r.mmr_n for r in reads_with], dtype=np.int64)
+        rrow = np.repeat(np.array([r.i for r in reads_with], dtype=np.int64),
+                         lens)
+        # scol[k] = read's mmr_start_i + within-read offset, one repeat+arange
+        total = int(lens.sum())
+        run_start = np.repeat(np.cumsum(lens) - lens, lens)
+        scol = (np.repeat(np.array([r.mmr_start_i for r in reads_with],
+                                   dtype=np.int64), lens)
+                + np.arange(total, dtype=np.int64) - run_start)
         keys = np.concatenate([r.mmr for r in reads_with]).astype(np.int64)
         seq = np.arange(len(keys), dtype=np.int64)
         order = np.lexsort((seq, keys, scol))

@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.engine_jax import GapDeviceData, run_direction_core
@@ -62,10 +63,13 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     D = 4
     while D < need:
         D *= 2
-    # NOTE: int8/int16 mer-id grids were measured SLOWER despite 4x less HBM
-    # traffic — the VPU repacks sub-word lanes on every widen, doubling the
-    # v1 kernel's iteration time (tools/bench_fused.py, 2026-08-18). Keep i32.
-    ids = np.full((G, R, S), -1, dtype=np.int32)
+    # int8 mer-id grid when the dictionary fits: the ids array dominates the
+    # host->device upload (the tunnel's per-dispatch cost), so ship i8 and
+    # widen ONCE on device. Keeping the loop itself on i8 was measured SLOWER
+    # (VPU sub-word repack doubled the v1 kernel's iteration time,
+    # tools/bench_fused.py 2026-08-18) — hence the engines upcast to i32
+    # before the while_loop.
+    ids = np.full((G, R, S), -1, dtype=np.int8 if D <= 127 else np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
     seed_ok = np.zeros((G, R), dtype=bool)
@@ -91,6 +95,7 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
 def _run_batch_jit(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
                    min0, max0, cov, n_cand, max_iters,
                    D: int, nc_cap: int):
+    ids = ids.astype(jnp.int32)  # i8 rides the upload; the loop wants i32
     f = functools.partial(run_direction_core, D=D, nc_cap=nc_cap)
     return jax.vmap(f)(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
                        q_break, min0, max0, cov, n_cand, max_iters)

@@ -34,7 +34,31 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BG = 8  # gap-lanes per Pallas grid step
+# gap-lanes per Pallas grid step: fatter steps amortize per-step overhead
+# against the 16MB scoped-VMEM limit. At bench shapes (D=4, S=1536, NC=16)
+# BG=32 measured best (v2: 190us/iter at BG=8 -> 157 at BG=32, interleaved
+# medians) and BG=64 OOMs scoped VMEM (27.4MB). BG is the minimum lane
+# block G is padded to; pick_bg() may choose a larger one per batch shape.
+BG = int(os.environ.get("POMFRET_FUSED_BG", "8"))
+BG_MAX = int(os.environ.get("POMFRET_FUSED_BG_MAX", "32"))
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def pick_bg(D: int, S: int, nc_cap: int) -> int:
+    """Largest lane block whose v2 kernel blocks fit scoped VMEM.
+
+    Per-lane estimate: count table in+out (2*D2*S*4), widened candidate
+    tile + iota/ratio temps (~3*nc*S*4). Measured anchor: 428KB/lane at
+    (D=4, S=1536, NC=16) where 64 lanes OOM at 27.4MB and 32 lanes fit.
+    On non-TPU backends (interpret-mode tests, CPU dryrun) stay at the
+    minimum so padded dead lanes don't inflate test time."""
+    if jax.default_backend() != "tpu":
+        return BG
+    per_lane = 2 * (2 * D * S * 4) + 3 * nc_cap * S * 4
+    bg = BG_MAX
+    while bg > BG and bg * per_lane > _VMEM_BUDGET:
+        bg //= 2
+    return max(bg, BG)
 
 
 def _pallas():
@@ -97,27 +121,28 @@ def _score_kernel(minmax_ref, cnt_ref, sums_ref, cids_ref, out_ref, *, D: int):
 
 
 def score_candidates_batch(cnt2, sums2, cids, min_i, max_i, *,
-                           D: int, interpret: bool = False):
+                           D: int, bg: int = 0, interpret: bool = False):
     """cnt2 (G,D2,S)f32, sums2 (G,2,S)f32, cids (G,NC,S)i32, min/max (G,)i32
     -> (G, 8, NC) f32 score block. G must be a multiple of BG."""
     G, nc, S = cids.shape
-    assert G % BG == 0, G
+    bg = bg or BG
+    assert G % bg == 0, (G, bg)
     pl, pltpu = _pallas()
     minmax = jnp.stack([min_i, max_i], axis=-1).astype(jnp.int32)  # (G, 2)
     kern = functools.partial(_score_kernel, D=D)
     return pl.pallas_call(
         kern,
-        grid=(G // BG,),
+        grid=(G // bg,),
         in_specs=[
-            pl.BlockSpec((BG, 2), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 2 * D, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, 2), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 2 * D, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 2, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, 2, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, nc, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, nc, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BG, 8, nc), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((bg, 8, nc), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 8, nc), jnp.float32),
         interpret=interpret,
@@ -161,7 +186,7 @@ def _seed_count_table_b(ids, hp_init, seed_ok, has_mmr, D: int):
 
 def run_batch_fused_core(ids, has_mmr, hp_init, seed_ok,
                          n_reads, n_sites, q_break, min0, max0, cov, n_cand,
-                         max_iters, D: int, nc_cap: int,
+                         max_iters, D: int, nc_cap: int, bg: int = 0,
                          interpret: bool = False):
     """Hand-batched equivalent of vmap(run_direction_core): all args carry a
     leading G axis (G multiple of BG); returns final hp (G, R)."""
@@ -200,7 +225,7 @@ def run_batch_fused_core(ids, has_mmr, hp_init, seed_ok,
         # --- scoring: the Pallas kernel ---
         cids = jnp.take_along_axis(ids, cand_read[:, :, None], axis=1)
         blk = score_candidates_batch(cnt, sums, cids, min_i, max_i,
-                                     D=D, interpret=interpret)
+                                     D=D, bg=bg, interpret=interpret)
         score0, score1 = blk[:, 0, :], blk[:, 1, :]
         l_total0 = (blk[:, 2, :] + blk[:, 4, :]).astype(jnp.int32)
         l_total1 = (blk[:, 3, :] + blk[:, 5, :]).astype(jnp.int32)
@@ -349,29 +374,31 @@ def _score_commit_kernel(scal_ref, cmeta_ref, cids_ref, cnt_ref, hp_ref,
 
 
 def _step_fused2(scal, cmeta, cids, cnt, hp, *, D: int, nc_cap: int,
-                 interpret: bool = False):
+                 bg: int = 0, interpret: bool = False):
     G, nc, S = cids.shape
     R = hp.shape[1]
+    bg = bg or BG
+    assert G % bg == 0, (G, bg)
     pl, pltpu = _pallas()
     kern = functools.partial(_score_commit_kernel, D=D)
     return pl.pallas_call(
         kern,
-        grid=(G // BG,),
+        grid=(G // bg,),
         in_specs=[
-            pl.BlockSpec((BG, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 4, nc), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 4, nc), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, nc, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, nc, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 2 * D, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, 2 * D, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BG, 2 * D, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((bg, 2 * D, S), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, 2 * D, S), jnp.float32),
@@ -385,7 +412,7 @@ def _step_fused2(scal, cmeta, cids, cnt, hp, *, D: int, nc_cap: int,
 
 def run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok,
                           n_reads, n_sites, q_break, min0, max0, cov, n_cand,
-                          max_iters, D: int, nc_cap: int,
+                          max_iters, D: int, nc_cap: int, bg: int = 0,
                           interpret: bool = False):
     """v2 of run_batch_fused_core: one kernel per iteration does range +
     score + commit with the count table aliased in place; no separate sums
@@ -427,8 +454,9 @@ def run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok,
                            has_mmr_c.astype(jnp.int32),
                            jnp.zeros_like(cand_read)], axis=1)
 
-        cnt, hp, flags = _step_fused2(scal, cmeta, cids, cnt, hp,
-                                      D=D, nc_cap=nc_cap, interpret=interpret)
+        cnt, hp, flags = _step_fused2(scal, cmeta, cids, cnt, hp, D=D,
+                                      nc_cap=nc_cap, bg=bg,
+                                      interpret=interpret)
         do_commit = flags[:, 0] > 0
         fail_lane = active & ~do_commit
         failed = jnp.where(do_commit, 0,
@@ -440,13 +468,16 @@ def run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok,
     return state[0]
 
 
-@functools.partial(jax.jit, static_argnames=("D", "nc_cap", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("D", "nc_cap", "bg", "interpret"))
 def run_batch_fused2(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
                      q_break, min0, max0, cov, n_cand, max_iters,
-                     D: int, nc_cap: int, interpret: bool = False):
+                     D: int, nc_cap: int, bg: int = 0,
+                     interpret: bool = False):
     return run_batch_fused2_core(ids, has_mmr, hp_init, seed_ok, n_reads,
                                  n_sites, q_break, min0, max0, cov, n_cand,
-                                 max_iters, D, nc_cap, interpret=interpret)
+                                 max_iters, D, nc_cap, bg=bg,
+                                 interpret=interpret)
 
 
 def _want_interpret() -> bool:
@@ -454,13 +485,16 @@ def _want_interpret() -> bool:
             or os.environ.get("POMFRET_FUSED_INTERPRET") == "1")
 
 
-@functools.partial(jax.jit, static_argnames=("D", "nc_cap", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("D", "nc_cap", "bg", "interpret"))
 def run_batch_fused(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
                     q_break, min0, max0, cov, n_cand, max_iters,
-                    D: int, nc_cap: int, interpret: bool = False):
+                    D: int, nc_cap: int, bg: int = 0,
+                    interpret: bool = False):
     return run_batch_fused_core(ids, has_mmr, hp_init, seed_ok, n_reads,
                                 n_sites, q_break, min0, max0, cov, n_cand,
-                                max_iters, D, nc_cap, interpret=interpret)
+                                max_iters, D, nc_cap, bg=bg,
+                                interpret=interpret)
 
 
 def fused_enabled() -> bool:

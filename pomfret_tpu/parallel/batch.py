@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.engine_jax import GapDeviceData, run_direction_core
-from ..kernels.engine_fused import (BG, fused_enabled, run_batch_fused,
-                                    run_batch_fused2)
+from ..kernels.engine_fused import (BG, fused_enabled, pick_bg,
+                                    run_batch_fused, run_batch_fused2)
 
 
 @dataclass
@@ -42,6 +42,7 @@ class GapBatch:
     n_cand: np.ndarray     # (G,) int32 (traced; nc_cap is the compile key)
     D: int
     nc_cap: int
+    bg: int = BG           # fused-kernel lane block; G is a multiple of it
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,10 +52,6 @@ def _round_up(x: int, m: int) -> int:
 def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
                    n_cand: int,
                    pad_g: Optional[int] = None) -> GapBatch:
-    # G is padded to a multiple of the fused engine's lane-block (BG); pad
-    # lanes have n_reads=0/q_break=0 so their while-loop lanes are inactive
-    # from iteration 0. Also buckets compile signatures by batch size.
-    G = pad_g or _round_up(len(datas), BG)
     R = max(d.ids.shape[0] for d in datas)
     S = max(d.ids.shape[1] for d in datas)
     # bucket the dictionary capacity to powers of two (>=4): few compile
@@ -63,6 +60,13 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     D = 4
     while D < need:
         D *= 2
+    nc_cap = _round_up(max(n_cand, 1), 16)
+    # G is padded to a multiple of the fused engine's lane block (largest
+    # that fits scoped VMEM for these shapes); pad lanes have n_reads=0/
+    # q_break=0 so their while-loop lanes are inactive from iteration 0.
+    # Also buckets compile signatures by batch size.
+    bg = pick_bg(D, S, nc_cap)
+    G = pad_g or _round_up(len(datas), bg)
     # int8 mer-id grid when the dictionary fits: the ids array dominates the
     # host->device upload (the tunnel's per-dispatch cost), so ship i8 and
     # widen ONCE on device. Keeping the loop itself on i8 was measured SLOWER
@@ -88,7 +92,7 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
                     n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
                     min0=sc[3], max0=sc[4], cov=sc[5],
                     n_cand=np.full(G, n_cand, dtype=np.int32),
-                    D=D, nc_cap=_round_up(max(n_cand, 1), 16))
+                    D=D, nc_cap=nc_cap, bg=bg)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
@@ -106,15 +110,16 @@ def _engine_for(batch: GapBatch):
     (2.2x faster/iter, tag-identical — tools/bench_fused.py), the vmapped XLA
     body elsewhere. Both take the batch_args tuple."""
     G = batch.ids.shape[0]
-    if fused_enabled() and G % BG == 0:
-        # POMFRET_FUSED_V2=1 selects the score+commit+range megakernel
-        # (count table aliased in place); within measurement noise of v1 on
-        # the dev tunnel (tools/bench_fused.py interleaved), kept selectable
-        # for quieter hardware
+    if fused_enabled() and G % batch.bg == 0:
+        # default: the v2 score+commit+range megakernel (count table aliased
+        # in place) at the VMEM-budgeted lane block — 157 vs v1's 174 us/iter
+        # at bench shapes (tools/bench_fused.py interleaved medians).
+        # POMFRET_FUSED_V2=0 falls back to the v1 scoring-only kernel.
         import os
-        fn = run_batch_fused2 if os.environ.get("POMFRET_FUSED_V2") == "1" \
-            else run_batch_fused
-        return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap)
+        fn = run_batch_fused if os.environ.get("POMFRET_FUSED_V2") == "0" \
+            else run_batch_fused2
+        return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap,
+                                 bg=batch.bg)
     return functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
 
 

@@ -36,12 +36,12 @@ def main():
     def run_fused(iters):
         a = list(args)
         a[-1] = jax.device_put(np.int32(iters))
-        return np.asarray(run_batch_fused(*a, D=b.D, nc_cap=b.nc_cap))
+        return np.asarray(run_batch_fused(*a, D=b.D, nc_cap=b.nc_cap, bg=b.bg))
 
     def run_fused2(iters):
         a = list(args)
         a[-1] = jax.device_put(np.int32(iters))
-        return np.asarray(run_batch_fused2(*a, D=b.D, nc_cap=b.nc_cap))
+        return np.asarray(run_batch_fused2(*a, D=b.D, nc_cap=b.nc_cap, bg=b.bg))
 
     # parity at full convergence
     full = 2 * b.ids.shape[1] + 64
@@ -97,8 +97,10 @@ def interleaved(rounds=4):
             return np.asarray(fn(*a, D=b.D, nc_cap=b.nc_cap))
         return run
 
-    runs = {"vmap": mk(_run_batch_jit, False), "v1": mk(run_batch_fused, True),
-            "v2": mk(run_batch_fused2, True)}
+    import functools
+    runs = {"vmap": mk(_run_batch_jit, False),
+            "v1": mk(functools.partial(run_batch_fused, bg=b.bg), True),
+            "v2": mk(functools.partial(run_batch_fused2, bg=b.bg), True)}
     for r in runs.values():
         r(4)  # compile+warm
     slopes = {k: [] for k in runs}

@@ -89,22 +89,27 @@ def make_run(variant: str, D: int, nc_cap: int, bg: int):
             active = (q_last < q_break) & (failed <= 10)
             if variant == "select":
                 cand_read, cand_valid = selection(hp, q_last)
-                hp = hp + (cand_read.sum() * 0).astype(hp.dtype) \
-                    + (cand_valid.sum().astype(hp.dtype) * 0)
+                chk = cand_read.sum() + cand_valid.sum()
+                hp = hp + (chk > jnp.int32(-2147483647)).astype(hp.dtype) - 1
                 return hp, cnt, q_last, failed, it + 1
             if variant == "gather":
                 cand_read = jnp.minimum(
                     q_last[:, None] + jnp.arange(nc_cap)[None, :], R - 1)
                 cids = jnp.take_along_axis(ids_i, cand_read[:, :, None],
                                            axis=1)
-                hp = hp + (cids.sum(axis=(1, 2)) * 0)[:, None].astype(hp.dtype)
+                chk = cids.sum(axis=(1, 2))
+                hp = hp + ((chk > jnp.int32(-2147483647))
+                           .astype(hp.dtype) - 1)[:, None]
                 return hp, cnt, q_last, failed, it + 1
 
             scal, cmeta, cids = mk_inputs(hp, q_last, active)
             if variant == "glue":
-                flags0 = (cids[:, 0, 0] * 0 + scal[:, 0] * 0
-                          + cmeta[:, 0, 0] * 0 + 1)
-                do_commit = flags0 > 0
+                # consume the FULL gathered tensors so XLA cannot narrow the
+                # take_along_axis to one element (x*0 folds for ints; use a
+                # non-foldable compare against an unreachable sentinel)
+                chk = (cids.sum(axis=(1, 2)) + cmeta.sum(axis=(1, 2))
+                       + scal.sum(axis=1))
+                do_commit = chk > jnp.int32(-2147483647)
             else:
                 cnt, hp, flags = _step_fused2(scal, cmeta, cids, cnt, hp,
                                               D=D, nc_cap=nc_cap, bg=bg)

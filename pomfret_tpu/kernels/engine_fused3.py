@@ -1,0 +1,350 @@
+"""v3 fused engine: the ENTIRE greedy phasing loop inside one Pallas call.
+
+v2 (engine_fused.run_batch_fused2) runs one kernel per loop iteration from a
+lax.while_loop: each iteration pays the count-table HBM round trip
+(2x (G,D2,S) f32), the candidate-tile materialization ((G,NC,S) i32 gather
+write + kernel read), and a kernel-launch pipeline stall — measured ~167
+us/iter at bench shapes, of which the kernel itself is ~91 and the XLA glue
+~14 (tools/bench_ablate_fused.py).
+
+v3 moves the whole while loop INSIDE the kernel, one grid step per lane
+block:
+
+  - the count table, hp vector, and candidate mer-id tiles stay RESIDENT in
+    VMEM across all iterations of the block (HBM sees them once);
+  - the candidate set is maintained INCREMENTALLY: committing a read frees
+    one slot and fetches exactly one new row of the (G,R,1,S) ids array from
+    HBM by per-lane DMA (a failed batch refills up to n_cand slots). The
+    set-maintenance is provably identical to re-deriving "first n_cand
+    untagged reads >= q_last" from scratch (see _fill_rounds docstring);
+  - each lane block exits its loop as soon as ITS gaps converge, instead of
+    all lanes paying the global maximum iteration count.
+
+Semantics are haplotag_region1's greedy loop (blockjoin.c:3958-4080),
+bit-identical to the v2/vmap engines — same f32 per-site ratio math, same
+reduction order along sites, same tie-breaks (v2 breaks score ties by
+HIGHEST slot index, which equals highest read index since slots are ordered;
+v3 uses read index directly). tests/test_engine_fused3.py asserts identical
+final hp vectors.
+
+Mosaic constraints that shaped the layout (probed in tools/probe_dma*.py,
+tools/probe_v3_feasibility.py, all on real TPU):
+  - DMA slices cannot start at traced offsets of tiled dims -> the ids array
+    is reshaped (G, R, 1, S) so the read-row index is an untiled leading
+    axis, and rows DMA into a (bg, 1, S) staging buffer;
+  - int8 row DMA aborts the compiler -> ids ship to the kernel as int32;
+  - no multi-axis reductions, no materialized 1D vectors: all per-lane state
+    is (bg, 1)-shaped.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .engine_fused import _pallas, _seed_count_table_b
+
+# lane block: whole-loop VMEM residency costs ~0.6MB/lane at bench shapes
+# (D=4, S=1536, NC=16): count table in+scratch, candidate tiles, scoring
+# temps. 16 fits comfortably; 32 is near the scoped-VMEM edge.
+BG3 = int(os.environ.get("POMFRET_FUSED3_BG", "16"))
+_VMEM_BUDGET = 13 * 1024 * 1024
+_BIG = 0x3FFFFFFF
+
+
+def pick_bg3(D: int, S: int, nc_cap: int) -> int:
+    """Largest lane block whose v3 VMEM residency fits the budget."""
+    if jax.default_backend() != "tpu":
+        return min(BG3, 8)
+    per_lane = (2 * (2 * D * S * 4)      # cnt block + scratch
+                + nc_cap * S * 4         # cids
+                + 4 * nc_cap * S * 4)    # scoring temps (c0,c1,r0,r1)
+    bg = BG3
+    while bg > 8 and bg * per_lane > _VMEM_BUDGET:
+        bg //= 2
+    return bg
+
+
+def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
+                 hp_out, stats_out,
+                 cnt_s, cids, cand_ref, stage, rowb, sem,
+                 *, D: int, nc_cap: int, bg: int, ablate: str = ""):
+    """One grid step runs the FULL greedy loop for bg gap lanes.
+
+    scal (bg,8)i32 rows [min0,max0,cov,n_sites,n_reads,q_break,n_cand,
+    max_iters]; hm (bg,R)i32; cnt_in (bg,D2,S)f32; hp_in (bg,R)i32 aliased
+    to hp_out; ids_hbm full (G,R,1,S)i32 in ANY/HBM; stats (bg,8)i32
+    [iters, final q_last, final failed, commits].
+    """
+    pl, pltpu = _pallas()
+    f32 = jnp.float32
+    R = hp_in.shape[1]
+    S = cnt_in.shape[2]
+    nc = nc_cap
+    pid = pl.program_id(0)
+
+    # --- residency init ---
+    hp_out[:, :] = hp_in[:, :]
+    cnt_s[:, :, :] = cnt_in[:, :, :]
+    cids[:, :, :] = jnp.full((bg, nc, S), -1, jnp.int32)
+    cand_ref[:, :] = jnp.full((bg, nc), -1, jnp.int32)
+
+    min0 = scal_ref[:, 0:1]
+    max0 = scal_ref[:, 1:2]
+    cov = scal_ref[:, 2:3]
+    n_sites = scal_ref[:, 3:4]
+    n_reads = scal_ref[:, 4:5]
+    q_break = scal_ref[:, 5:6]
+    n_cand = scal_ref[:, 6:7]
+    max_iters = scal_ref[:, 7:8]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (bg, R), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (bg, nc), 1)
+
+    def _next_row(q_last):
+        """(bg,1) index of the first untagged read beyond the current
+        candidate set (or >= q_last when the set is empty); _BIG if none.
+
+        Equivalence to re-deriving 'first n_cand untagged >= q_last': every
+        untagged read in [q_last, max(set)] is already a member (the set
+        held the FIRST n_cand untagged, members only leave by being tagged
+        or by q_last passing them), so scanning from max(set)+1 finds
+        exactly the next member. blockjoin.c:4037-4051."""
+        cr = cand_ref[:, :]
+        mx = jnp.max(jnp.where(cr >= 0, cr, -1), axis=1, keepdims=True)
+        lo = jnp.maximum(mx + 1, q_last)
+        hp = hp_out[:, :]
+        elig = ((hp != 0) & (hp != 1) & (q_iota >= lo) & (q_iota < n_reads))
+        return jnp.min(jnp.where(elig, q_iota, _BIG), axis=1, keepdims=True)
+
+    def _fill_one(nxt, fill_m):
+        """DMA row nxt into the first free slot for lanes where fill_m."""
+        rowb[:, :] = jnp.where(fill_m, nxt, -1)
+        if ablate != "nodma":
+            for l in range(bg):
+                r = rowb[l, 0]
+
+                @pl.when(r >= 0)
+                def _(l=l, r=r):
+                    pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
+                                          stage.at[l], sem.at[l]).start()
+            for l in range(bg):
+                r = rowb[l, 0]
+
+                @pl.when(r >= 0)
+                def _(l=l, r=r):
+                    pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
+                                          stage.at[l], sem.at[l]).wait()
+        cr = cand_ref[:, :]
+        free = jnp.min(jnp.where(cr < 0, k_iota, nc), axis=1, keepdims=True)
+        oh = (k_iota == free) & fill_m                     # (bg, nc)
+        cand_ref[:, :] = jnp.where(oh, nxt, cr)
+        # bool minor-dim insertion is unsupported on TPU; widen to i32 first
+        oh_i = oh.astype(jnp.int32)
+        ohb = jnp.broadcast_to(oh_i[:, :, None], (bg, nc, S)) > 0
+        stb = jnp.broadcast_to(stage[:, :, :], (bg, nc, S))
+        cids[:, :, :] = jnp.where(ohb, stb, cids[:, :, :])
+
+    def _fill_rounds(q_last, gate, in_loop=True):
+        """Top the candidate set up to n_cand slots (gated per lane)."""
+        if ablate == "nofill" and in_loop:
+            return
+        nxt0 = _next_row(q_last)
+        nv0 = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        m0 = gate & (nv0 < n_cand) & (nxt0 < _BIG)
+        _fill_one(nxt0, m0)
+        for _ in range(nc - 1):
+            nxt = _next_row(q_last)
+            nv = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
+                         keepdims=True)
+            m = gate & (nv < n_cand) & (nxt < _BIG)
+
+            @pl.when(jnp.any(m))
+            def _(nxt=nxt, m=m):
+                _fill_one(nxt, m)
+
+    # --- initial candidate set ---
+    q0 = jnp.zeros((bg, 1), jnp.int32)
+    f0 = jnp.zeros((bg, 1), jnp.int32)
+    act0 = (q0 < q_break) & (f0 <= 10) & (0 < max_iters)
+    _fill_rounds(q0, act0, in_loop=False)
+
+    def cond(st):
+        it, q_last, failed, ncom = st
+        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
+        return jnp.any(active)
+
+    def body(st):
+        it, q_last, failed, ncom = st
+        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
+
+        # --- valid-site range from the resident table (blockjoin.c:3669) ---
+        cnt = cnt_s[:, :, :]                               # (bg, D2, S)
+        tot = jnp.sum(cnt, axis=1)                         # (bg, S)
+        s0 = jnp.zeros((bg, S), f32)
+        s1 = jnp.zeros((bg, S), f32)
+        for d in range(D):
+            s0 = s0 + cnt[:, 2 * d + 0, :]
+            s1 = s1 + cnt[:, 2 * d + 1, :]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (bg, S), 1)
+        ok = (tot >= cov.astype(f32)) & (idx < n_sites)
+        blocked_r = (~ok & (idx >= max0)) | (idx >= n_sites)
+        fb = jnp.min(jnp.where(blocked_r, idx, S), axis=1, keepdims=True)
+        max_i = jnp.where(fb > max0, fb - 1, max0)         # (bg,1)
+        blocked_l = ~ok & (idx <= min0) & (min0 >= 0)
+        lnb = jnp.max(jnp.where(blocked_l, idx, -1), axis=1, keepdims=True)
+        min_i = jnp.where(min0 < 0, min0,
+                          jnp.where(lnb == min0, min0,
+                                    jnp.where(lnb >= 0, lnb + 1, 0)))
+
+        # --- scoring (v2 math verbatim on resident tiles) ---
+        cvals = cids[:, :, :]                              # (bg, nc, S) i32
+        covered = cvals >= 0
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (bg, nc, S), 2)
+        in_range = ((s_idx >= min_i[:, :, None])
+                    & (s_idx < max_i[:, :, None]))
+        c0 = jnp.zeros((bg, nc, S), f32)
+        c1 = jnp.zeros((bg, nc, S), f32)
+        for d in range(D):
+            m = (cvals == d).astype(f32)
+            c0 = c0 + m * cnt[:, 2 * d + 0, :][:, None, :]
+            c1 = c1 + m * cnt[:, 2 * d + 1, :][:, None, :]
+        found = ((c0 + c1) > 0) & covered & in_range
+        sb0 = s0[:, None, :]
+        sb1 = s1[:, None, :]
+        fm0 = found & (sb0 > 0)
+        fm1 = found & (sb1 > 0)
+        r0 = jnp.where(fm0, c0 / jnp.maximum(sb0, 1.0), 0.0)
+        r1 = jnp.where(fm1, c1 / jnp.maximum(sb1, 1.0), 0.0)
+        score0 = jnp.sum(r0, axis=2)                       # (bg, nc)
+        score1 = jnp.sum(r1, axis=2)
+        l_total0 = (jnp.sum(fm0.astype(f32), axis=2)
+                    + jnp.sum((r0 > 0).astype(f32), axis=2)).astype(jnp.int32)
+        l_total1 = (jnp.sum(fm1.astype(f32), axis=2)
+                    + jnp.sum((r1 > 0).astype(f32), axis=2)).astype(jnp.int32)
+
+        # --- decide + commit best (blockjoin.c:3645-3765) ---
+        diff = jnp.abs(score0 - score1)
+        tag_ok = ~((diff < 3.0) & ((l_total0 < 3) | (l_total1 < 3)))
+        tag = jnp.where(score0 > score1, 0, 1)             # (bg, nc)
+        cr = cand_ref[:, :]
+        hm = hm_ref[:, :]                                  # (bg, R)
+        q3 = jnp.broadcast_to(q_iota[:, None, :], (bg, nc, R))
+        cr3 = jnp.broadcast_to(cr[:, :, None], (bg, nc, R))
+        hm3 = jnp.broadcast_to(hm[:, None, :], (bg, nc, R))
+        hm_c = jnp.sum(jnp.where(q3 == cr3, hm3, 0), axis=2)  # (bg, nc)
+        commit_ok = tag_ok & (cr >= 0) & (hm_c > 0)
+        eff = jnp.where(commit_ok, diff, -1.0)
+        best = jnp.max(eff, axis=1, keepdims=True)         # (bg,1)
+        win_tie = commit_ok & (eff == best)
+        best_rid = jnp.max(jnp.where(win_tie, cr, -1), axis=1, keepdims=True)
+        do_commit = (best >= 0.0) & active                 # (bg,1)
+        win_oh = (cr == best_rid) & win_tie                # (bg, nc) unique
+        t = jnp.sum(jnp.where(win_oh, tag, 0), axis=1, keepdims=True)
+
+        # committed read's mer row -> masked dense adds on the resident table
+        wb = jnp.broadcast_to(win_oh.astype(jnp.int32)[:, :, None],
+                              (bg, nc, S)) > 0
+        rids = jnp.max(jnp.where(wb, cvals, -1), axis=1)   # (bg, S)
+        upd = ((rids >= 0) & do_commit).astype(f32)        # (bg, S)
+        for d in range(D):
+            md = upd * (rids == d)
+            cnt_s[:, 2 * d + 0, :] = cnt[:, 2 * d + 0, :] + md * (t == 0)
+            cnt_s[:, 2 * d + 1, :] = cnt[:, 2 * d + 1, :] + md * (t == 1)
+        hp = hp_out[:, :]
+        hp_out[:, :] = jnp.where((q_iota == best_rid) & do_commit, t, hp)
+        cand_ref[:, :] = jnp.where(win_oh & do_commit, -1, cr)
+
+        # --- failure bookkeeping (blockjoin.c:4046-4070) ---
+        fail_lane = active & ~do_commit
+        failed = jnp.where(do_commit, 0,
+                           jnp.where(fail_lane, failed + 1, failed))
+        q_last = jnp.where(fail_lane, q_last + n_cand, q_last)
+        cr2 = cand_ref[:, :]
+        cand_ref[:, :] = jnp.where(
+            jnp.broadcast_to(fail_lane, (bg, nc)) & (cr2 < q_last), -1, cr2)
+
+        # --- top the set back up for the next iteration ---
+        act_next = (q_last < q_break) & (failed <= 10) & (it + 1 < max_iters)
+        _fill_rounds(q_last, act_next)
+        ncom = ncom + do_commit.astype(jnp.int32)
+        return it + 1, q_last, failed, ncom
+
+    it, q_last, failed, ncom = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q0, f0, jnp.zeros((bg, 1), jnp.int32)))
+
+    stats_out[:, :] = jnp.zeros((bg, 8), jnp.int32)
+    stats_out[:, 0:1] = jnp.broadcast_to(jnp.reshape(it, (1, 1)), (bg, 1))
+    stats_out[:, 1:2] = q_last
+    stats_out[:, 2:3] = failed
+    stats_out[:, 3:4] = ncom
+
+
+def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
+                          n_reads, n_sites, q_break, min0, max0, cov, n_cand,
+                          max_iters, D: int, nc_cap: int, bg: int = 0,
+                          interpret: bool = False, ablate: str = ""):
+    """Whole-loop-in-kernel engine; same contract as run_batch_fused2_core:
+    all args carry a leading G axis (G a multiple of bg); returns final hp."""
+    pl, pltpu = _pallas()
+    G, R, S = ids.shape
+    bg = bg or pick_bg3(D, nc_cap=nc_cap, S=S)
+    assert G % bg == 0, (G, bg)
+    ids_i = ids.astype(jnp.int32)
+    cnt0 = _seed_count_table_b(ids_i, hp_init, seed_ok, has_mmr, D)
+    ids4 = ids_i.reshape(G, R, 1, S)
+    scal = jnp.stack([min0, max0, cov, n_sites, n_reads, q_break,
+                      n_cand, max_iters], axis=1).astype(jnp.int32)
+    hm_i = has_mmr.astype(jnp.int32)
+
+    kern = functools.partial(_loop_kernel, D=D, nc_cap=nc_cap, bg=bg,
+                             ablate=ablate)
+    hp, stats = pl.pallas_call(
+        kern,
+        grid=(G // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 2 * D, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((bg, R), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, R), hp_init.dtype),
+            jax.ShapeDtypeStruct((G, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bg, 2 * D, S), jnp.float32),
+            pltpu.VMEM((bg, nc_cap, S), jnp.int32),
+            pltpu.VMEM((bg, nc_cap), jnp.int32),
+            pltpu.VMEM((bg, 1, S), jnp.int32),
+            pltpu.VMEM((bg, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((bg,)),
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(scal, hm_i, cnt0, hp_init, ids4)
+    return hp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("D", "nc_cap", "bg", "interpret",
+                                    "ablate"))
+def run_batch_fused3(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
+                     q_break, min0, max0, cov, n_cand, max_iters,
+                     D: int, nc_cap: int, bg: int = 0,
+                     interpret: bool = False, ablate: str = ""):
+    """ablate is for timing ablations only ('nodma' skips the row DMAs,
+    'nofill' skips in-loop candidate refills) — both corrupt results."""
+    return run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok, n_reads,
+                                 n_sites, q_break, min0, max0, cov, n_cand,
+                                 max_iters, D, nc_cap, bg=bg,
+                                 interpret=interpret, ablate=ablate)

@@ -13,6 +13,7 @@ from pomfret_tpu.io.bam import BamReader
 from pomfret_tpu.kernels.engine_jax import build_gap_device_data, _round_up
 from pomfret_tpu.kernels.engine_fused import (BG, run_batch_fused,
                                               run_batch_fused2)
+from pomfret_tpu.kernels.engine_fused3 import run_batch_fused3
 from pomfret_tpu.parallel.batch import pack_gap_batch, batch_args, _run_batch_jit
 from pomfret_tpu.testing import SynthConfig, make_two_block_scenario
 
@@ -44,5 +45,8 @@ def test_fused_matches_vmap(tmp_path, trans, noise):
     h2 = np.asarray(run_batch_fused2(*args, D=batch.D, nc_cap=batch.nc_cap,
                                      interpret=True))
     assert np.array_equal(hv, h2)
+    h3 = np.asarray(run_batch_fused3(*args, D=batch.D, nc_cap=batch.nc_cap,
+                                     bg=BG, interpret=True))
+    assert np.array_equal(hv, h3)
     # sanity: the engine actually tagged reads in these lanes
     assert (hv <= 1).sum() > 0

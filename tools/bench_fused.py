@@ -19,6 +19,7 @@ def main():
     from pomfret_tpu.parallel.batch import batch_args, _run_batch_jit
     from pomfret_tpu.kernels.engine_fused import (run_batch_fused,
                                                   run_batch_fused2)
+    from pomfret_tpu.kernels.engine_fused3 import run_batch_fused3, pick_bg3
 
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batches, n_reads = build_real_gap_batch(G)
@@ -43,10 +44,18 @@ def main():
         a[-1] = jax.device_put(np.int32(iters))
         return np.asarray(run_batch_fused2(*a, D=b.D, nc_cap=b.nc_cap, bg=b.bg))
 
+    bg3 = pick_bg3(b.D, b.ids.shape[2], b.nc_cap)
+
+    def run_fused3(iters):
+        a = list(args)
+        a[-1] = jax.device_put(np.full(G, iters, dtype=np.int32))
+        return np.asarray(run_batch_fused3(*a, D=b.D, nc_cap=b.nc_cap, bg=bg3))
+
     # parity at full convergence
     full = 2 * b.ids.shape[1] + 64
     hv = run_vmap(full)
-    for name, run in (("fused", run_fused), ("fused2", run_fused2)):
+    for name, run in (("fused", run_fused), ("fused2", run_fused2),
+                      ("fused3", run_fused3)):
         hf = run(full)
         same = np.array_equal(hv, hf)
         print(f"{name} parity (hp tags, {full} iters): "
@@ -60,7 +69,7 @@ def main():
                       file=sys.stderr)
 
     for name, run in (("vmap", run_vmap), ("fused", run_fused),
-                      ("fused2", run_fused2)):
+                      ("fused2", run_fused2), ("fused3", run_fused3)):
         ts = {}
         for iters in (64, 192):
             reps = 3
@@ -83,6 +92,7 @@ def interleaved(rounds=4):
     from bench import build_real_gap_batch
     from pomfret_tpu.parallel.batch import batch_args, _run_batch_jit
     from pomfret_tpu.kernels.engine_fused import run_batch_fused, run_batch_fused2
+    from pomfret_tpu.kernels.engine_fused3 import run_batch_fused3, pick_bg3
 
     G = 128
     batches, _ = build_real_gap_batch(G)
@@ -98,9 +108,11 @@ def interleaved(rounds=4):
         return run
 
     import functools
+    bg3 = pick_bg3(b.D, b.ids.shape[2], b.nc_cap)
     runs = {"vmap": mk(_run_batch_jit, False),
             "v1": mk(functools.partial(run_batch_fused, bg=b.bg), True),
-            "v2": mk(functools.partial(run_batch_fused2, bg=b.bg), True)}
+            "v2": mk(functools.partial(run_batch_fused2, bg=b.bg), True),
+            "v3": mk(functools.partial(run_batch_fused3, bg=bg3), False)}
     for r in runs.values():
         r(4)  # compile+warm
     slopes = {k: [] for k in runs}

@@ -16,7 +16,16 @@ block:
     one slot and fetches exactly one new row of the (G,R,1,S) ids array from
     HBM by per-lane DMA (a failed batch refills up to n_cand slots). The
     set-maintenance is provably identical to re-deriving "first n_cand
-    untagged reads >= q_last" from scratch (see _fill_rounds docstring);
+    untagged reads >= q_last" from scratch (see _next_row docstring);
+  - the one-row-per-iteration fetch is SPECULATIVELY PREFETCHED: the next
+    row to enter the set — the first untagged read beyond the set's max —
+    is already known at iteration START (a commit tags a read *inside* the
+    set, which the untagged scan skips; a failed batch only drops the LOW
+    end of the set), so its DMA is issued before scoring and waited on
+    after the commit, hiding the HBM latency behind the scoring math. A
+    post-update recheck (nxt == spec) catches the one case the speculation
+    misses (a failed batch dropping the whole set), which falls back to
+    gated refill rounds;
   - each lane block exits its loop as soon as ITS gaps converge, instead of
     all lanes paying the global maximum iteration count.
 
@@ -24,17 +33,18 @@ Semantics are haplotag_region1's greedy loop (blockjoin.c:3958-4080),
 bit-identical to the v2/vmap engines — same f32 per-site ratio math, same
 reduction order along sites, same tie-breaks (v2 breaks score ties by
 HIGHEST slot index, which equals highest read index since slots are ordered;
-v3 uses read index directly). tests/test_engine_fused3.py asserts identical
-final hp vectors.
+v3 uses read index directly). tests/test_engine_fused.py and
+tests/test_engine_fused3.py assert identical final hp vectors.
 
 Mosaic constraints that shaped the layout (probed in tools/probe_dma*.py,
 tools/probe_v3_feasibility.py, all on real TPU):
   - DMA slices cannot start at traced offsets of tiled dims -> the ids array
     is reshaped (G, R, 1, S) so the read-row index is an untiled leading
     axis, and rows DMA into a (bg, 1, S) staging buffer;
-  - int8 row DMA aborts the compiler -> ids ship to the kernel as int32;
-  - no multi-axis reductions, no materialized 1D vectors: all per-lane state
-    is (bg, 1)-shaped.
+  - int8 row DMA aborts the compiler -> ids reach the kernel as int32 (the
+    resident candidate tiles may still narrow to int8 in VMEM, cid8=True);
+  - no multi-axis reductions, no materialized 1D vectors ((bg,1) keepdims
+    everywhere), no minor-dim insertion on bools (widen to i32 first).
 """
 from __future__ import annotations
 
@@ -46,21 +56,28 @@ import jax.numpy as jnp
 
 from .engine_fused import _pallas, _seed_count_table_b
 
-# lane block: whole-loop VMEM residency costs ~0.6MB/lane at bench shapes
+# lane block: whole-loop VMEM residency costs ~0.4MB/lane at bench shapes
 # (D=4, S=1536, NC=16): count table in+scratch, candidate tiles, scoring
-# temps. 16 fits comfortably; 32 is near the scoped-VMEM edge.
-BG3 = int(os.environ.get("POMFRET_FUSED3_BG", "16"))
+# temps. Bigger blocks amortize the per-block-iteration fixed costs (DMA
+# issue, scalar bookkeeping) over more lanes: measured 176 us/iter at
+# bg=16 vs 132 at bg=32 (tools/bench_ablate_v3.py, G=128 bench shapes).
+BG3 = int(os.environ.get("POMFRET_FUSED3_BG", "32"))
 _VMEM_BUDGET = 13 * 1024 * 1024
 _BIG = 0x3FFFFFFF
 
 
 def pick_bg3(D: int, S: int, nc_cap: int) -> int:
-    """Largest lane block whose v3 VMEM residency fits the budget."""
+    """Largest lane block whose v3 VMEM residency fits the budget.
+
+    Anchor: bg=32 at (D=4, S=1536, NC=16) compiles and is the fastest
+    measured configuration; bg=64 exceeds scoped VMEM. The temp estimate is
+    ~2 live (bg,NC,S) f32 intermediates (the nested-select scoring chain
+    lets Mosaic reuse buffers)."""
     if jax.default_backend() != "tpu":
         return min(BG3, 8)
     per_lane = (2 * (2 * D * S * 4)      # cnt block + scratch
                 + nc_cap * S * 4         # cids
-                + 4 * nc_cap * S * 4)    # scoring temps (c0,c1,r0,r1)
+                + 2 * nc_cap * S * 4)    # live scoring temps
     bg = BG3
     while bg > 8 and bg * per_lane > _VMEM_BUDGET:
         bg //= 2
@@ -70,7 +87,8 @@ def pick_bg3(D: int, S: int, nc_cap: int) -> int:
 def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
                  hp_out, stats_out,
                  cnt_s, cids, cand_ref, stage, rowb, sem,
-                 *, D: int, nc_cap: int, bg: int, ablate: str = ""):
+                 *, D: int, nc_cap: int, bg: int, cid8: bool = False,
+                 ablate: str = ""):
     """One grid step runs the FULL greedy loop for bg gap lanes.
 
     scal (bg,8)i32 rows [min0,max0,cov,n_sites,n_reads,q_break,n_cand,
@@ -83,12 +101,13 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
     R = hp_in.shape[1]
     S = cnt_in.shape[2]
     nc = nc_cap
+    cdt = cids.dtype
     pid = pl.program_id(0)
 
     # --- residency init ---
     hp_out[:, :] = hp_in[:, :]
     cnt_s[:, :, :] = cnt_in[:, :, :]
-    cids[:, :, :] = jnp.full((bg, nc, S), -1, jnp.int32)
+    cids[:, :, :] = jnp.full((bg, nc, S), -1, cdt)
     cand_ref[:, :] = jnp.full((bg, nc), -1, jnp.int32)
 
     min0 = scal_ref[:, 0:1]
@@ -102,6 +121,11 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (bg, R), 1)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (bg, nc), 1)
+
+    def _act(it, q_last, failed):
+        if "noexit" in ablate:  # timing ablation: neutralize convergence
+            return jnp.broadcast_to(it < max_iters, (bg, 1))
+        return (q_last < q_break) & (failed <= 10) & (it < max_iters)
 
     def _next_row(q_last):
         """(bg,1) index of the first untagged read beyond the current
@@ -119,24 +143,31 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         elig = ((hp != 0) & (hp != 1) & (q_iota >= lo) & (q_iota < n_reads))
         return jnp.min(jnp.where(elig, q_iota, _BIG), axis=1, keepdims=True)
 
-    def _fill_one(nxt, fill_m):
-        """DMA row nxt into the first free slot for lanes where fill_m."""
+    def _dma_start(nxt, fill_m):
         rowb[:, :] = jnp.where(fill_m, nxt, -1)
-        if ablate != "nodma":
-            for l in range(bg):
-                r = rowb[l, 0]
+        if ablate == "nodma":
+            return
+        for l in range(bg):
+            r = rowb[l, 0]
 
-                @pl.when(r >= 0)
-                def _(l=l, r=r):
-                    pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
-                                          stage.at[l], sem.at[l]).start()
-            for l in range(bg):
-                r = rowb[l, 0]
+            @pl.when(r >= 0)
+            def _(l=l, r=r):
+                pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
+                                      stage.at[l], sem.at[l]).start()
 
-                @pl.when(r >= 0)
-                def _(l=l, r=r):
-                    pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
-                                          stage.at[l], sem.at[l]).wait()
+    def _dma_wait():
+        if ablate == "nodma":
+            return
+        for l in range(bg):
+            r = rowb[l, 0]
+
+            @pl.when(r >= 0)
+            def _(l=l, r=r):
+                pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
+                                      stage.at[l], sem.at[l]).wait()
+
+    def _place(nxt, fill_m):
+        """Adopt the staged row into the first free slot where fill_m."""
         cr = cand_ref[:, :]
         free = jnp.min(jnp.where(cr < 0, k_iota, nc), axis=1, keepdims=True)
         oh = (k_iota == free) & fill_m                     # (bg, nc)
@@ -144,19 +175,19 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         # bool minor-dim insertion is unsupported on TPU; widen to i32 first
         oh_i = oh.astype(jnp.int32)
         ohb = jnp.broadcast_to(oh_i[:, :, None], (bg, nc, S)) > 0
-        stb = jnp.broadcast_to(stage[:, :, :], (bg, nc, S))
+        stb = jnp.broadcast_to(stage[:, :, :], (bg, nc, S)).astype(cdt)
         cids[:, :, :] = jnp.where(ohb, stb, cids[:, :, :])
 
-    def _fill_rounds(q_last, gate, in_loop=True):
+    def _fill_one(nxt, fill_m):
+        _dma_start(nxt, fill_m)
+        _dma_wait()
+        _place(nxt, fill_m)
+
+    def _fill_rounds(q_last, gate, rounds, in_loop=True):
         """Top the candidate set up to n_cand slots (gated per lane)."""
         if ablate == "nofill" and in_loop:
             return
-        nxt0 = _next_row(q_last)
-        nv0 = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        m0 = gate & (nv0 < n_cand) & (nxt0 < _BIG)
-        _fill_one(nxt0, m0)
-        for _ in range(nc - 1):
+        for _ in range(rounds):
             nxt = _next_row(q_last)
             nv = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
                          keepdims=True)
@@ -169,26 +200,32 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
     # --- initial candidate set ---
     q0 = jnp.zeros((bg, 1), jnp.int32)
     f0 = jnp.zeros((bg, 1), jnp.int32)
-    act0 = (q0 < q_break) & (f0 <= 10) & (0 < max_iters)
-    _fill_rounds(q0, act0, in_loop=False)
+    _fill_rounds(q0, _act(jnp.int32(0), q0, f0), nc, in_loop=False)
 
     def cond(st):
         it, q_last, failed, ncom = st
-        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
-        return jnp.any(active)
+        return jnp.any(_act(it, q_last, failed))
 
     def body(st):
         it, q_last, failed, ncom = st
-        active = (q_last < q_break) & (failed <= 10) & (it < max_iters)
+        active = _act(it, q_last, failed)
+
+        # --- speculative prefetch of the next set member (see module doc):
+        # issued now, waited on after the commit, so the HBM latency rides
+        # under the scoring math ---
+        spec = _next_row(q_last)
+        spec_m = active & (spec < _BIG) & (ablate != "nofill")
+        _dma_start(spec, spec_m)
 
         # --- valid-site range from the resident table (blockjoin.c:3669) ---
         cnt = cnt_s[:, :, :]                               # (bg, D2, S)
-        tot = jnp.sum(cnt, axis=1)                         # (bg, S)
         s0 = jnp.zeros((bg, S), f32)
         s1 = jnp.zeros((bg, S), f32)
         for d in range(D):
             s0 = s0 + cnt[:, 2 * d + 0, :]
             s1 = s1 + cnt[:, 2 * d + 1, :]
+        # counts are small integers, exact in f32, so s0+s1 == sum over D2
+        tot = s0 + s1                                      # (bg, S)
         idx = jax.lax.broadcasted_iota(jnp.int32, (bg, S), 1)
         ok = (tot >= cov.astype(f32)) & (idx < n_sites)
         blocked_r = (~ok & (idx >= max0)) | (idx >= n_sites)
@@ -200,18 +237,22 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
                           jnp.where(lnb == min0, min0,
                                     jnp.where(lnb >= 0, lnb + 1, 0)))
 
-        # --- scoring (v2 math verbatim on resident tiles) ---
-        cvals = cids[:, :, :]                              # (bg, nc, S) i32
+        # --- scoring (values identical to v2's kernel; fewer VPU ops):
+        # the per-(cand,site) count lookup is a nested select over D instead
+        # of D masked multiply-adds (at most one d matches, so the selected
+        # value equals the masked sum bit-exactly), the range mask is
+        # (bg,S) per-lane instead of a (bg,nc,S) iota, and r>0 is folded to
+        # c>0 under the found mask (divisor>0, numerator>=0). ---
+        cvals = cids[:, :, :].astype(jnp.int32)            # (bg, nc, S)
         covered = cvals >= 0
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, (bg, nc, S), 2)
-        in_range = ((s_idx >= min_i[:, :, None])
-                    & (s_idx < max_i[:, :, None]))
+        ir = ((idx >= min_i) & (idx < max_i)).astype(jnp.int32)  # (bg, S)
+        in_range = ir[:, None, :] > 0                      # (bg, 1, S)
         c0 = jnp.zeros((bg, nc, S), f32)
         c1 = jnp.zeros((bg, nc, S), f32)
         for d in range(D):
-            m = (cvals == d).astype(f32)
-            c0 = c0 + m * cnt[:, 2 * d + 0, :][:, None, :]
-            c1 = c1 + m * cnt[:, 2 * d + 1, :][:, None, :]
+            m = cvals == d
+            c0 = jnp.where(m, cnt[:, 2 * d + 0, :][:, None, :], c0)
+            c1 = jnp.where(m, cnt[:, 2 * d + 1, :][:, None, :], c1)
         found = ((c0 + c1) > 0) & covered & in_range
         sb0 = s0[:, None, :]
         sb1 = s1[:, None, :]
@@ -221,10 +262,12 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         r1 = jnp.where(fm1, c1 / jnp.maximum(sb1, 1.0), 0.0)
         score0 = jnp.sum(r0, axis=2)                       # (bg, nc)
         score1 = jnp.sum(r1, axis=2)
+        nz0 = fm0 & (c0 > 0)                               # == (r0 > 0)
+        nz1 = fm1 & (c1 > 0)
         l_total0 = (jnp.sum(fm0.astype(f32), axis=2)
-                    + jnp.sum((r0 > 0).astype(f32), axis=2)).astype(jnp.int32)
+                    + jnp.sum(nz0.astype(f32), axis=2)).astype(jnp.int32)
         l_total1 = (jnp.sum(fm1.astype(f32), axis=2)
-                    + jnp.sum((r1 > 0).astype(f32), axis=2)).astype(jnp.int32)
+                    + jnp.sum(nz1.astype(f32), axis=2)).astype(jnp.int32)
 
         # --- decide + commit best (blockjoin.c:3645-3765) ---
         diff = jnp.abs(score0 - score1)
@@ -267,9 +310,20 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         cand_ref[:, :] = jnp.where(
             jnp.broadcast_to(fail_lane, (bg, nc)) & (cr2 < q_last), -1, cr2)
 
-        # --- top the set back up for the next iteration ---
-        act_next = (q_last < q_break) & (failed <= 10) & (it + 1 < max_iters)
-        _fill_rounds(q_last, act_next)
+        # --- adopt the prefetched row if it is still the right next member
+        # (it always is after a commit; a failed batch only drops the LOW
+        # end, leaving max(set) and hence the next member unchanged — unless
+        # it emptied the set, which the recheck catches) ---
+        act_next = _act(it + 1, q_last, failed)
+        _dma_wait()
+        if ablate != "nofill":
+            nxt1 = _next_row(q_last)
+            nv = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
+                         keepdims=True)
+            m0 = act_next & (nv < n_cand) & (nxt1 == spec) & spec_m
+            _place(nxt1, m0)
+        # anything the speculation missed: gated refill rounds
+        _fill_rounds(q_last, act_next, nc)
         ncom = ncom + do_commit.astype(jnp.int32)
         return it + 1, q_last, failed, ncom
 
@@ -286,7 +340,8 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
 def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
                           n_reads, n_sites, q_break, min0, max0, cov, n_cand,
                           max_iters, D: int, nc_cap: int, bg: int = 0,
-                          interpret: bool = False, ablate: str = ""):
+                          interpret: bool = False, cid8: bool = False,
+                          ablate: str = ""):
     """Whole-loop-in-kernel engine; same contract as run_batch_fused2_core:
     all args carry a leading G axis (G a multiple of bg); returns final hp."""
     pl, pltpu = _pallas()
@@ -301,7 +356,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
     hm_i = has_mmr.astype(jnp.int32)
 
     kern = functools.partial(_loop_kernel, D=D, nc_cap=nc_cap, bg=bg,
-                             ablate=ablate)
+                             cid8=cid8, ablate=ablate)
     hp, stats = pl.pallas_call(
         kern,
         grid=(G // bg,),
@@ -323,7 +378,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
         ],
         scratch_shapes=[
             pltpu.VMEM((bg, 2 * D, S), jnp.float32),
-            pltpu.VMEM((bg, nc_cap, S), jnp.int32),
+            pltpu.VMEM((bg, nc_cap, S), jnp.int8 if cid8 else jnp.int32),
             pltpu.VMEM((bg, nc_cap), jnp.int32),
             pltpu.VMEM((bg, 1, S), jnp.int32),
             pltpu.VMEM((bg, 1), jnp.int32),
@@ -337,14 +392,17 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
 
 @functools.partial(jax.jit,
                    static_argnames=("D", "nc_cap", "bg", "interpret",
-                                    "ablate"))
+                                    "cid8", "ablate"))
 def run_batch_fused3(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites,
                      q_break, min0, max0, cov, n_cand, max_iters,
                      D: int, nc_cap: int, bg: int = 0,
-                     interpret: bool = False, ablate: str = ""):
+                     interpret: bool = False, cid8: bool = False,
+                     ablate: str = ""):
     """ablate is for timing ablations only ('nodma' skips the row DMAs,
-    'nofill' skips in-loop candidate refills) — both corrupt results."""
+    'nofill' skips candidate refills, '+noexit' neutralizes convergence
+    exits) — every ablation corrupts results."""
     return run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok, n_reads,
                                  n_sites, q_break, min0, max0, cov, n_cand,
                                  max_iters, D, nc_cap, bg=bg,
-                                 interpret=interpret, ablate=ablate)
+                                 interpret=interpret, cid8=cid8,
+                                 ablate=ablate)

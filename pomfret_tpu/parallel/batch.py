@@ -106,18 +106,26 @@ def _run_batch_jit(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
 
 
 def _engine_for(batch: GapBatch):
-    """Single-device engine dispatch: the fused (Pallas-scoring) core on TPU
-    (2.2x faster/iter, tag-identical — tools/bench_fused.py), the vmapped XLA
-    body elsewhere. Both take the batch_args tuple."""
+    """Single-device engine dispatch on TPU, vmapped XLA body elsewhere.
+
+    Default: the v3 whole-loop-in-kernel engine (engine_fused3) — the full
+    greedy loop runs inside ONE Pallas call per lane block with the count
+    table/hp/candidate tiles VMEM-resident and speculative row prefetch.
+    POMFRET_FUSED_GEN=2|1 selects the older per-iteration kernels (v2:
+    score+commit+range megakernel; v1: scoring-only kernel + XLA commit).
+    All engines are tag-identical (tools/bench_fused.py)."""
+    import os
     G = batch.ids.shape[0]
+    gen = os.environ.get("POMFRET_FUSED_GEN", "3")
     if fused_enabled() and G % batch.bg == 0:
-        # default: the v2 score+commit+range megakernel (count table aliased
-        # in place) at the VMEM-budgeted lane block — 157 vs v1's 174 us/iter
-        # at bench shapes (tools/bench_fused.py interleaved medians).
-        # POMFRET_FUSED_V2=0 falls back to the v1 scoring-only kernel.
-        import os
-        fn = run_batch_fused if os.environ.get("POMFRET_FUSED_V2") == "0" \
-            else run_batch_fused2
+        if gen == "3":
+            from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3
+            S = batch.ids.shape[2]
+            bg3 = min(pick_bg3(batch.D, S, batch.nc_cap), batch.bg)
+            if G % bg3 == 0:
+                return functools.partial(run_batch_fused3, D=batch.D,
+                                         nc_cap=batch.nc_cap, bg=bg3)
+        fn = run_batch_fused if gen == "1" else run_batch_fused2
         return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap,
                                  bg=batch.bg)
     return functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)

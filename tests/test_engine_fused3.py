@@ -47,6 +47,10 @@ def test_fused3_padded_lanes_and_small_ncand(tmp_path):
     assert (hv[:4] <= 1).sum() > 0
     # dead lanes stay fully untagged
     assert (hv[4:] == 2).all()
+    # int8-resident candidate tiles (the production bg=32 configuration)
+    h3b = np.asarray(run_batch_fused3(*args, D=batch.D, nc_cap=batch.nc_cap,
+                                      bg=8, cid8=True, interpret=True))
+    assert np.array_equal(hv, h3b)
 
 
 def test_fused3_zero_max_iters(tmp_path):

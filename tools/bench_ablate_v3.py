@@ -35,12 +35,13 @@ def main():
           file=sys.stderr)
     args = [jax.device_put(a) for a in batch_args(b, 64)]
 
-    def mk3(bg, ablate=""):
+    def mk3(bg, ablate="", cid8=False):
         def run(iters):
             a = list(args)
             a[-1] = jax.device_put(np.full(G, iters, dtype=np.int32))
             return np.asarray(run_batch_fused3(
-                *a, D=b.D, nc_cap=b.nc_cap, bg=bg, ablate=ablate))
+                *a, D=b.D, nc_cap=b.nc_cap, bg=bg, cid8=cid8,
+                ablate=ablate))
         return run
 
     def mk2():
@@ -53,11 +54,10 @@ def main():
 
     runs = {
         "v2": mk2(),
-        "v3_bg8": mk3(8),
-        "v3_bg16": mk3(16),
         "v3_bg32": mk3(32),
-        "nodma16": mk3(16, "nodma"),
-        "nofill16": mk3(16, "nofill"),
+        "v3_bg64": mk3(64),
+        "v3_bg64i8": mk3(64, cid8=True),
+        "noexit32": mk3(32, "noexit"),
     }
     for k in list(runs):
         try:

@@ -167,15 +167,39 @@ def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
     if dev_args is None:
         dev_args = upload_gap_batch(batch, mesh, max_iters)
     if mesh is not None:
-        # mesh path stays on the vmapped body: per-device shards need not be
-        # BG-aligned, and the fused kernel buys nothing when gap lanes are
-        # already spread over chips
-        f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
-        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-        f = jax.jit(f, in_shardings=(sh,) * len(dev_args), out_shardings=sh)
+        f = _sharded_engine_for(batch, mesh, n_args=len(dev_args))
     else:
         f = _engine_for(batch)
     return np.asarray(f(*dev_args))
+
+
+def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
+    """Mesh-path engine: shard the gap axis over the mesh's first axis and
+    run the v3 whole-loop kernel on each device's shard via shard_map (the
+    computation is embarrassingly gap-parallel — no collectives). Falls back
+    to the vmapped XLA body when the fused engine is off (CPU meshes, tests)
+    or the per-device shard is not lane-block aligned."""
+    G = batch.ids.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis))
+    if fused_enabled() and n_dev > 0 and G % n_dev == 0:
+        from ..kernels.engine_fused import _want_interpret
+        from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3_core
+        shard = G // n_dev
+        bg3 = min(pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap),
+                  batch.bg)
+        if shard > 0 and shard % bg3 == 0:
+            core = functools.partial(run_batch_fused3_core, D=batch.D,
+                                     nc_cap=batch.nc_cap, bg=bg3,
+                                     interpret=_want_interpret())
+            p = P(axis)
+            # check_vma off: pallas_call out_shapes carry no vma metadata
+            return jax.jit(jax.shard_map(core, mesh=mesh,
+                                         in_specs=(p,) * n_args,
+                                         out_specs=p, check_vma=False))
+    f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
+    return jax.jit(f, in_shardings=(sh,) * n_args, out_shardings=sh)
 
 
 def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None):

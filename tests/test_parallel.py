@@ -55,6 +55,21 @@ def test_mesh_sharded_matches_unsharded():
     assert np.array_equal(out1, out8)
 
 
+def test_mesh_sharded_fused_matches_unsharded(monkeypatch):
+    """The shard_map + whole-loop-kernel mesh path (production on TPU pods)
+    must equal the unsharded vmap engine; forced on via POMFRET_FORCE_FUSED
+    with the kernel in interpret mode on the CPU mesh."""
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(3)
+    datas = [_rand_gap(rng) for _ in range(16)]
+    batch = pack_gap_batch(datas, [4] * 16, n_cand=8, pad_g=64)
+    out1 = run_gap_batch(batch, max_iters=160)
+    monkeypatch.setenv("POMFRET_FORCE_FUSED", "1")
+    mesh = make_gap_mesh(8)
+    out8 = run_gap_batch(batch, mesh=mesh, max_iters=160)
+    assert np.array_equal(out1, out8)
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")

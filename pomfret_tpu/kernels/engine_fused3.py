@@ -143,28 +143,39 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         elig = ((hp != 0) & (hp != 1) & (q_iota >= lo) & (q_iota < n_reads))
         return jnp.min(jnp.where(elig, q_iota, _BIG), axis=1, keepdims=True)
 
+    # per-lane DMA loops are lax.fori_loops with a DYNAMIC lane index (legal:
+    # every sliced dim is untiled) — unrolling them in Python made tracing
+    # the kernel ~5x slower (6.6s vs 1.9s at bg=32), paid once per process.
     def _dma_start(nxt, fill_m):
         rowb[:, :] = jnp.where(fill_m, nxt, -1)
         if ablate == "nodma":
             return
-        for l in range(bg):
+
+        def lane(l, c):
             r = rowb[l, 0]
 
             @pl.when(r >= 0)
-            def _(l=l, r=r):
+            def _():
                 pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
                                       stage.at[l], sem.at[l]).start()
+            return c
+
+        jax.lax.fori_loop(0, bg, lane, 0)
 
     def _dma_wait():
         if ablate == "nodma":
             return
-        for l in range(bg):
+
+        def lane(l, c):
             r = rowb[l, 0]
 
             @pl.when(r >= 0)
-            def _(l=l, r=r):
+            def _():
                 pltpu.make_async_copy(ids_hbm.at[pid * bg + l, r],
                                       stage.at[l], sem.at[l]).wait()
+            return c
+
+        jax.lax.fori_loop(0, bg, lane, 0)
 
     def _place(nxt, fill_m):
         """Adopt the staged row into the first free slot where fill_m."""
@@ -184,18 +195,24 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         _place(nxt, fill_m)
 
     def _fill_rounds(q_last, gate, rounds, in_loop=True):
-        """Top the candidate set up to n_cand slots (gated per lane)."""
+        """Top the candidate set up to n_cand slots (gated per lane). All
+        round state lives in refs, so the rounds are a fori_loop (tracing
+        rounds Python-unrolled was a measurable per-process cost)."""
         if ablate == "nofill" and in_loop:
             return
-        for _ in range(rounds):
+
+        def rnd(_, c):
             nxt = _next_row(q_last)
             nv = jnp.sum((cand_ref[:, :] >= 0).astype(jnp.int32), axis=1,
                          keepdims=True)
             m = gate & (nv < n_cand) & (nxt < _BIG)
 
             @pl.when(jnp.any(m))
-            def _(nxt=nxt, m=m):
+            def _():
                 _fill_one(nxt, m)
+            return c
+
+        jax.lax.fori_loop(0, rounds, rnd, 0)
 
     # --- initial candidate set ---
     q0 = jnp.zeros((bg, 1), jnp.int32)

@@ -65,7 +65,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    G = int(os.environ.get("BENCH_GAPS", "128"))
+    # 512 lanes amortize the dev tunnel's ~25 ms dispatch overhead (342k ->
+    # 529k reads/s going 128 -> 512); HBM footprint stays ~2 GB
+    G = int(os.environ.get("BENCH_GAPS", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     from pomfret_tpu.parallel.batch import run_gap_batch, upload_gap_batch
 

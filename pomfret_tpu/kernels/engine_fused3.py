@@ -358,7 +358,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
                           n_reads, n_sites, q_break, min0, max0, cov, n_cand,
                           max_iters, D: int, nc_cap: int, bg: int = 0,
                           interpret: bool = False, cid8: bool = False,
-                          ablate: str = ""):
+                          ablate: str = "", with_stats: bool = False):
     """Whole-loop-in-kernel engine; same contract as run_batch_fused2_core:
     all args carry a leading G axis (G a multiple of bg); returns final hp."""
     pl, pltpu = _pallas()
@@ -404,6 +404,8 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
         input_output_aliases={3: 0},
         interpret=interpret,
     )(scal, hm_i, cnt0, hp_init, ids4)
+    if with_stats:
+        return hp, stats
     return hp
 
 

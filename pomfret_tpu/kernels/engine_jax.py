@@ -340,6 +340,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_dim(n: int) -> int:
+    """Pad a read/site dimension to a coarse shape bucket: multiples of 256
+    up to 2048, then 1.25x steps rounded to 256. Keeps the number of
+    distinct compiled programs small (each is a fresh Mosaic compile of the
+    whole-loop kernel — seconds locally, minutes of variance through the
+    dev tunnel's remote compile service) at modest padding waste."""
+    b = _round_up(max(n, 1), 256)
+    if b <= 2048:
+        return b
+    v = 2048
+    while v < b:
+        v = _round_up(int(v * 1.25), 256)
+    return v
+
+
+def _bucket_lanes(n: int) -> int:
+    """Pad the lane count to a power-of-two multiple of 32 (every fused
+    lane block divides it; dead lanes are inactive from iteration 0)."""
+    v = 32
+    while v < n:
+        v *= 2
+    return v
+
+
 def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
                 n_cand: int, cov_runtime: int,
                 n_permutations: int = 1, rng=None) -> int:
@@ -428,13 +452,20 @@ def _decide_from_direction_tags(rs: ReadSet, initial: np.ndarray,
 
 
 def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
-                     indices=None, group: int = 64):
+                     indices=None, group: int = 0):
     """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
-    the subset in `indices` for multi-host runs) through the vmapped batch
-    engine, `group` gaps per device dispatch.
+    the subset in `indices` for multi-host runs) through the batched device
+    engine, `group` gaps (= 2*group lanes, fwd+bwd) per device dispatch.
+
+    The default group of 128 amortizes the per-dispatch cost — measured
+    reads/s at bench shapes rises 342k -> 453k -> 529k as lanes go
+    128 -> 256 -> 512 through the dev tunnel (~25 ms/dispatch); the cost is
+    that R/S padding is shared across the group. POMFRET_GAP_GROUP overrides.
 
     Returns (decisions, per-gap {qname: hp}) aligned with `indices`.
     """
+    import os as _os
+    group = group or int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
     from ..parallel.batch import pack_gap_batch
 
     idxs = list(indices if indices is not None else range(len(rg.starts)))
@@ -459,7 +490,15 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
             not _os.environ.get("POMFRET_NO_NATIVE_WINDOW"):
         from ..io import native as _native
         if _native.native_available():
-            n_load_threads = max(1, min(4, (_os.cpu_count() or 2) - 1))
+            # bam_window_load is itself threaded (min(8, cpus+1) workers,
+            # io/native/__init__.py), so an outer pool only helps once there
+            # are cores beyond one call's workers — oversubscribing is
+            # actively harmful (measured 16 loads on 2 cores: 1.4s serial,
+            # 3.9s at pool=2, 9.9s at pool=8). POMFRET_LOAD_THREADS
+            # overrides.
+            n_load_threads = int(_os.environ.get(
+                "POMFRET_LOAD_THREADS",
+                max(1, min(4, (_os.cpu_count() or 2) // 8))))
 
     pending = []  # one-deep pipeline: device runs group k while host packs k+1
     for c0 in range(0, len(idxs), group):
@@ -480,9 +519,14 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
         if not loaded:
             continue
         # both directions ride ONE device batch: lanes [0:n) are bwd,
-        # [n:2n) are fwd — one dispatch + one result download per group
-        pad_r = _round_up(max(rs.n for _, rs, _, _ in loaded), 128)
-        pad_s = _round_up(max(max(t[2].n, t[3].n) for t in loaded), 128)
+        # [n:2n) are fwd — one dispatch + one result download per group.
+        # Pads use a coarse bucket ladder, NOT tight round-up-to-128: each
+        # distinct (G,R,S) is a fresh Mosaic compile of the whole-loop
+        # kernel (minutes through the remote compile service, amortized only
+        # via the persistent cache), so trading <=25% padded lanes/sites for
+        # a handful of stable shapes wins decisively on real runs.
+        pad_r = _bucket_dim(max(rs.n for _, rs, _, _ in loaded))
+        pad_s = _bucket_dim(max(max(t[2].n, t[3].n) for t in loaded))
         datas = []
         for direction in (1, 0):
             for i, rs, ms_fwd, ms_bwd in loaded:
@@ -490,7 +534,8 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
                 store_mmr_of_reads(rs, ms)
                 datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
                 wipe_mmr_of_reads(rs)
-        batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas), n_cand)
+        batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
+                               n_cand, pad_g=_bucket_lanes(2 * len(loaded)))
         # dispatch asynchronously: the device crunches this group while the
         # host loads and packs the next one (download deferred)
         from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle

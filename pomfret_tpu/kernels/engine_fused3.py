@@ -66,18 +66,20 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 _BIG = 0x3FFFFFFF
 
 
-def pick_bg3(D: int, S: int, nc_cap: int) -> int:
+def pick_bg3(D: int, S: int, nc_cap: int, R: int = 0) -> int:
     """Largest lane block whose v3 VMEM residency fits the budget.
 
-    Anchor: bg=32 at (D=4, S=1536, NC=16) compiles and is the fastest
-    measured configuration; bg=64 exceeds scoped VMEM. The temp estimate is
-    ~2 live (bg,NC,S) f32 intermediates (the nested-select scoring chain
-    lets Mosaic reuse buffers)."""
+    Anchor: bg=32 at (D=4, S=1536, NC=16, R=512) compiles and is the
+    fastest measured configuration; bg=64 exceeds scoped VMEM. The temp
+    estimate is ~2 live (bg,NC,S) f32 intermediates (the nested-select
+    scoring chain lets Mosaic reuse buffers) plus the R-resident vectors
+    (hp in/out, has_mmr, eligibility temps)."""
     if jax.default_backend() != "tpu":
         return min(BG3, 8)
     per_lane = (2 * (2 * D * S * 4)      # cnt block + scratch
                 + nc_cap * S * 4         # cids
-                + 2 * nc_cap * S * 4)    # live scoring temps
+                + 2 * nc_cap * S * 4     # live scoring temps
+                + 5 * R * 4)             # hp in/out, hm, (bg,R) temps
     bg = BG3
     while bg > 8 and bg * per_lane > _VMEM_BUDGET:
         bg //= 2
@@ -86,15 +88,17 @@ def pick_bg3(D: int, S: int, nc_cap: int) -> int:
 
 def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
                  hp_out, stats_out,
-                 cnt_s, cids, cand_ref, stage, rowb, sem,
-                 *, D: int, nc_cap: int, bg: int, cid8: bool = False,
+                 cnt_s, cids, cand_ref, cand_hm, stage, rowb, sem,
+                 *, D: int, nc_cap: int, bg: int,
                  ablate: str = ""):
     """One grid step runs the FULL greedy loop for bg gap lanes.
 
     scal (bg,8)i32 rows [min0,max0,cov,n_sites,n_reads,q_break,n_cand,
     max_iters]; hm (bg,R)i32; cnt_in (bg,D2,S)f32; hp_in (bg,R)i32 aliased
     to hp_out; ids_hbm full (G,R,1,S)i32 in ANY/HBM; stats (bg,8)i32
-    [iters, final q_last, final failed, commits].
+    [iters, final q_last, final failed, commits]. cand_hm (bg,nc) caches
+    each slot's has_mmr bit, maintained at fill time — a per-iteration
+    (bg,nc,R) lookup would dominate VMEM at large R.
     """
     pl, pltpu = _pallas()
     f32 = jnp.float32
@@ -109,6 +113,7 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
     cnt_s[:, :, :] = cnt_in[:, :, :]
     cids[:, :, :] = jnp.full((bg, nc, S), -1, cdt)
     cand_ref[:, :] = jnp.full((bg, nc), -1, jnp.int32)
+    cand_hm[:, :] = jnp.zeros((bg, nc), jnp.int32)
 
     min0 = scal_ref[:, 0:1]
     max0 = scal_ref[:, 1:2]
@@ -183,6 +188,9 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         free = jnp.min(jnp.where(cr < 0, k_iota, nc), axis=1, keepdims=True)
         oh = (k_iota == free) & fill_m                     # (bg, nc)
         cand_ref[:, :] = jnp.where(oh, nxt, cr)
+        hm_nxt = jnp.sum(jnp.where(q_iota == nxt, hm_ref[:, :], 0),
+                         axis=1, keepdims=True)            # (bg, 1)
+        cand_hm[:, :] = jnp.where(oh, hm_nxt, cand_hm[:, :])
         # bool minor-dim insertion is unsupported on TPU; widen to i32 first
         oh_i = oh.astype(jnp.int32)
         ohb = jnp.broadcast_to(oh_i[:, :, None], (bg, nc, S)) > 0
@@ -291,12 +299,7 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         tag_ok = ~((diff < 3.0) & ((l_total0 < 3) | (l_total1 < 3)))
         tag = jnp.where(score0 > score1, 0, 1)             # (bg, nc)
         cr = cand_ref[:, :]
-        hm = hm_ref[:, :]                                  # (bg, R)
-        q3 = jnp.broadcast_to(q_iota[:, None, :], (bg, nc, R))
-        cr3 = jnp.broadcast_to(cr[:, :, None], (bg, nc, R))
-        hm3 = jnp.broadcast_to(hm[:, None, :], (bg, nc, R))
-        hm_c = jnp.sum(jnp.where(q3 == cr3, hm3, 0), axis=2)  # (bg, nc)
-        commit_ok = tag_ok & (cr >= 0) & (hm_c > 0)
+        commit_ok = tag_ok & (cr >= 0) & (cand_hm[:, :] > 0)
         eff = jnp.where(commit_ok, diff, -1.0)
         best = jnp.max(eff, axis=1, keepdims=True)         # (bg,1)
         win_tie = commit_ok & (eff == best)
@@ -363,7 +366,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
     all args carry a leading G axis (G a multiple of bg); returns final hp."""
     pl, pltpu = _pallas()
     G, R, S = ids.shape
-    bg = bg or pick_bg3(D, nc_cap=nc_cap, S=S)
+    bg = bg or pick_bg3(D, nc_cap=nc_cap, S=S, R=R)
     assert G % bg == 0, (G, bg)
     ids_i = ids.astype(jnp.int32)
     cnt0 = _seed_count_table_b(ids_i, hp_init, seed_ok, has_mmr, D)
@@ -373,7 +376,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
     hm_i = has_mmr.astype(jnp.int32)
 
     kern = functools.partial(_loop_kernel, D=D, nc_cap=nc_cap, bg=bg,
-                             cid8=cid8, ablate=ablate)
+                             ablate=ablate)
     hp, stats = pl.pallas_call(
         kern,
         grid=(G // bg,),
@@ -396,6 +399,7 @@ def run_batch_fused3_core(ids, has_mmr, hp_init, seed_ok,
         scratch_shapes=[
             pltpu.VMEM((bg, 2 * D, S), jnp.float32),
             pltpu.VMEM((bg, nc_cap, S), jnp.int8 if cid8 else jnp.int32),
+            pltpu.VMEM((bg, nc_cap), jnp.int32),
             pltpu.VMEM((bg, nc_cap), jnp.int32),
             pltpu.VMEM((bg, 1, S), jnp.int32),
             pltpu.VMEM((bg, 1), jnp.int32),

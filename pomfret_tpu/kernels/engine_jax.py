@@ -484,7 +484,6 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     # bam_window_load) releases the GIL, so a small thread pool hides the
     # Python-side assembly behind the C++ work. The serial fetch path
     # mutates BgzfReader position state, so only the columnar path pools.
-    import os as _os
     n_load_threads = 1
     if getattr(bam, "fetch_window_columnar", None) is not None and \
             not _os.environ.get("POMFRET_NO_NATIVE_WINDOW"):

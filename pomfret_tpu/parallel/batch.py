@@ -114,14 +114,13 @@ def _engine_for(batch: GapBatch):
     POMFRET_FUSED_GEN=2|1 selects the older per-iteration kernels (v2:
     score+commit+range megakernel; v1: scoring-only kernel + XLA commit).
     All engines are tag-identical (tools/bench_fused.py)."""
-    import os
     G = batch.ids.shape[0]
-    gen = os.environ.get("POMFRET_FUSED_GEN", "3")
+    gen = _fused_gen()
     if fused_enabled() and G % batch.bg == 0:
         if gen == "3":
             from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3
-            S = batch.ids.shape[2]
-            bg3 = min(pick_bg3(batch.D, S, batch.nc_cap), batch.bg)
+            G_, R, S = batch.ids.shape
+            bg3 = min(pick_bg3(batch.D, S, batch.nc_cap, R=R), batch.bg)
             if G % bg3 == 0:
                 return functools.partial(run_batch_fused3, D=batch.D,
                                          nc_cap=batch.nc_cap, bg=bg3)
@@ -129,6 +128,18 @@ def _engine_for(batch: GapBatch):
         return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap,
                                  bg=batch.bg)
     return functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
+
+
+def _fused_gen() -> str:
+    """Engine generation selector; honors the pre-v3 POMFRET_FUSED_V2=0
+    escape hatch (which selected the v1 scoring-only kernel)."""
+    import os
+    gen = os.environ.get("POMFRET_FUSED_GEN")
+    if gen:
+        return gen
+    if os.environ.get("POMFRET_FUSED_V2") == "0":
+        return "1"
+    return "3"
 
 
 def batch_args(batch: GapBatch, max_iters: int):
@@ -183,12 +194,13 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
     n_dev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
     sh = NamedSharding(mesh, P(axis))
-    if fused_enabled() and n_dev > 0 and G % n_dev == 0:
+    if fused_enabled() and _fused_gen() == "3" and n_dev > 0 \
+            and G % n_dev == 0:
         from ..kernels.engine_fused import _want_interpret
         from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3_core
         shard = G // n_dev
-        bg3 = min(pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap),
-                  batch.bg)
+        bg3 = min(pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap,
+                           R=batch.ids.shape[1]), batch.bg)
         if shard > 0 and shard % bg3 == 0:
             core = functools.partial(run_batch_fused3_core, D=batch.D,
                                      nc_cap=batch.nc_cap, bg=bg3,

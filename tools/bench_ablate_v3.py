@@ -1,10 +1,9 @@
-"""Ablate the v3 whole-loop kernel: DMA vs fill vs block size.
+"""Ablate the v3 whole-loop kernel: block size, cids dtype, exits.
 
-Variants (interleaved rounds, slope between 64 and 192 forced iterations):
-  v3_bg8 / v3_bg16 / v3_bg32 — full kernel at each lane block
-  nodma_bg16                 — fills without the row DMAs (stale stage)
-  nofill_bg16                — no in-loop refills at all (stale set)
-Also prints v2 at its production bg for the same process/rounds.
+Edit the `runs` dict to pick variants; mk3(bg, ablate, cid8) builds one
+(ablate: 'nodma' skips row DMAs, 'nofill' skips in-loop refills, '+noexit'
+neutralizes convergence so slopes stay comparable — see run_batch_fused3).
+v2 at its production bg rides the same interleaved rounds for reference.
 
 Usage: python tools/bench_ablate_v3.py [rounds]
 """

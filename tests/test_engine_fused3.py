@@ -54,6 +54,43 @@ def test_fused3_padded_lanes_and_small_ncand(tmp_path):
     assert np.array_equal(hv, h3b)
 
 
+def test_fused3_fuzz_random_shapes():
+    """Randomized parity sweep vs the vmapped engine: odd D, nc_cap ==
+    n_cand, empty lanes, all-seeded lanes, tiny R/S — interpret mode."""
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        G = 8
+        R = int(rng.integers(2, 7)) * 16
+        S = int(rng.integers(1, 5)) * 32
+        D = int(rng.choice([4, 8, 16]))
+        n_cand = int(rng.integers(2, 17))
+        nc_cap = ((n_cand + 15) // 16) * 16
+        ids = rng.integers(-1, D, size=(G, R, S)).astype(np.int8)
+        has_mmr = rng.random((G, R)) < 0.9
+        ids[~has_mmr] = -1
+        hp_init = np.full((G, R), 2, np.int32)
+        n_seed = int(rng.integers(4, 12))
+        hp_init[:, :n_seed] = rng.integers(0, 2, size=(G, n_seed))
+        seed_ok = hp_init <= 1
+        n_reads = rng.integers(0, R + 1, size=G).astype(np.int32)
+        n_reads[0] = 0                       # dead lane
+        n_reads[1] = R                       # full lane
+        n_sites = rng.integers(1, S + 1, size=G).astype(np.int32)
+        q_break = n_reads.copy()
+        min0 = np.minimum(rng.integers(0, 4, size=G), n_sites - 1).astype(np.int32)
+        max0 = np.minimum(min0 + rng.integers(0, 8, size=G),
+                          n_sites - 1).astype(np.int32)
+        cov = rng.integers(1, 6, size=G).astype(np.int32)
+        args = (ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
+                min0, max0, cov, np.full(G, n_cand, np.int32),
+                np.full(G, 2 * R + 16, np.int32))
+        hv = np.asarray(_run_batch_jit(*args, D=D, nc_cap=nc_cap))
+        h3 = np.asarray(run_batch_fused3(*args, D=D, nc_cap=nc_cap, bg=8,
+                                         interpret=True))
+        assert np.array_equal(hv, h3), \
+            f"trial {trial}: R={R} S={S} D={D} n_cand={n_cand}"
+
+
 def test_fused3_zero_max_iters(tmp_path):
     datas = _one_gap_data(tmp_path)
     batch = pack_gap_batch(datas, [10] * 2, n_cand=14, pad_g=8)

@@ -160,6 +160,10 @@ def main(argv=None) -> int:
     _add_methphase_args(p_rep)
     p_ms = sub.add_parser("methstat", help="dump usable methmer sites per gap")
     _add_methphase_args(p_ms)
+    # TPU-era extra: pre-compile the device engine programs for a dataset
+    p_wu = sub.add_parser("warmup", help="pre-compile TPU engine programs "
+                          "for this dataset (persistent compile cache)")
+    _add_methphase_args(p_wu)
     p_vh = sub.add_parser("varhaptag", help="haplotag reads from a phased VCF")
     p_vh.add_argument("vcf")
     p_vh.add_argument("bam")
@@ -188,11 +192,14 @@ def main(argv=None) -> int:
         # CramReader resolves POMFRET_REF_FASTA at every internal open site
         import os
         os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
-    if a.cmd in ("methphase", "report", "methstat"):
+    if a.cmd in ("methphase", "report", "methstat", "warmup"):
         set_verbose(a.verbose)
         opt = _opt_from_args(a)
         if not _sancheck(opt) or not _sancheck_files_exist(opt):
             ret = 1
+        elif a.cmd == "warmup":
+            from .pipeline import main_warmup
+            ret = main_warmup(opt)
         elif a.cmd == "report":
             if not opt.fn_vcf:
                 log_err("main", "missing input: phased vcf file.")

@@ -466,7 +466,6 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     """
     import os as _os
     group = group or int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
-    from ..parallel.batch import pack_gap_batch
 
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
@@ -517,24 +516,7 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
             loaded.append((i, rs, ms_fwd, ms_bwd))
         if not loaded:
             continue
-        # both directions ride ONE device batch: lanes [0:n) are bwd,
-        # [n:2n) are fwd — one dispatch + one result download per group.
-        # Pads use a coarse bucket ladder, NOT tight round-up-to-128: each
-        # distinct (G,R,S) is a fresh Mosaic compile of the whole-loop
-        # kernel (minutes through the remote compile service, amortized only
-        # via the persistent cache), so trading <=25% padded lanes/sites for
-        # a handful of stable shapes wins decisively on real runs.
-        pad_r = _bucket_dim(max(rs.n for _, rs, _, _ in loaded))
-        pad_s = _bucket_dim(max(max(t[2].n, t[3].n) for t in loaded))
-        datas = []
-        for direction in (1, 0):
-            for i, rs, ms_fwd, ms_bwd in loaded:
-                ms = ms_fwd if direction == 0 else ms_bwd
-                store_mmr_of_reads(rs, ms)
-                datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
-                wipe_mmr_of_reads(rs)
-        batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
-                               n_cand, pad_g=_bucket_lanes(2 * len(loaded)))
+        datas, batch = pack_group(loaded, cfg, n_cand)
         # dispatch asynchronously: the device crunches this group while the
         # host loads and packs the next one (download deferred)
         from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle
@@ -544,6 +526,31 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     while pending:
         _drain_group(pending.pop(0), decisions, tag_maps)
     return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
+
+
+def pack_group(loaded, cfg: MmrConfig, n_cand: int):
+    """Pack one group of loaded (i, rs, ms_fwd, ms_bwd) windows into a
+    device batch: both directions ride ONE dispatch (lanes [0:n) bwd,
+    [n:2n) fwd). Pads use the coarse bucket ladder, NOT tight round-up:
+    each distinct (G,R,S) is a fresh Mosaic compile of the whole-loop
+    kernel (minutes of variance through the remote compile service), so a
+    handful of stable shapes beats minimal padding decisively. Shared by
+    run_gaps_batched and main_warmup — warmup compiles exactly the shapes
+    real runs will request."""
+    from ..parallel.batch import pack_gap_batch
+
+    pad_r = _bucket_dim(max(rs.n for _, rs, _, _ in loaded))
+    pad_s = _bucket_dim(max(max(t[2].n, t[3].n) for t in loaded))
+    datas = []
+    for direction in (1, 0):
+        for i, rs, ms_fwd, ms_bwd in loaded:
+            ms = ms_fwd if direction == 0 else ms_bwd
+            store_mmr_of_reads(rs, ms)
+            datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
+            wipe_mmr_of_reads(rs)
+    batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
+                           n_cand, pad_g=_bucket_lanes(2 * len(loaded)))
+    return datas, batch
 
 
 def _drain_group(entry, decisions, tag_maps) -> None:

@@ -380,6 +380,82 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     return st
 
 
+def main_warmup(opt: CliOpt) -> int:
+    """TPU-era extra (no reference equivalent): pre-compile the device
+    engine programs this dataset will request, so the first real
+    methphase/report run never pays a fresh Mosaic compile (seconds on a
+    local TPU host, minutes of variance through a remote compile service).
+
+    Loads the FIRST gap group per chromosome, packs it through the same
+    pack_group path run_gaps_batched uses (identical shape buckets), and
+    runs the engine at max_iters=0 — the full program compiles into the
+    persistent cache and the loop exits before iteration 1."""
+    import jax as _jax
+    engine = opt.engine
+    if engine == "auto":
+        engine = "jax" if _jax.default_backend() == "tpu" else "host"
+    if engine != "jax":
+        log_info("main_warmup", "host engine selected; nothing to warm")
+        return 0
+    config = MmrConfig(
+        k=opt.k, k_span=opt.k_span, lo=opt.lo, hi=opt.hi,
+        cov_known=opt.cov, cov_for_selection=opt.cov_for_selection,
+        cov_for_runtime=opt.cov_for_selection * 2,
+        readlen_threshold=opt.readlen_threshold, min_mapq=opt.mapq)
+    st = Storage()
+    fn_interval = opt.fn_tsv or opt.fn_gtf or opt.fn_vcf
+    fmt = IS_TSV if opt.fn_tsv else (IS_GTF if opt.fn_gtf else IS_VCF)
+    load_intervals_from_file(fn_interval, fmt, st)
+    for rg in st.ranges:
+        store_raw_intervals(rg)
+        merge_close_intervals(rg, READBACK)
+    bam = open_alignment(opt.fn_bam, threads=opt.threads_bam)
+    if config.cov_for_selection <= 0:
+        covs = estimate_read_coverage_dirtyfast(bam)
+        name2cov = dict(zip(bam.ref_names, covs))
+        ref_covs = [name2cov.get(n, 0) for n in st.ref_names]
+    else:
+        ref_covs = [config.cov_known] * len(st.ref_names)
+
+    import os as _os
+    group = int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
+    from .kernels.engine_jax import (get_methmer_sites_and_ranges as _gms,
+                                     pack_group)
+    from .parallel.batch import _engine_for, batch_args
+    seen = set()
+    T = Get_T()
+    for i_ref, rg in enumerate(st.ranges):
+        cfg, n_cand = _derive_chrom_params(config, opt.n_candidates_per_iter,
+                                           ref_covs[i_ref], st.ref_names[i_ref])
+        loaded = []
+        for i in range(min(group, len(rg.starts))):
+            rs = load_reads_given_interval(bam, st.ref_names[i_ref],
+                                           rg.starts[i], rg.ends[i],
+                                           READBACK, cfg)
+            ms_f = _gms(rs, cfg, 0)
+            ms_b = _gms(rs, cfg, 1)
+            if rs.n == 0 or ms_f.n == 0 or ms_b.n == 0:
+                continue
+            loaded.append((i, rs, ms_f, ms_b))
+        if not loaded:
+            continue
+        datas, batch = pack_group(loaded, cfg, n_cand)
+        key = (batch.ids.shape, batch.D, batch.nc_cap)
+        if key in seen:
+            continue
+        seen.add(key)
+        fn = _engine_for(batch)
+        import numpy as _np
+        _np.asarray(fn(*batch_args(batch, 0)))
+        G, R, S = batch.ids.shape
+        log_info("main_warmup",
+                 f"{st.ref_names[i_ref]}: compiled engine for "
+                 f"G={G} R={R} S={S} D={batch.D} nc={batch.nc_cap} "
+                 f"({Get_T() - T:.1f}s cumulative)")
+    log_info("main_warmup", f"{len(seen)} program shape(s) cached")
+    return 0
+
+
 def main_blockjoin(opt: CliOpt) -> int:
     # main_blockjoin (blockjoin.c:4643-4735)
     config = MmrConfig(

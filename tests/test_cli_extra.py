@@ -92,3 +92,19 @@ def test_methphase_untagged_jax_matches_host(tmp_path):
     assert cli_main(base[:1] + ["-o", p_j, "--engine", "jax"] + base[1:] + [bam]) == 0
     for ext in (".mp.gtf", ".mp.vcf"):
         assert open(p_h + ext).read() == open(p_j + ext).read(), ext
+
+
+def test_warmup_subcommand(tmp_path, monkeypatch):
+    """warmup pre-compiles the engine programs real runs will request; on
+    the CPU backend it must exercise the full load+pack+dispatch path when
+    the engine is forced to jax (vmap body compiles; fused stays off)."""
+    from pomfret_tpu.testing import make_two_block_scenario
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    prefix = str(tmp_path / "wu")
+    # host/auto on CPU: explicit no-op
+    rc = cli_main(["warmup", "-o", prefix, "-c", "50", "--vcf", vcf, bam])
+    assert rc == 0
+    # forced jax engine: compiles the real program at max_iters=0
+    rc = cli_main(["warmup", "-o", prefix, "-c", "50", "--engine", "jax",
+                   "--vcf", vcf, bam])
+    assert rc == 0

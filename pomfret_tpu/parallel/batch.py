@@ -120,7 +120,9 @@ def _engine_for(batch: GapBatch):
         if gen == "3":
             from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3
             G_, R, S = batch.ids.shape
-            bg3 = min(pick_bg3(batch.D, S, batch.nc_cap, R=R), batch.bg)
+            bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
+            if G % bg3 != 0:  # production G is pow2*32, divisible by any bg
+                bg3 = min(bg3, batch.bg)
             if G % bg3 == 0:
                 return functools.partial(run_batch_fused3, D=batch.D,
                                          nc_cap=batch.nc_cap, bg=bg3)
@@ -199,8 +201,10 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
         from ..kernels.engine_fused import _want_interpret
         from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3_core
         shard = G // n_dev
-        bg3 = min(pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap,
-                           R=batch.ids.shape[1]), batch.bg)
+        bg3 = pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap,
+                       R=batch.ids.shape[1])
+        if shard % bg3 != 0:
+            bg3 = min(bg3, batch.bg)
         if shard > 0 and shard % bg3 == 0:
             core = functools.partial(run_batch_fused3_core, D=batch.D,
                                      nc_cap=batch.nc_cap, bg=bg3,

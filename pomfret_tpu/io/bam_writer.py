@@ -58,6 +58,27 @@ class BamWriter:
                 (rec.refID, rec.pos, bam_endpos(rec), vbeg, vend, bool(rec.flag & 4))
             )
 
+    def write_raw_records(self, chunk: bytes, metas) -> None:
+        """Append pre-encoded record bytes in bulk with index bookkeeping.
+
+        metas: iterable of (refID, pos, endpos, offset, length, unmapped)
+        covering `chunk` exactly (the native retag pass emits these).
+        Intra-chunk marks are computed arithmetically: between header flush
+        and close, BgzfWriter submits exactly BLOCK-sized blocks, so a byte
+        at `within+off` from mark (seq, within) lives at block
+        seq + (within+off)//BLOCK, offset (within+off)%BLOCK."""
+        if self._keep_index_info:
+            seq0, w0 = self._w.mark()
+            B = self._w.BLOCK
+            for refID, pos, epos, off, ln, unm in metas:
+                p = w0 + int(off)
+                q = p + int(ln)
+                self._recs_meta.append(
+                    (int(refID), int(pos), int(epos),
+                     (seq0 + p // B, p % B), (seq0 + q // B, q % B),
+                     bool(unm)))
+        self._w.write(chunk)
+
     def close(self) -> None:
         self._w.close()
 

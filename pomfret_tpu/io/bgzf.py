@@ -242,11 +242,25 @@ class BgzfWriter:
             self._native = None
 
     def write(self, data: bytes) -> None:
-        self._buf += data
-        while len(self._buf) >= self.BLOCK:
-            chunk = bytes(self._buf[: self.BLOCK])
-            del self._buf[: self.BLOCK]
+        # bulk-friendly: submit BLOCK-sized views of `data` directly instead
+        # of accumulating into the bytearray (front-deletion is O(n) per
+        # block — quadratic for multi-MB writes from the native retag path)
+        B = self.BLOCK
+        if self._buf:
+            need = B - len(self._buf)
+            if len(data) < need:
+                self._buf += data
+                return
+            self._buf += data[:need]
+            chunk = bytes(self._buf)
+            self._buf.clear()
             self._submit(chunk)
+            data = memoryview(data)[need:]
+        mv = memoryview(data)
+        n_full = len(mv) // B
+        for i in range(n_full):
+            self._submit(bytes(mv[i * B : (i + 1) * B]))
+        self._buf += mv[n_full * B :]
 
     # ---- deferred offsets ----
     def mark(self):

@@ -102,6 +102,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32), i32, i32, i32, i32,
             ctypes.POINTER(ctypes.c_uint32), u8p, i32,
             ctypes.POINTER(i32)]
+        lib.bam_retag_hp.restype = ctypes.c_int64
+        lib.bam_retag_hp.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            u8p, i64p, i32p, ctypes.c_int64,
+            u8p, i64p, i32p, ctypes.c_int64, i32,
+            i64p, i64p, i64p, i64p, i32p, i32,
+            i32p, i64p, ctypes.c_int64, i64p, i64p]
         _LIB = lib
         return _LIB
 
@@ -493,3 +500,57 @@ def meth_decode_read(seq_packed: bytes, l_seq: int, strand: int,
     if n < 0:
         return None
     return out_pos[:n].copy(), out_qual[:n].copy(), bool(has_implicit.value)
+
+
+def qmap_arrays(d: dict):
+    """Sorted concatenated-key arrays for the native qname->int lookups."""
+    keys = sorted(k.encode() for k in d)
+    if not keys:
+        return (np.zeros(1, np.uint8), np.zeros(1, np.int64),
+                np.zeros(0, np.int32), 0)
+    blob = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    off = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum([len(k) for k in keys], out=off[1:])
+    vals = np.asarray([d[k.decode()] for k in keys], dtype=np.int32)
+    return blob, off, vals, len(keys)
+
+
+def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray):
+    """Patch the HP tag of every complete BAM record in `buf` (see
+    bam_retag_hp in pomfret_native.cpp). maps = (qmap_arrays(meth),
+    qmap_arrays(raw), use_raw_map); intervals = (iv_off, fl_off, starts,
+    ends, flips, n_bamrefs); state = int32[3] [prev_tid, need_flip,
+    prev_idx], mutated in place.
+
+    Returns (out_bytes, rec_meta int64[n,6], consumed) or None when the
+    native lib is unavailable; raises on malformed records."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    (k1, o1, v1, n1), (k2, o2, v2, n2), use_raw = maps
+    iv_off, fl_off, starts, ends, flips, n_refs = intervals
+    b = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(len(buf) + len(buf) // 4 + 64, dtype=np.uint8)
+    meta_cap = len(buf) // 36 + 8
+    meta = np.empty(meta_cap * 6, dtype=np.int64)
+    n_meta = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    n_out = lib.bam_retag_hp(
+        _p(b, ctypes.c_uint8), len(buf),
+        _p(out, ctypes.c_uint8), len(out),
+        _p(k1, ctypes.c_uint8), _p(o1, ctypes.c_int64),
+        _p(v1, ctypes.c_int32), n1,
+        _p(k2, ctypes.c_uint8), _p(o2, ctypes.c_int64),
+        _p(v2, ctypes.c_int32), n2,
+        1 if use_raw else 0,
+        _p(iv_off, ctypes.c_int64), _p(fl_off, ctypes.c_int64),
+        _p(starts, ctypes.c_int64), _p(ends, ctypes.c_int64),
+        _p(flips, ctypes.c_int32), n_refs,
+        _p(state, ctypes.c_int32),
+        _p(meta, ctypes.c_int64), meta_cap,
+        ctypes.byref(n_meta), ctypes.byref(consumed))
+    if n_out < 0:
+        raise ValueError(f"bam_retag_hp failed: {n_out}")
+    nm = int(n_meta.value)
+    return (out[:n_out].tobytes(), meta[: nm * 6].reshape(nm, 6),
+            int(consumed.value))

@@ -1444,4 +1444,267 @@ extern "C" int32_t rans4x8_uncompress(const uint8_t* in, int64_t in_len,
     return -1;
 }
 
+// ---------------------------------------------------------------------------
+// whole-BAM HP retag: the streaming hot path of output_modify_bam
+// (blockjoin.c:3022-3103). Python drives BGZF inflate/deflate and the .bai;
+// this patches records in bulk: per record, resolve the new haplotag from
+// the qname->tag maps + the per-position flip state machine, drop the first
+// existing HP aux tag and append the new one (bam_aux_update_int encoding).
+// ---------------------------------------------------------------------------
+
+namespace retag {
+
+// pointer past one aux value of type `typ`, or nullptr on malformed/overrun
+inline const uint8_t* aux_skip_value(char typ, const uint8_t* v,
+                                     const uint8_t* end) {
+    switch (typ) {
+        case 'A': case 'c': case 'C': return v + 1 <= end ? v + 1 : nullptr;
+        case 's': case 'S': return v + 2 <= end ? v + 2 : nullptr;
+        case 'i': case 'I': case 'f': return v + 4 <= end ? v + 4 : nullptr;
+        case 'Z': case 'H': {
+            while (v < end && *v) v++;
+            return v < end ? v + 1 : nullptr;
+        }
+        case 'B': {
+            if (v + 5 > end) return nullptr;
+            char et = (char)v[0];
+            uint32_t n;
+            memcpy(&n, v + 1, 4);
+            int esz = (et == 'c' || et == 'C') ? 1
+                      : (et == 's' || et == 'S') ? 2
+                      : (et == 'i' || et == 'I' || et == 'f') ? 4 : 0;
+            if (!esz) return nullptr;
+            const uint8_t* q = v + 5 + (int64_t)esz * n;
+            return q <= end ? q : nullptr;
+        }
+        default: return nullptr;
+    }
+}
+
+inline bool aux_int_value(char typ, const uint8_t* v, int64_t* out) {
+    switch (typ) {
+        case 'c': *out = *(const int8_t*)v; return true;
+        case 'C': *out = *v; return true;
+        case 's': { int16_t x; memcpy(&x, v, 2); *out = x; return true; }
+        case 'S': { uint16_t x; memcpy(&x, v, 2); *out = x; return true; }
+        case 'i': { int32_t x; memcpy(&x, v, 4); *out = x; return true; }
+        case 'I': { uint32_t x; memcpy(&x, v, 4); *out = x; return true; }
+        default: return false;
+    }
+}
+
+// binary search over sorted concatenated keys (lexicographic, memcmp then
+// length — matches Python sorted() over bytes)
+inline bool qmap_get(const uint8_t* keys, const int64_t* off,
+                     const int32_t* val, int64_t n,
+                     const uint8_t* q, int64_t qlen, int32_t* out) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        const uint8_t* k = keys + off[mid];
+        int64_t kl = off[mid + 1] - off[mid];
+        int64_t m = kl < qlen ? kl : qlen;
+        int c = memcmp(k, q, (size_t)m);
+        if (c == 0) c = (kl < qlen) ? -1 : (kl > qlen) ? 1 : 0;
+        if (c < 0) lo = mid + 1;
+        else if (c > 0) hi = mid;
+        else { *out = val[mid]; return true; }
+    }
+    return false;
+}
+
+}  // namespace retag
+
+// Returns bytes written to `out` (records may stop early on caps; `consumed`
+// reports complete input records handled). Negative on malformed input (-1)
+// or a flip-state violation the Python path asserts on (-3).
+// rec_meta: 6 int64 per record [refID, pos, endpos, out_off, out_len,
+// unmapped] feeding the .bai builder. state: [prev_tid, need_flip, prev_idx]
+// persisted across calls (the reference does NOT reset need_flip on
+// chromosome change, blockjoin.c:3057-3062).
+extern "C" int64_t bam_retag_hp(
+    const uint8_t* in, int64_t in_len,
+    uint8_t* out, int64_t out_cap,
+    const uint8_t* qk1, const int64_t* qo1, const int32_t* qv1, int64_t nq1,
+    const uint8_t* qk2, const int64_t* qo2, const int32_t* qv2, int64_t nq2,
+    int32_t use_raw_map,
+    const int64_t* iv_off, const int64_t* fl_off,
+    const int64_t* iv_starts, const int64_t* iv_ends, const int32_t* flips,
+    int32_t n_bamrefs,
+    int32_t* state,
+    int64_t* rec_meta, int64_t meta_cap, int64_t* n_meta_out,
+    int64_t* consumed_out) {
+    const int32_t HAPTAG_UNPHASED = 254;
+    int32_t prev_tid = state[0], need_flip = state[1], prev_idx = state[2];
+    int64_t ip = 0, op = 0, nm = 0;
+    while (ip + 4 <= in_len) {
+        int32_t bsz;
+        memcpy(&bsz, in + ip, 4);
+        if (bsz < 32) return -1;
+        if (ip + 4 + bsz > in_len) break;   // incomplete record
+        if (nm >= meta_cap) break;
+        const uint8_t* r = in + ip + 4;
+        const uint8_t* rend = r + bsz;
+        int32_t refID, pos;
+        memcpy(&refID, r, 4);
+        memcpy(&pos, r + 4, 4);
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar, flag;
+        memcpy(&n_cigar, r + 12, 2);
+        memcpy(&flag, r + 14, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, r + 16, 4);
+        const uint8_t* qname = r + 32;
+        int64_t qlen = (int64_t)l_read_name - 1;
+        const uint8_t* cg = r + 32 + l_read_name;
+        const uint8_t* aux = cg + 4 * (int64_t)n_cigar + (l_seq + 1) / 2 + l_seq;
+        if (aux > rend || qlen < 0) return -1;
+
+        int64_t endpos = (int64_t)pos + 1;   // bam_endpos semantics
+        if (!(flag & 4) && n_cigar > 0) {
+            int64_t adv = 0;
+            for (int64_t c = 0; c < n_cigar; c++) {
+                uint32_t cv;
+                memcpy(&cv, cg + 4 * c, 4);
+                uint32_t opk = cv & 0xF;   // M D N = X consume reference
+                if (opk == 0 || opk == 2 || opk == 3 || opk == 7 || opk == 8)
+                    adv += cv >> 4;
+            }
+            if (adv > 0) endpos = pos + adv;
+        }
+
+        if (refID < 0) {   // pass through untouched (no flip-state effects)
+            if (op + 4 + bsz > out_cap) break;
+            memcpy(out + op, in + ip, (size_t)(4 + bsz));
+            rec_meta[nm * 6 + 0] = refID;
+            rec_meta[nm * 6 + 1] = pos;
+            rec_meta[nm * 6 + 2] = endpos;
+            rec_meta[nm * 6 + 3] = op;
+            rec_meta[nm * 6 + 4] = 4 + bsz;
+            rec_meta[nm * 6 + 5] = (flag & 4) ? 1 : 0;
+            nm++;
+            op += 4 + bsz;
+            ip += 4 + bsz;
+            continue;
+        }
+        if (refID != prev_tid) {   // UnphasedLookup.reset(); quirk: keep flip
+            prev_idx = 1;
+            prev_tid = refID;
+        }
+        if (refID < n_bamrefs) {   // check_if_in_phased_intervals
+            int64_t s0 = iv_off[refID], s1 = iv_off[refID + 1];
+            int64_t nint = s1 - s0;
+            int64_t prev = prev_idx;
+            for (int64_t j = prev_idx; j < nint; j++) {
+                if (iv_ends[s0 + j - 1] <= pos && pos <= iv_starts[s0 + j]) {
+                    if (j != prev) {
+                        prev_idx = (int32_t)j;
+                        int64_t f0 = fl_off[refID], fn = fl_off[refID + 1] - f0;
+                        int64_t fi = j - 1;
+                        int32_t flip = (fi >= 0 && fi < fn) ? flips[f0 + fi]
+                                                            : -1;
+                        if (flip < 0) return -3;   // Python asserts flip >= 0
+                        need_flip = flip;
+                    }
+                    break;
+                }
+            }
+        }
+
+        int32_t hp_raw = HAPTAG_UNPHASED;
+        if (use_raw_map) {
+            retag::qmap_get(qk2, qo2, qv2, nq2, qname, qlen, &hp_raw);
+        } else {
+            const uint8_t* a = aux;
+            while (a + 3 <= rend) {
+                char typ = (char)a[2];
+                const uint8_t* nx = retag::aux_skip_value(typ, a + 3, rend);
+                if (!nx) break;
+                if (a[0] == 'H' && a[1] == 'P') {
+                    int64_t hv;
+                    if (retag::aux_int_value(typ, a + 3, &hv) && hv != 0)
+                        hp_raw = (int32_t)(hv - 1);
+                    break;
+                }
+                a = nx;
+            }
+        }
+        // get_read_new_haplotag (blockjoin.c:2990-3020)
+        int32_t hp;
+        bool in_meth = retag::qmap_get(qk1, qo1, qv1, nq1, qname, qlen, &hp);
+        if (!in_meth) {
+            hp = hp_raw;
+            if (hp != 0 && hp != 1) goto emit;   // unflipped pass-through
+        }
+        if (need_flip) hp ^= 1;
+    emit: {
+        // locate first HP tag (remove_tag removes the first occurrence)
+        int64_t hp_off = -1, hp_len = 0;
+        {
+            const uint8_t* a = aux;
+            while (a + 3 <= rend) {
+                char typ = (char)a[2];
+                const uint8_t* nx = retag::aux_skip_value(typ, a + 3, rend);
+                if (!nx) break;
+                if (a[0] == 'H' && a[1] == 'P') {
+                    hp_off = a - r;
+                    hp_len = nx - a;
+                    break;
+                }
+                a = nx;
+            }
+        }
+        // smallest-int-type encoding (BamRecord.set_int_tag)
+        int64_t val = (int64_t)hp + 1;
+        uint8_t tagbuf[7] = {'H', 'P'};
+        int tlen;
+        if (val >= 0 && val <= 0xFF) {
+            tagbuf[2] = 'C'; tagbuf[3] = (uint8_t)val; tlen = 4;
+        } else if (val < 0 && val >= -128) {
+            tagbuf[2] = 'c'; tagbuf[3] = (uint8_t)(int8_t)val; tlen = 4;
+        } else if (val >= 0 && val <= 0xFFFF) {
+            tagbuf[2] = 'S';
+            uint16_t x = (uint16_t)val; memcpy(tagbuf + 3, &x, 2); tlen = 5;
+        } else if (val < 0 && val >= -32768) {
+            tagbuf[2] = 's';
+            int16_t x = (int16_t)val; memcpy(tagbuf + 3, &x, 2); tlen = 5;
+        } else if (val >= 0) {
+            tagbuf[2] = 'I';
+            uint32_t x = (uint32_t)val; memcpy(tagbuf + 3, &x, 4); tlen = 7;
+        } else {
+            tagbuf[2] = 'i';
+            int32_t x = (int32_t)val; memcpy(tagbuf + 3, &x, 4); tlen = 7;
+        }
+        int64_t new_bsz = (int64_t)bsz - hp_len + tlen;
+        if (op + 4 + new_bsz > out_cap) break;
+        int32_t nb32 = (int32_t)new_bsz;
+        memcpy(out + op, &nb32, 4);
+        if (hp_off < 0) {
+            memcpy(out + op + 4, r, (size_t)bsz);
+            memcpy(out + op + 4 + bsz, tagbuf, (size_t)tlen);
+        } else {
+            memcpy(out + op + 4, r, (size_t)hp_off);
+            memcpy(out + op + 4 + hp_off, r + hp_off + hp_len,
+                   (size_t)(bsz - hp_off - hp_len));
+            memcpy(out + op + 4 + bsz - hp_len, tagbuf, (size_t)tlen);
+        }
+        rec_meta[nm * 6 + 0] = refID;
+        rec_meta[nm * 6 + 1] = pos;
+        rec_meta[nm * 6 + 2] = endpos;
+        rec_meta[nm * 6 + 3] = op;
+        rec_meta[nm * 6 + 4] = 4 + new_bsz;
+        rec_meta[nm * 6 + 5] = (flag & 4) ? 1 : 0;
+        nm++;
+        op += 4 + new_bsz;
+        ip += 4 + bsz;
+    }
+    }
+    state[0] = prev_tid;
+    state[1] = need_flip;
+    state[2] = prev_idx;
+    *consumed_out = ip;
+    *n_meta_out = nm;
+    return op;
+}
+
 }  // extern "C"

@@ -178,10 +178,142 @@ def get_read_new_haplotag(qname: str, hp_raw: int, st: Storage, need_flip: int) 
     return hp
 
 
+def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
+    """Yield uncompressed BGZF payload chunks using the native inflate pool
+    (streaming: compressed slices in, whole complete-block prefixes out)."""
+    from . import native
+    from .bgzf import _parse_block_header
+    with open(path, "rb") as f:
+        rem = b""
+        while True:
+            data = f.read(comp_chunk)
+            buf = rem + data
+            if not buf:
+                break
+            # largest prefix of COMPLETE blocks (18-byte headers, ~one per
+            # 64KB: trivial Python cost)
+            off = 0
+            while off + 18 <= len(buf):
+                _, bsize = _parse_block_header(buf, off)
+                if off + bsize > len(buf):
+                    break
+                off += bsize
+            if off == 0:
+                if not data:
+                    raise ValueError("truncated BGZF tail")
+                rem = buf
+                continue
+            out = native.bgzf_inflate_all(buf[:off], n_threads=threads)
+            if out is None:
+                raise RuntimeError("native inflate failed mid-stream")
+            rem = buf[off:]
+            yield out
+            if not data:
+                if rem:
+                    raise ValueError("truncated BGZF tail")
+                break
+
+
+def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
+    """Native whole-BAM HP retag (bam_retag_hp in pomfret_native.cpp):
+    streams compressed slices through the native inflate pool, patches
+    records in bulk in one C++ pass, and bulk-writes the result — the
+    per-record Python loop below costs ~220 us per 20kb nanopore record
+    (full decode + re-encode), tens of minutes at WGS scale. Returns False
+    when inapplicable (CRAM input, lib unavailable,
+    POMFRET_NO_NATIVE_RETAG=1): caller falls back. Byte-identical to the
+    Python path (tests/test_native_retag.py)."""
+    import os
+    import struct
+    import numpy as np
+    from . import native
+    from .bgzf import is_bgzf
+    if os.environ.get("POMFRET_NO_NATIVE_RETAG") or not native.native_available():
+        return False
+    if not is_bgzf(fn_bam):
+        return False
+
+    chunks = _iter_inflated_native(fn_bam, max(4, threads))
+    buf = b""
+    bpos = 0   # cursor: take() must not re-slice multi-MB chunks per field
+
+    def take(n: int) -> bytes:
+        nonlocal buf, bpos
+        while len(buf) - bpos < n:
+            buf += next(chunks)
+        out = buf[bpos : bpos + n]
+        bpos += n
+        return out
+
+    if take(4) != b"BAM\x01":
+        return False  # foreign container: Python path handles it
+    (l_text,) = struct.unpack("<i", take(4))
+    header_text = take(l_text).decode(errors="replace")
+    (n_ref,) = struct.unpack("<i", take(4))
+    ref_names, ref_lens = [], []
+    for _ in range(n_ref):
+        (ln,) = struct.unpack("<i", take(4))
+        ref_names.append(take(ln)[:-1].decode())
+        (rl,) = struct.unpack("<i", take(4))
+        ref_lens.append(rl)
+
+    maps = (native.qmap_arrays(st.qname2haptag),
+            native.qmap_arrays(st.qname2haptag_raw if st.stores_raw_tag else {}),
+            st.stores_raw_tag)
+    iv_off = np.zeros(n_ref + 1, dtype=np.int64)
+    fl_off = np.zeros(n_ref + 1, dtype=np.int64)
+    starts, ends, flips = [], [], []
+    for r, name in enumerate(ref_names):
+        i_ref = st.ref_index(name)
+        if i_ref >= 0:
+            rr = st.ranges[i_ref]
+            starts.extend(rr.starts)
+            ends.extend(rr.ends)
+            flips.extend(rr.flips_onraw)
+        iv_off[r + 1] = len(starts)
+        fl_off[r + 1] = len(flips)
+    intervals = (iv_off, fl_off,
+                 np.asarray(starts, dtype=np.int64),
+                 np.asarray(ends, dtype=np.int64),
+                 np.asarray(flips, dtype=np.int32), n_ref)
+
+    w = BamWriter(fn_out, ref_names, ref_lens, header_text=header_text,
+                  threads=threads, keep_index_info=True)
+    state = np.array([0, 0, 1], dtype=np.int32)
+    buf = buf[bpos:]   # header consumed; record stream follows
+    exhausted = False
+    while True:
+        while not exhausted and len(buf) < (8 << 20):
+            try:
+                buf += next(chunks)
+            except StopIteration:
+                exhausted = True
+        if not buf:
+            break
+        out, metas, consumed = native.bam_retag_hp(buf, maps, intervals, state)
+        if consumed == 0:
+            if exhausted:
+                raise ValueError(f"truncated BAM record tail ({len(buf)}B)")
+            try:  # a single record larger than the refill mark: keep growing
+                buf += next(chunks)
+            except StopIteration:
+                exhausted = True
+            continue
+        w.write_raw_records(out, metas)
+        buf = buf[consumed:]
+        if exhausted and not buf:
+            break
+    w.close()
+    w.build_index(fn_out + ".bai", n_ref=n_ref)
+    return True
+
+
 def output_modify_bam(fn_bam: str, st: Storage, fn_out: str, threads: int = 1) -> None:
     # blockjoin.c:3022-3103; input may be BAM or CRAM, output is BAM ("wb",
     # matching the reference)
     from .cram import open_alignment
+    if _retag_native(fn_bam, st, fn_out, threads):
+        return
     rd = open_alignment(fn_bam, threads=threads)
     w = BamWriter(fn_out, rd.ref_names, rd.ref_lens,
                   header_text=rd.header_text, threads=threads,

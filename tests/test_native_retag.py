@@ -1,0 +1,45 @@
+"""Native whole-BAM HP retag (bam_retag_hp) vs the per-record Python path.
+
+The outputs must be byte-identical — same BamWriter streaming, same record
+bytes, same .bai — on both the tagged path (HP aux replace) and the
+untagged -u path (raw-map lookup, HP append)."""
+import os
+
+import numpy as np
+import pytest
+
+from pomfret_tpu.cli import main as cli_main
+from pomfret_tpu.io import native
+from pomfret_tpu.testing import make_two_block_scenario
+
+
+def _run_pair(tmp_path, monkeypatch, extra, subdir):
+    d = tmp_path / subdir
+    d.mkdir()
+    bam, vcf, truth = make_two_block_scenario(
+        str(d), tagged="untagged" not in subdir)
+    args = ["-c", "50", "--vcf", vcf, "--write-bam", *extra, bam]
+    p1 = str(d / "nat")
+    rc = cli_main(["methphase", "-o", p1, *args])
+    assert rc == 0
+    monkeypatch.setenv("POMFRET_NO_NATIVE_RETAG", "1")
+    p2 = str(d / "py")
+    rc = cli_main(["methphase", "-o", p2, *args])
+    assert rc == 0
+    monkeypatch.delenv("POMFRET_NO_NATIVE_RETAG")
+    b1 = open(p1 + ".mp.bam", "rb").read()
+    b2 = open(p2 + ".mp.bam", "rb").read()
+    assert b1 == b2, "BAM bytes differ between native and Python retag"
+    i1 = open(p1 + ".mp.bam.bai", "rb").read()
+    i2 = open(p2 + ".mp.bam.bai", "rb").read()
+    assert i1 == i2, ".bai differs between native and Python retag"
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_tagged(tmp_path, monkeypatch):
+    _run_pair(tmp_path, monkeypatch, [], "tagged")
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_untagged(tmp_path, monkeypatch):
+    _run_pair(tmp_path, monkeypatch, ["-u"], "untagged")

@@ -106,7 +106,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bam_retag_hp.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             u8p, i64p, i32p, ctypes.c_int64,
-            u8p, i64p, i32p, ctypes.c_int64, i32,
+            u8p, i64p, i32p, ctypes.c_int64, i32, i32,
             i64p, i64p, i64p, i64p, i32p, i32,
             i32p, i64p, ctypes.c_int64, i64p, i64p]
         _LIB = lib
@@ -515,14 +515,16 @@ def qmap_arrays(d: dict):
     return blob, off, vals, len(keys)
 
 
-def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray):
+def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray,
+                 mode: int = 0):
     """Patch the HP tag of every complete BAM record in `buf` (see
     bam_retag_hp in pomfret_native.cpp). maps = (qmap_arrays(meth),
     qmap_arrays(raw), use_raw_map); intervals = (iv_off, fl_off, starts,
     ends, flips, n_bamrefs); state = int32[3] [prev_tid, need_flip,
-    prev_idx], mutated in place.
+    prev_idx], mutated in place. mode 0 = methphase rewrite, 1 = varhaptag.
 
-    Returns (out_bytes, rec_meta int64[n,6], consumed) or None when the
+    Returns (out_bytes, rec_meta int64[n,8] rows [refID, pos, endpos,
+    out_off, out_len, unmapped, hp_raw, hp_new], consumed) or None when the
     native lib is unavailable; raises on malformed records."""
     lib = get_lib()
     if lib is None:
@@ -532,7 +534,7 @@ def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray):
     b = np.frombuffer(buf, dtype=np.uint8)
     out = np.empty(len(buf) + len(buf) // 4 + 64, dtype=np.uint8)
     meta_cap = len(buf) // 36 + 8
-    meta = np.empty(meta_cap * 6, dtype=np.int64)
+    meta = np.empty(meta_cap * 8, dtype=np.int64)
     n_meta = ctypes.c_int64(0)
     consumed = ctypes.c_int64(0)
     n_out = lib.bam_retag_hp(
@@ -542,7 +544,7 @@ def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray):
         _p(v1, ctypes.c_int32), n1,
         _p(k2, ctypes.c_uint8), _p(o2, ctypes.c_int64),
         _p(v2, ctypes.c_int32), n2,
-        1 if use_raw else 0,
+        1 if use_raw else 0, mode,
         _p(iv_off, ctypes.c_int64), _p(fl_off, ctypes.c_int64),
         _p(starts, ctypes.c_int64), _p(ends, ctypes.c_int64),
         _p(flips, ctypes.c_int32), n_refs,
@@ -552,5 +554,5 @@ def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray):
     if n_out < 0:
         raise ValueError(f"bam_retag_hp failed: {n_out}")
     nm = int(n_meta.value)
-    return (out[:n_out].tobytes(), meta[: nm * 6].reshape(nm, 6),
+    return (out[:n_out].tobytes(), meta[: nm * 8].reshape(nm, 8),
             int(consumed.value))

@@ -1518,16 +1518,20 @@ inline bool qmap_get(const uint8_t* keys, const int64_t* off,
 // Returns bytes written to `out` (records may stop early on caps; `consumed`
 // reports complete input records handled). Negative on malformed input (-1)
 // or a flip-state violation the Python path asserts on (-3).
-// rec_meta: 6 int64 per record [refID, pos, endpos, out_off, out_len,
-// unmapped] feeding the .bai builder. state: [prev_tid, need_flip, prev_idx]
-// persisted across calls (the reference does NOT reset need_flip on
-// chromosome change, blockjoin.c:3057-3062).
+// rec_meta: 8 int64 per record [refID, pos, endpos, out_off, out_len,
+// unmapped, hp_raw, hp_new] feeding the .bai builder and the varhaptag TSV.
+// state: [prev_tid, need_flip, prev_idx] persisted across calls (the
+// reference does NOT reset need_flip on chromosome change,
+// blockjoin.c:3057-3062).
+// mode 0 = methphase rewrite (output_modify_bam: flip machinery, refID<0
+// pass-through); mode 1 = varhaptag (main_varhaptag: hp = map1 lookup else
+// HAPTAG_UNPHASED unconditionally, no flips, every record retagged).
 extern "C" int64_t bam_retag_hp(
     const uint8_t* in, int64_t in_len,
     uint8_t* out, int64_t out_cap,
     const uint8_t* qk1, const int64_t* qo1, const int32_t* qv1, int64_t nq1,
     const uint8_t* qk2, const int64_t* qo2, const int32_t* qv2, int64_t nq2,
-    int32_t use_raw_map,
+    int32_t use_raw_map, int32_t mode,
     const int64_t* iv_off, const int64_t* fl_off,
     const int64_t* iv_starts, const int64_t* iv_ends, const int32_t* flips,
     int32_t n_bamrefs,
@@ -1573,25 +1577,27 @@ extern "C" int64_t bam_retag_hp(
             if (adv > 0) endpos = pos + adv;
         }
 
-        if (refID < 0) {   // pass through untouched (no flip-state effects)
+        if (mode == 0 && refID < 0) {   // pass through untouched
             if (op + 4 + bsz > out_cap) break;
             memcpy(out + op, in + ip, (size_t)(4 + bsz));
-            rec_meta[nm * 6 + 0] = refID;
-            rec_meta[nm * 6 + 1] = pos;
-            rec_meta[nm * 6 + 2] = endpos;
-            rec_meta[nm * 6 + 3] = op;
-            rec_meta[nm * 6 + 4] = 4 + bsz;
-            rec_meta[nm * 6 + 5] = (flag & 4) ? 1 : 0;
+            rec_meta[nm * 8 + 0] = refID;
+            rec_meta[nm * 8 + 1] = pos;
+            rec_meta[nm * 8 + 2] = endpos;
+            rec_meta[nm * 8 + 3] = op;
+            rec_meta[nm * 8 + 4] = 4 + bsz;
+            rec_meta[nm * 8 + 5] = (flag & 4) ? 1 : 0;
+            rec_meta[nm * 8 + 6] = HAPTAG_UNPHASED;
+            rec_meta[nm * 8 + 7] = HAPTAG_UNPHASED;
             nm++;
             op += 4 + bsz;
             ip += 4 + bsz;
             continue;
         }
-        if (refID != prev_tid) {   // UnphasedLookup.reset(); quirk: keep flip
-            prev_idx = 1;
+        if (mode == 0 && refID != prev_tid) {   // UnphasedLookup.reset()
+            prev_idx = 1;                       // quirk: keep need_flip
             prev_tid = refID;
         }
-        if (refID < n_bamrefs) {   // check_if_in_phased_intervals
+        if (mode == 0 && refID >= 0 && refID < n_bamrefs) {
             int64_t s0 = iv_off[refID], s1 = iv_off[refID + 1];
             int64_t nint = s1 - s0;
             int64_t prev = prev_idx;
@@ -1629,14 +1635,21 @@ extern "C" int64_t bam_retag_hp(
                 a = nx;
             }
         }
-        // get_read_new_haplotag (blockjoin.c:2990-3020)
         int32_t hp;
-        bool in_meth = retag::qmap_get(qk1, qo1, qv1, nq1, qname, qlen, &hp);
-        if (!in_meth) {
-            hp = hp_raw;
-            if (hp != 0 && hp != 1) goto emit;   // unflipped pass-through
+        if (mode == 1) {
+            // main_varhaptag: unconditional map lookup, no flips
+            if (!retag::qmap_get(qk1, qo1, qv1, nq1, qname, qlen, &hp))
+                hp = HAPTAG_UNPHASED;
+        } else {
+            // get_read_new_haplotag (blockjoin.c:2990-3020)
+            bool in_meth = retag::qmap_get(qk1, qo1, qv1, nq1, qname, qlen,
+                                           &hp);
+            if (!in_meth) {
+                hp = hp_raw;
+                if (hp != 0 && hp != 1) goto emit;  // unflipped pass-through
+            }
+            if (need_flip) hp ^= 1;
         }
-        if (need_flip) hp ^= 1;
     emit: {
         // locate first HP tag (remove_tag removes the first occurrence)
         int64_t hp_off = -1, hp_len = 0;
@@ -1688,12 +1701,14 @@ extern "C" int64_t bam_retag_hp(
                    (size_t)(bsz - hp_off - hp_len));
             memcpy(out + op + 4 + bsz - hp_len, tagbuf, (size_t)tlen);
         }
-        rec_meta[nm * 6 + 0] = refID;
-        rec_meta[nm * 6 + 1] = pos;
-        rec_meta[nm * 6 + 2] = endpos;
-        rec_meta[nm * 6 + 3] = op;
-        rec_meta[nm * 6 + 4] = 4 + new_bsz;
-        rec_meta[nm * 6 + 5] = (flag & 4) ? 1 : 0;
+        rec_meta[nm * 8 + 0] = refID;
+        rec_meta[nm * 8 + 1] = pos;
+        rec_meta[nm * 8 + 2] = endpos;
+        rec_meta[nm * 8 + 3] = op;
+        rec_meta[nm * 8 + 4] = 4 + new_bsz;
+        rec_meta[nm * 8 + 5] = (flag & 4) ? 1 : 0;
+        rec_meta[nm * 8 + 6] = hp_raw;
+        rec_meta[nm * 8 + 7] = hp;
         nm++;
         op += 4 + new_bsz;
         ip += 4 + bsz;

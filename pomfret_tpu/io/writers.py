@@ -214,15 +214,22 @@ def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
                 break
 
 
-def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
+def stream_retag_native(fn_bam: str, fn_out: str, build_maps, st=None,
+                        mode: int = 0, threads: int = 1, tsv=None,
+                        write_bam: bool = True) -> bool:
     """Native whole-BAM HP retag (bam_retag_hp in pomfret_native.cpp):
     streams compressed slices through the native inflate pool, patches
     records in bulk in one C++ pass, and bulk-writes the result — the
-    per-record Python loop below costs ~220 us per 20kb nanopore record
-    (full decode + re-encode), tens of minutes at WGS scale. Returns False
-    when inapplicable (CRAM input, lib unavailable,
-    POMFRET_NO_NATIVE_RETAG=1): caller falls back. Byte-identical to the
-    Python path (tests/test_native_retag.py)."""
+    per-record Python loop costs ~220 us per 20kb nanopore record (full
+    decode + re-encode), tens of minutes at WGS scale. Returns False when
+    inapplicable (CRAM input, lib unavailable, POMFRET_NO_NATIVE_RETAG=1):
+    callers fall back to their Python loops, which stay byte-identical
+    (tests/test_native_retag.py).
+
+    build_maps() -> the qmap triple for bam_retag_hp (deferred so callers
+    skip the work when this returns False early). mode 0 = methphase
+    rewrite with st's flip machinery; mode 1 = varhaptag (tsv gets
+    '{qname}\\t{raw+1}\\t{new+1}' lines)."""
     import os
     import struct
     import numpy as np
@@ -257,28 +264,29 @@ def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
         (rl,) = struct.unpack("<i", take(4))
         ref_lens.append(rl)
 
-    maps = (native.qmap_arrays(st.qname2haptag),
-            native.qmap_arrays(st.qname2haptag_raw if st.stores_raw_tag else {}),
-            st.stores_raw_tag)
+    maps = build_maps()
     iv_off = np.zeros(n_ref + 1, dtype=np.int64)
     fl_off = np.zeros(n_ref + 1, dtype=np.int64)
     starts, ends, flips = [], [], []
-    for r, name in enumerate(ref_names):
-        i_ref = st.ref_index(name)
-        if i_ref >= 0:
-            rr = st.ranges[i_ref]
-            starts.extend(rr.starts)
-            ends.extend(rr.ends)
-            flips.extend(rr.flips_onraw)
-        iv_off[r + 1] = len(starts)
-        fl_off[r + 1] = len(flips)
+    if mode == 0:
+        for r, name in enumerate(ref_names):
+            i_ref = st.ref_index(name)
+            if i_ref >= 0:
+                rr = st.ranges[i_ref]
+                starts.extend(rr.starts)
+                ends.extend(rr.ends)
+                flips.extend(rr.flips_onraw)
+            iv_off[r + 1] = len(starts)
+            fl_off[r + 1] = len(flips)
     intervals = (iv_off, fl_off,
                  np.asarray(starts, dtype=np.int64),
                  np.asarray(ends, dtype=np.int64),
                  np.asarray(flips, dtype=np.int32), n_ref)
 
-    w = BamWriter(fn_out, ref_names, ref_lens, header_text=header_text,
-                  threads=threads, keep_index_info=True)
+    w = None
+    if write_bam:
+        w = BamWriter(fn_out, ref_names, ref_lens, header_text=header_text,
+                      threads=threads, keep_index_info=True)
     state = np.array([0, 0, 1], dtype=np.int32)
     buf = buf[bpos:]   # header consumed; record stream follows
     exhausted = False
@@ -290,7 +298,8 @@ def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
                 exhausted = True
         if not buf:
             break
-        out, metas, consumed = native.bam_retag_hp(buf, maps, intervals, state)
+        out, metas, consumed = native.bam_retag_hp(buf, maps, intervals,
+                                                   state, mode)
         if consumed == 0:
             if exhausted:
                 raise ValueError(f"truncated BAM record tail ({len(buf)}B)")
@@ -299,13 +308,37 @@ def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
             except StopIteration:
                 exhausted = True
             continue
-        w.write_raw_records(out, metas)
+        if w is not None:
+            w.write_raw_records(out, metas[:, :6])
+        if tsv is not None:
+            lines = []
+            for k in range(len(metas)):
+                o = int(metas[k, 3])
+                ln = out[o + 12]
+                qn = out[o + 36 : o + 36 + ln - 1].decode()
+                lines.append(
+                    f"{qn}\t{int(metas[k, 6]) + 1}\t{int(metas[k, 7]) + 1}\n")
+            tsv.write("".join(lines))
         buf = buf[consumed:]
         if exhausted and not buf:
             break
-    w.close()
-    w.build_index(fn_out + ".bai", n_ref=n_ref)
+    if w is not None:
+        w.close()
+        w.build_index(fn_out + ".bai", n_ref=n_ref)
     return True
+
+
+def _retag_native(fn_bam: str, st: Storage, fn_out: str, threads: int) -> bool:
+    from . import native
+
+    def build_maps():
+        return (native.qmap_arrays(st.qname2haptag),
+                native.qmap_arrays(
+                    st.qname2haptag_raw if st.stores_raw_tag else {}),
+                st.stores_raw_tag)
+
+    return stream_retag_native(fn_bam, fn_out, build_maps, st=st, mode=0,
+                               threads=threads)
 
 
 def output_modify_bam(fn_bam: str, st: Storage, fn_out: str, threads: int = 1) -> None:

@@ -524,13 +524,26 @@ def main_varhaptag(fn_vcf: str, fn_bam: str, fn_out: str, n_thread: int,
                              haptag_callback=cb)
 
     from .io.bam_writer import BamWriter
-    w = None
-    if write_bam:
-        w = BamWriter(fn_out, bam.ref_names, bam.ref_lens,
-                      header_text=bam.header_text,
-                      threads=max(1, n_thread // 2), keep_index_info=True)
+    from .io.writers import stream_retag_native
+
+    def build_maps():
+        from .io import native as _nat
+        return (_nat.qmap_arrays(st.qname2haptag_raw),
+                _nat.qmap_arrays({}), False)
+
     with open(fn_out + ".varhaptag.tsv", "w") as tsv:
         tsv.write("#qname\thaptag_input\thaptag_new\n")
+        # native whole-file pass (BAM input): bulk retag + TSV from the
+        # per-record metadata; Python loop below is the fallback/oracle
+        if stream_retag_native(fn_bam, fn_out, build_maps, mode=1,
+                               threads=max(1, n_thread // 2), tsv=tsv,
+                               write_bam=write_bam):
+            return 0
+        w = None
+        if write_bam:
+            w = BamWriter(fn_out, bam.ref_names, bam.ref_lens,
+                          header_text=bam.header_text,
+                          threads=max(1, n_thread // 2), keep_index_info=True)
         for rec in bam.fetch_all():
             hp = st.qname2haptag_raw.get(rec.qname, HAPTAG_UNPHASED)
             t = rec.get_tag("HP")
@@ -539,9 +552,9 @@ def main_varhaptag(fn_vcf: str, fn_bam: str, fn_out: str, n_thread: int,
                 rec.set_int_tag("HP", hp + 1)
                 w.write(rec)
             tsv.write(f"{rec.qname}\t{hp_raw + 1}\t{hp + 1}\n")
-    if w is not None:
-        w.close()
-        w.build_index(fn_out + ".bai", n_ref=len(bam.ref_names))
+        if w is not None:
+            w.close()
+            w.build_index(fn_out + ".bai", n_ref=len(bam.ref_names))
     return 0
 
 

@@ -43,3 +43,22 @@ def test_native_retag_tagged(tmp_path, monkeypatch):
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_native_retag_untagged(tmp_path, monkeypatch):
     _run_pair(tmp_path, monkeypatch, ["-u"], "untagged")
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_varhaptag_matches_python(tmp_path, monkeypatch):
+    d = tmp_path / "vh"
+    d.mkdir()
+    bam, vcf, truth = make_two_block_scenario(str(d), tagged=False)
+    p1 = str(d / "nat.bam")
+    rc = cli_main(["varhaptag", "-o", p1, vcf, bam])
+    assert rc == 0
+    monkeypatch.setenv("POMFRET_NO_NATIVE_RETAG", "1")
+    p2 = str(d / "py.bam")
+    rc = cli_main(["varhaptag", "-o", p2, vcf, bam])
+    assert rc == 0
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert open(p1 + ".bai", "rb").read() == open(p2 + ".bai", "rb").read()
+    t1 = open(p1 + ".varhaptag.tsv").read()
+    t2 = open(p2 + ".varhaptag.tsv").read()
+    assert t1 == t2 and t1.count("\n") > 100

@@ -504,15 +504,15 @@ def meth_decode_read(seq_packed: bytes, l_seq: int, strand: int,
 
 def qmap_arrays(d: dict):
     """Sorted concatenated-key arrays for the native qname->int lookups."""
-    keys = sorted(k.encode() for k in d)
-    if not keys:
+    items = sorted((k.encode(), v) for k, v in d.items())
+    if not items:
         return (np.zeros(1, np.uint8), np.zeros(1, np.int64),
                 np.zeros(0, np.int32), 0)
-    blob = np.frombuffer(b"".join(keys), dtype=np.uint8)
-    off = np.zeros(len(keys) + 1, dtype=np.int64)
-    np.cumsum([len(k) for k in keys], out=off[1:])
-    vals = np.asarray([d[k.decode()] for k in keys], dtype=np.int32)
-    return blob, off, vals, len(keys)
+    blob = np.frombuffer(b"".join(k for k, _ in items), dtype=np.uint8)
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(k) for k, _ in items], out=off[1:])
+    vals = np.asarray([v for _, v in items], dtype=np.int32)
+    return blob, off, vals, len(items)
 
 
 def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray,

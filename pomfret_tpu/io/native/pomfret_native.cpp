@@ -1562,7 +1562,10 @@ extern "C" int64_t bam_retag_hp(
         int64_t qlen = (int64_t)l_read_name - 1;
         const uint8_t* cg = r + 32 + l_read_name;
         const uint8_t* aux = cg + 4 * (int64_t)n_cigar + (l_seq + 1) / 2 + l_seq;
-        if (aux > rend || qlen < 0) return -1;
+        // l_seq < 0 or oversized fields could wrap `aux` BEFORE the buffer
+        // and sail past the aux>rend check: validate every bound
+        if (l_seq < 0 || qlen < 0 || cg > rend || aux < cg || aux > rend)
+            return -1;
 
         int64_t endpos = (int64_t)pos + 1;   // bam_endpos semantics
         if (!(flag & 4) && n_cigar > 0) {

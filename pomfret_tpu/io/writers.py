@@ -181,25 +181,40 @@ def get_read_new_haplotag(qname: str, hp_raw: int, st: Storage, need_flip: int) 
 def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
     """Yield uncompressed BGZF payload chunks using the native inflate pool
     (streaming: compressed slices in, whole complete-block prefixes out)."""
+    import struct
     from . import native
     from .bgzf import _parse_block_header
+    from ..utils.log import log_warn
     with open(path, "rb") as f:
         rem = b""
+        stop = False
         while True:
             data = f.read(comp_chunk)
             buf = rem + data
             if not buf:
                 break
-            # largest prefix of COMPLETE blocks (18-byte headers, ~one per
-            # 64KB: trivial Python cost)
+            # largest prefix of COMPLETE blocks (headers are ~one per 64KB:
+            # trivial Python cost). Guard the FULL header extent (xlen may
+            # exceed the standard 6) before parsing, and treat non-gzip
+            # trailing bytes like the block-structured readers do: stop at
+            # them with a warning instead of failing the whole rewrite.
             off = 0
-            while off + 18 <= len(buf):
+            while off + 12 <= len(buf):
+                if buf[off] != 0x1F or buf[off + 1] != 0x8B:
+                    log_warn("stream_retag_native",
+                             f"ignoring {len(buf) - off} trailing bytes "
+                             "after the last BGZF block")
+                    stop = True
+                    break
+                (xlen,) = struct.unpack_from("<H", buf, off + 10)
+                if off + 12 + xlen > len(buf):
+                    break
                 _, bsize = _parse_block_header(buf, off)
                 if off + bsize > len(buf):
                     break
                 off += bsize
             if off == 0:
-                if not data:
+                if stop or not data:
                     raise ValueError("truncated BGZF tail")
                 rem = buf
                 continue
@@ -208,6 +223,8 @@ def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
                 raise RuntimeError("native inflate failed mid-stream")
             rem = buf[off:]
             yield out
+            if stop:
+                break
             if not data:
                 if rem:
                     raise ValueError("truncated BGZF tail")
@@ -247,7 +264,10 @@ def stream_retag_native(fn_bam: str, fn_out: str, build_maps, st=None,
     def take(n: int) -> bytes:
         nonlocal buf, bpos
         while len(buf) - bpos < n:
-            buf += next(chunks)
+            try:
+                buf += next(chunks)
+            except StopIteration:
+                raise ValueError("truncated BAM header") from None
         out = buf[bpos : bpos + n]
         bpos += n
         return out

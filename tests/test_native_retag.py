@@ -46,6 +46,24 @@ def test_native_retag_untagged(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_trailing_junk(tmp_path):
+    """Non-gzip bytes after the BGZF EOF block are tolerated with a warning
+    (matching the block-structured readers), not a failed rewrite."""
+    from pomfret_tpu.core.intervals import Storage
+    from pomfret_tpu.io.writers import output_modify_bam
+    d = tmp_path / "junk"
+    d.mkdir()
+    bam, vcf, truth = make_two_block_scenario(str(d))
+    with open(bam, "ab") as f:
+        f.write(b"\x00junkJUNKjunk")
+    out = str(d / "out.bam")
+    output_modify_bam(bam, Storage(), out, threads=2)
+    from pomfret_tpu.io.bam import BamReader
+    n = sum(1 for _ in BamReader(out).fetch_all())
+    assert n > 400
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_native_varhaptag_matches_python(tmp_path, monkeypatch):
     d = tmp_path / "vh"
     d.mkdir()

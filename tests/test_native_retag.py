@@ -46,6 +46,24 @@ def test_native_retag_untagged(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_two_chromosomes(tmp_path, monkeypatch):
+    """Chromosome transitions exercise the UnphasedLookup reset + the
+    need_flip-persists-across-chromosomes quirk (blockjoin.c:3057-3062)."""
+    from pomfret_tpu.testing import make_two_chrom_scenario
+    d = tmp_path / "twochrom"
+    d.mkdir()
+    bam, vcf, truths = make_two_chrom_scenario(str(d))
+    args = ["-c", "50", "--vcf", vcf, "--write-bam", bam]
+    p1 = str(d / "nat")
+    assert cli_main(["methphase", "-o", p1, *args]) == 0
+    monkeypatch.setenv("POMFRET_NO_NATIVE_RETAG", "1")
+    p2 = str(d / "py")
+    assert cli_main(["methphase", "-o", p2, *args]) == 0
+    assert open(p1 + ".mp.bam", "rb").read() == open(p2 + ".mp.bam", "rb").read()
+    assert open(p1 + ".mp.bam.bai", "rb").read() == open(p2 + ".mp.bam.bai", "rb").read()
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_native_retag_trailing_junk(tmp_path):
     """Non-gzip bytes after the BGZF EOF block are tolerated with a warning
     (matching the block-structured readers), not a failed rewrite."""

@@ -78,3 +78,23 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (128,)
     ge.dryrun_multichip(8)
+
+
+def test_engine_generation_selector(monkeypatch):
+    """POMFRET_FUSED_GEN / legacy POMFRET_FUSED_V2 select the right engine."""
+    from pomfret_tpu.parallel import batch as B
+    rng = np.random.default_rng(7)
+    b = pack_gap_batch([_rand_gap(rng) for _ in range(8)], [4] * 8, n_cand=8)
+    monkeypatch.setenv("POMFRET_FORCE_FUSED", "1")
+    assert B._engine_for(b).func.__name__ == "run_batch_fused3"
+    monkeypatch.setenv("POMFRET_FUSED_GEN", "2")
+    assert B._engine_for(b).func.__name__ == "run_batch_fused2"
+    monkeypatch.setenv("POMFRET_FUSED_GEN", "1")
+    assert B._engine_for(b).func.__name__ == "run_batch_fused"
+    monkeypatch.delenv("POMFRET_FUSED_GEN")
+    monkeypatch.setenv("POMFRET_FUSED_V2", "0")   # legacy: selects v1
+    assert B._engine_for(b).func.__name__ == "run_batch_fused"
+    monkeypatch.delenv("POMFRET_FUSED_V2")
+    assert B._engine_for(b).func.__name__ == "run_batch_fused3"
+    monkeypatch.delenv("POMFRET_FORCE_FUSED")
+    assert B._engine_for(b).func.__name__ == "_run_batch_jit"

@@ -1561,9 +1561,12 @@ extern "C" int64_t bam_retag_hp(
         const uint8_t* qname = r + 32;
         int64_t qlen = (int64_t)l_read_name - 1;
         const uint8_t* cg = r + 32 + l_read_name;
-        const uint8_t* aux = cg + 4 * (int64_t)n_cigar + (l_seq + 1) / 2 + l_seq;
+        const uint8_t* aux = cg + 4 * (int64_t)n_cigar +
+                             ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq;
         // l_seq < 0 or oversized fields could wrap `aux` BEFORE the buffer
-        // and sail past the aux>rend check: validate every bound
+        // and sail past the aux>rend check: validate every bound (the seq/
+        // qual extent is computed in int64 so an l_seq near INT32_MAX is a
+        // clean bounds failure, not signed-overflow UB)
         if (l_seq < 0 || qlen < 0 || cg > rend || aux < cg || aux > rend)
             return -1;
 

@@ -213,8 +213,25 @@ def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
                 if off + bsize > len(buf):
                     break
                 off += bsize
+
+            def _tail_is_junk(tail: bytes) -> bool:
+                # warn-and-stop parity with the block-structured readers: a
+                # sub-header tail that is not a gzip-magic prefix is trailing
+                # junk, not a truncated block — only a tail that parsed (or
+                # could parse) as a block header raises.
+                if len(tail) >= 2:
+                    return tail[0] != 0x1F or tail[1] != 0x8B
+                return len(tail) == 1 and tail[0] != 0x1F
+
             if off == 0:
-                if stop or not data:
+                if stop:
+                    break  # junk directly at a block boundary: already warned
+                if not data:  # EOF with an unparseable sub-header tail
+                    if _tail_is_junk(buf):
+                        log_warn("stream_retag_native",
+                                 f"ignoring {len(buf)} trailing bytes "
+                                 "after the last BGZF block")
+                        break
                     raise ValueError("truncated BGZF tail")
                 rem = buf
                 continue
@@ -227,6 +244,11 @@ def _iter_inflated_native(path: str, threads: int, comp_chunk: int = 8 << 20):
                 break
             if not data:
                 if rem:
+                    if _tail_is_junk(rem):
+                        log_warn("stream_retag_native",
+                                 f"ignoring {len(rem)} trailing bytes "
+                                 "after the last BGZF block")
+                        break
                     raise ValueError("truncated BGZF tail")
                 break
 
@@ -310,41 +332,57 @@ def stream_retag_native(fn_bam: str, fn_out: str, build_maps, st=None,
     state = np.array([0, 0, 1], dtype=np.int32)
     buf = buf[bpos:]   # header consumed; record stream follows
     exhausted = False
-    while True:
-        while not exhausted and len(buf) < (8 << 20):
-            try:
-                buf += next(chunks)
-            except StopIteration:
-                exhausted = True
-        if not buf:
-            break
-        out, metas, consumed = native.bam_retag_hp(buf, maps, intervals,
-                                                   state, mode)
-        if consumed == 0:
-            if exhausted:
-                raise ValueError(f"truncated BAM record tail ({len(buf)}B)")
-            try:  # a single record larger than the refill mark: keep growing
-                buf += next(chunks)
-            except StopIteration:
-                exhausted = True
-            continue
+    try:
+        while True:
+            while not exhausted and len(buf) < (8 << 20):
+                try:
+                    buf += next(chunks)
+                except StopIteration:
+                    exhausted = True
+            if not buf:
+                break
+            out, metas, consumed = native.bam_retag_hp(buf, maps, intervals,
+                                                       state, mode)
+            if consumed == 0:
+                if exhausted:
+                    raise ValueError(f"truncated BAM record tail ({len(buf)}B)")
+                try:  # a single record larger than the refill mark: keep growing
+                    buf += next(chunks)
+                except StopIteration:
+                    exhausted = True
+                continue
+            if w is not None:
+                w.write_raw_records(out, metas[:, :6])
+            if tsv is not None:
+                lines = []
+                for k in range(len(metas)):
+                    o = int(metas[k, 3])
+                    ln = out[o + 12]
+                    qn = out[o + 36 : o + 36 + ln - 1].decode()
+                    lines.append(
+                        f"{qn}\t{int(metas[k, 6]) + 1}\t{int(metas[k, 7]) + 1}\n")
+                tsv.write("".join(lines))
+            buf = buf[consumed:]
+            if exhausted and not buf:
+                break
         if w is not None:
-            w.write_raw_records(out, metas[:, :6])
-        if tsv is not None:
-            lines = []
-            for k in range(len(metas)):
-                o = int(metas[k, 3])
-                ln = out[o + 12]
-                qn = out[o + 36 : o + 36 + ln - 1].decode()
-                lines.append(
-                    f"{qn}\t{int(metas[k, 6]) + 1}\t{int(metas[k, 7]) + 1}\n")
-            tsv.write("".join(lines))
-        buf = buf[consumed:]
-        if exhausted and not buf:
-            break
-    if w is not None:
-        w.close()
-        w.build_index(fn_out + ".bai", n_ref=n_ref)
+            w.close()
+            w.build_index(fn_out + ".bai", n_ref=n_ref)
+    except BaseException:
+        # a mid-stream failure must not leave a truncated destination file
+        # (no EOF block, no .bai) that downstream tooling could mistake for
+        # output: close and remove the partial artifacts, then re-raise
+        if w is not None:
+            try:
+                w.close()
+            except Exception:
+                pass
+            for p in (fn_out, fn_out + ".bai"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        raise
     return True
 
 

@@ -134,11 +134,19 @@ def _engine_for(batch: GapBatch):
 
 def _fused_gen() -> str:
     """Engine generation selector; honors the pre-v3 POMFRET_FUSED_V2=0
-    escape hatch (which selected the v1 scoring-only kernel)."""
+    escape hatch (which selected the v1 scoring-only kernel). Unrecognized
+    POMFRET_FUSED_GEN values would otherwise silently map to the v2 kernel
+    and mask a misconfigured benchmark — warn and fall back to the default."""
     import os
     gen = os.environ.get("POMFRET_FUSED_GEN")
     if gen:
-        return gen
+        if gen in ("1", "2", "3"):
+            return gen
+        from ..utils.log import log_warn
+        log_warn("fused_gen",
+                 f"POMFRET_FUSED_GEN={gen!r} is not one of 1|2|3; "
+                 "using the default engine (3)")
+        return "3"
     if os.environ.get("POMFRET_FUSED_V2") == "0":
         return "1"
     return "3"

@@ -386,10 +386,13 @@ def main_warmup(opt: CliOpt) -> int:
     methphase/report run never pays a fresh Mosaic compile (seconds on a
     local TPU host, minutes of variance through a remote compile service).
 
-    Loads the FIRST gap group per chromosome, packs it through the same
+    Walks EVERY gap group of every chromosome (later groups can land in
+    different (R,S) buckets than the first), packs each through the same
     pack_group path run_gaps_batched uses (identical shape buckets), and
-    runs the engine at max_iters=0 — the full program compiles into the
-    persistent cache and the loop exits before iteration 1."""
+    runs the engine at max_iters=0 for each DISTINCT bucket — the full
+    program compiles into the persistent cache and the loop exits before
+    iteration 1. Cost is one host-side load+pack pass over the dataset with
+    no device iterations."""
     import jax as _jax
     engine = opt.engine
     if engine == "auto":
@@ -424,34 +427,35 @@ def main_warmup(opt: CliOpt) -> int:
     from .parallel.batch import _engine_for, batch_args
     seen = set()
     T = Get_T()
+    import numpy as _np
     for i_ref, rg in enumerate(st.ranges):
         cfg, n_cand = _derive_chrom_params(config, opt.n_candidates_per_iter,
                                            ref_covs[i_ref], st.ref_names[i_ref])
-        loaded = []
-        for i in range(min(group, len(rg.starts))):
-            rs = load_reads_given_interval(bam, st.ref_names[i_ref],
-                                           rg.starts[i], rg.ends[i],
-                                           READBACK, cfg)
-            ms_f = _gms(rs, cfg, 0)
-            ms_b = _gms(rs, cfg, 1)
-            if rs.n == 0 or ms_f.n == 0 or ms_b.n == 0:
+        for c0 in range(0, len(rg.starts), group):
+            loaded = []
+            for i in range(c0, min(c0 + group, len(rg.starts))):
+                rs = load_reads_given_interval(bam, st.ref_names[i_ref],
+                                               rg.starts[i], rg.ends[i],
+                                               READBACK, cfg)
+                ms_f = _gms(rs, cfg, 0)
+                ms_b = _gms(rs, cfg, 1)
+                if rs.n == 0 or ms_f.n == 0 or ms_b.n == 0:
+                    continue
+                loaded.append((i, rs, ms_f, ms_b))
+            if not loaded:
                 continue
-            loaded.append((i, rs, ms_f, ms_b))
-        if not loaded:
-            continue
-        datas, batch = pack_group(loaded, cfg, n_cand)
-        key = (batch.ids.shape, batch.D, batch.nc_cap)
-        if key in seen:
-            continue
-        seen.add(key)
-        fn = _engine_for(batch)
-        import numpy as _np
-        _np.asarray(fn(*batch_args(batch, 0)))
-        G, R, S = batch.ids.shape
-        log_info("main_warmup",
-                 f"{st.ref_names[i_ref]}: compiled engine for "
-                 f"G={G} R={R} S={S} D={batch.D} nc={batch.nc_cap} "
-                 f"({Get_T() - T:.1f}s cumulative)")
+            datas, batch = pack_group(loaded, cfg, n_cand)
+            key = (batch.ids.shape, batch.D, batch.nc_cap)
+            if key in seen:
+                continue
+            seen.add(key)
+            fn = _engine_for(batch)
+            _np.asarray(fn(*batch_args(batch, 0)))
+            G, R, S = batch.ids.shape
+            log_info("main_warmup",
+                     f"{st.ref_names[i_ref]}: compiled engine for "
+                     f"G={G} R={R} S={S} D={batch.D} nc={batch.nc_cap} "
+                     f"({Get_T() - T:.1f}s cumulative)")
     log_info("main_warmup", f"{len(seen)} program shape(s) cached")
     return 0
 

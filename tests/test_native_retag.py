@@ -82,6 +82,46 @@ def test_native_retag_trailing_junk(tmp_path):
 
 
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_short_junk_tail(tmp_path):
+    """A junk tail SHORTER than a minimal BGZF header (<12 bytes) must also
+    warn-and-stop, not abort the rewrite (round-1 advisor finding)."""
+    from pomfret_tpu.core.intervals import Storage
+    from pomfret_tpu.io.writers import output_modify_bam
+    d = tmp_path / "shortjunk"
+    d.mkdir()
+    bam, vcf, truth = make_two_block_scenario(str(d))
+    with open(bam, "ab") as f:
+        f.write(b"\x00junk")  # 5 bytes, non-gzip
+    out = str(d / "out.bam")
+    output_modify_bam(bam, Storage(), out, threads=2)
+    from pomfret_tpu.io.bam import BamReader
+    n = sum(1 for _ in BamReader(out).fetch_all())
+    assert n > 400
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_retag_truncated_block_raises_and_cleans_up(tmp_path):
+    """A genuinely truncated final block (valid gzip magic, payload cut)
+    must raise — and must not leave a partial output BAM/.bai on disk."""
+    from pomfret_tpu.core.intervals import Storage
+    from pomfret_tpu.io.writers import output_modify_bam
+    d = tmp_path / "trunc"
+    d.mkdir()
+    bam, vcf, truth = make_two_block_scenario(str(d))
+    data = open(bam, "rb").read()
+    trunc = str(d / "trunc.bam")
+    with open(trunc, "wb") as f:
+        # drop the EOF block's tail so the last header parses but its
+        # payload is incomplete
+        f.write(data[:-10])
+    out = str(d / "out.bam")
+    with pytest.raises(ValueError):
+        output_modify_bam(trunc, Storage(), out, threads=2)
+    assert not os.path.exists(out), "partial output BAM left on disk"
+    assert not os.path.exists(out + ".bai"), "partial .bai left on disk"
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_native_varhaptag_matches_python(tmp_path, monkeypatch):
     d = tmp_path / "vh"
     d.mkdir()

@@ -9,10 +9,14 @@ loop (both directions) on the chip, and count gap-window reads processed per
 second of device wall time (after one warmup to pay compile + the tunnel's
 one-time transfer-channel setup).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the README
-reports `methphase -t32` at 20-30 min for HG002 60x WGS. With ~2700 phase
-gaps and ~1500 window reads per gap that is ~2.7k reads/s for the 32-thread
-C binary end-to-end. We report value / 2700.
+vs_baseline: the reference README PUBLISHES a runtime — `methphase -t32 -u`
+took 20-30 min with ~2.5 GiB peak RSS on HG002 WGS
+(/root/reference/README.md:172) — plus an N50/switch-error accuracy table
+(README.md:193-202); see BASELINE.md. Converting the runtime: ~2700 phase
+gaps x ~1500 window reads per +-50kb gap window ~= 4.05M gap-window reads in
+20-30 min ~= 2.7k reads/s end-to-end for the 32-thread C binary (assumptions
+detailed in BASELINE.md "Derived throughput baseline"). We report
+value / 2700.
 """
 import json
 import os

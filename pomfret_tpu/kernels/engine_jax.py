@@ -463,9 +463,19 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     that R/S padding is shared across the group. POMFRET_GAP_GROUP overrides.
 
     Returns (decisions, per-gap {qname: hp}) aligned with `indices`.
+
+    Multi-chip: when this process has >1 local device, the lane axis of
+    every group shards over a local-device mesh (parallel.batch.
+    production_mesh) and the group size scales with the device count so
+    each chip keeps its full lane block — one SPMD dispatch drives all
+    local chips (VERDICT r1 item 1; the reference's kt_for-over-all-cores
+    analog, blockjoin.c:4560).
     """
     import os as _os
-    group = group or int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
+    from ..parallel.batch import production_mesh
+    mesh = production_mesh()
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    group = group or int(_os.environ.get("POMFRET_GAP_GROUP", "128")) * n_dev
 
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
@@ -516,11 +526,11 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
             loaded.append((i, rs, ms_fwd, ms_bwd))
         if not loaded:
             continue
-        datas, batch = pack_group(loaded, cfg, n_cand)
+        datas, batch = pack_group(loaded, cfg, n_cand, lane_multiple=n_dev)
         # dispatch asynchronously: the device crunches this group while the
         # host loads and packs the next one (download deferred)
         from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle
-        pending.append((loaded, datas, run_gap_batch_async(batch)))
+        pending.append((loaded, datas, run_gap_batch_async(batch, mesh=mesh)))
         if len(pending) > 1:
             _drain_group(pending.pop(0), decisions, tag_maps)
     while pending:
@@ -528,7 +538,7 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
 
 
-def pack_group(loaded, cfg: MmrConfig, n_cand: int):
+def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1):
     """Pack one group of loaded (i, rs, ms_fwd, ms_bwd) windows into a
     device batch: both directions ride ONE dispatch (lanes [0:n) bwd,
     [n:2n) fwd). Pads use the coarse bucket ladder, NOT tight round-up:
@@ -536,7 +546,11 @@ def pack_group(loaded, cfg: MmrConfig, n_cand: int):
     kernel (minutes of variance through the remote compile service), so a
     handful of stable shapes beats minimal padding decisively. Shared by
     run_gaps_batched and main_warmup — warmup compiles exactly the shapes
-    real runs will request."""
+    real runs will request.
+
+    lane_multiple: pad the lane count to a multiple of this (the mesh
+    device count) so the lane axis shards evenly. Power-of-two device
+    counts <=32 already divide every bucket; odd counts pad further."""
     from ..parallel.batch import pack_gap_batch
 
     pad_r = _bucket_dim(max(rs.n for _, rs, _, _ in loaded))
@@ -548,8 +562,12 @@ def pack_group(loaded, cfg: MmrConfig, n_cand: int):
             store_mmr_of_reads(rs, ms)
             datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
             wipe_mmr_of_reads(rs)
+    pad_g = _bucket_lanes(2 * len(loaded))
+    if lane_multiple > 1 and pad_g % lane_multiple:
+        import math
+        pad_g = _round_up(pad_g, math.lcm(32, lane_multiple))
     batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
-                           n_cand, pad_g=_bucket_lanes(2 * len(loaded)))
+                           n_cand, pad_g=pad_g)
     return datas, batch
 
 

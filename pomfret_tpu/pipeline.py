@@ -421,10 +421,12 @@ def main_warmup(opt: CliOpt) -> int:
         ref_covs = [config.cov_known] * len(st.ref_names)
 
     import os as _os
-    group = int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
     from .kernels.engine_jax import (get_methmer_sites_and_ranges as _gms,
                                      pack_group)
-    from .parallel.batch import _engine_for, batch_args
+    from .parallel.batch import production_mesh, run_gap_batch
+    mesh = production_mesh()
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    group = int(_os.environ.get("POMFRET_GAP_GROUP", "128")) * n_dev
     seen = set()
     T = Get_T()
     import numpy as _np
@@ -444,13 +446,12 @@ def main_warmup(opt: CliOpt) -> int:
                 loaded.append((i, rs, ms_f, ms_b))
             if not loaded:
                 continue
-            datas, batch = pack_group(loaded, cfg, n_cand)
+            datas, batch = pack_group(loaded, cfg, n_cand, lane_multiple=n_dev)
             key = (batch.ids.shape, batch.D, batch.nc_cap)
             if key in seen:
                 continue
             seen.add(key)
-            fn = _engine_for(batch)
-            _np.asarray(fn(*batch_args(batch, 0)))
+            _np.asarray(run_gap_batch(batch, mesh=mesh, max_iters=0))
             G, R, S = batch.ids.shape
             log_info("main_warmup",
                      f"{st.ref_names[i_ref]}: compiled engine for "

@@ -80,6 +80,38 @@ def test_graft_entry():
     ge.dryrun_multichip(8)
 
 
+def test_pipeline_uses_local_mesh_and_matches_single_device(tmp_path,
+                                                            monkeypatch):
+    """The PRODUCTION methphase path (run_gaps_batched) must shard its gap
+    batches over every local device (VERDICT r1 item 1) and produce outputs
+    byte-identical to a single-device run."""
+    from pomfret_tpu.cli import main as cli_main
+    from pomfret_tpu.parallel import batch as pb
+    from pomfret_tpu.testing import make_multi_block_scenario
+
+    d = tmp_path / "mesh"
+    d.mkdir()
+    bam, vcf, truth = make_multi_block_scenario(str(d), n_blocks=3)
+    args = ["-c", "50", "--engine", "jax", "--vcf", vcf, bam]
+
+    p1 = str(d / "mesh8")
+    assert cli_main(["methphase", "-o", p1, *args]) == 0
+    assert pb.DISPATCH_STATS["n_devices_last"] == 8, \
+        "production dispatch did not shard over the 8 local devices"
+    assert pb.DISPATCH_STATS["lanes_last"] % 8 == 0
+
+    monkeypatch.setenv("POMFRET_NO_MESH", "1")
+    p2 = str(d / "single")
+    assert cli_main(["methphase", "-o", p2, *args]) == 0
+    assert pb.DISPATCH_STATS["n_devices_last"] == 1
+    monkeypatch.delenv("POMFRET_NO_MESH")
+
+    for ext in (".mp.gtf", ".mp.vcf"):
+        b1 = open(p1 + ext, "rb").read()
+        b2 = open(p2 + ext, "rb").read()
+        assert b1 == b2, f"{ext} differs between 8-device mesh and single"
+
+
 def test_engine_generation_selector(monkeypatch):
     """POMFRET_FUSED_GEN / legacy POMFRET_FUSED_V2 select the right engine."""
     from pomfret_tpu.parallel import batch as B

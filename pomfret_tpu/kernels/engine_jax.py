@@ -429,30 +429,9 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
     return join1
 
 
-def _decide_from_direction_tags(rs: ReadSet, initial: np.ndarray,
-                                hp_by_dir: Dict[int, np.ndarray]) -> int:
-    """haplotag_region2's evaluation + the fwd/bwd agreement gate
-    (blockjoin.c:4145-4206, 4288-4320) given both directions' tag vectors."""
-    results = {}
-    for direction in (1, 0):
-        rs.restore_haplotags(hp_by_dir[direction])
-        score, which_way = evaluate_separation(rs, initial,
-                                               1 if direction == 0 else 0)
-        join = -1
-        if score >= 2 and which_way not in (-9, 0):
-            join = 0 if which_way > 0 else 1
-        results[direction] = join
-        rs.restore_haplotags(initial)
-    join1, join2 = results[0], results[1]
-    if join1 != join2 or (join1 == -1 and join2 == -1):
-        rs.set_all_as_unphased()
-        return -1
-    rs.restore_haplotags(hp_by_dir[0])
-    return join1
-
-
 def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
-                     indices=None, group: int = 0):
+                     indices=None, group: int = 0, n_permutations: int = 1,
+                     perm_key_base: int = 0):
     """Pipeline hook (engine='jax'): run gaps of one chromosome (all, or
     the subset in `indices` for multi-host runs) through the batched device
     engine, `group` gaps (= 2*group lanes, fwd+bwd) per device dispatch.
@@ -470,12 +449,20 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     each chip keeps its full lane block — one SPMD dispatch drives all
     local chips (VERDICT r1 item 1; the reference's kt_for-over-all-cores
     analog, blockjoin.c:4560).
+
+    Permutation voting (n_permutations > 1): the N permutation seed
+    vectors of each (gap, direction) ride as N extra lanes of the SAME
+    batch (they share the ids grid — only hp_init/seed_ok differ,
+    blockjoin.c:4115-4134), so voting costs ONE dispatch per group
+    instead of N dispatches per gap. perm_key_base + gap_index seeds the
+    per-gap srand48 stream (PARITY.md X7), identical to the host oracle's.
     """
     import os as _os
     from ..parallel.batch import production_mesh
     mesh = production_mesh()
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-    group = group or int(_os.environ.get("POMFRET_GAP_GROUP", "128")) * n_dev
+    group = group or max(1, int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
+                         * n_dev // max(1, n_permutations))
 
     idxs = list(indices if indices is not None else range(len(rg.starts)))
     decisions: Dict[int, int] = {}
@@ -526,65 +513,152 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
             loaded.append((i, rs, ms_fwd, ms_bwd))
         if not loaded:
             continue
-        datas, batch = pack_group(loaded, cfg, n_cand, lane_multiple=n_dev)
+        rngs = None
+        if n_permutations > 1:
+            from ..core.engine_host import Drand48
+            rngs = [Drand48.from_srand48(perm_key_base + i)
+                    for i, *_ in loaded]
+        datas, batch, errs = pack_group(loaded, cfg, n_cand,
+                                        lane_multiple=n_dev,
+                                        n_permutations=n_permutations,
+                                        rngs=rngs)
         # dispatch asynchronously: the device crunches this group while the
         # host loads and packs the next one (download deferred)
         from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle
-        pending.append((loaded, datas, run_gap_batch_async(batch, mesh=mesh)))
+        pending.append((loaded, datas, errs,
+                        run_gap_batch_async(batch, mesh=mesh)))
         if len(pending) > 1:
-            _drain_group(pending.pop(0), decisions, tag_maps)
+            _drain_group(pending.pop(0), decisions, tag_maps, n_permutations)
     while pending:
-        _drain_group(pending.pop(0), decisions, tag_maps)
+        _drain_group(pending.pop(0), decisions, tag_maps, n_permutations)
     return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
 
 
-def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1):
+def _reseeded(dd: GapDeviceData, rs: ReadSet, direction: int,
+              seed_tags: np.ndarray) -> GapDeviceData:
+    """Clone a packed lane with hp_init/seed_ok derived from a permutation
+    seed-tag vector: the N permutation lanes of one (gap, direction) share
+    the ids grid/has_mmr/perm — only the boundary seeds differ
+    (permute_haplotags swaps tags between boundary reads,
+    blockjoin.c:4115-4134). Seeding semantics match build_gap_device_data:
+    hp & 3 truncation for the wipe state, raw-tag-in-{0,1} gate for count
+    seeding (blockjoin.c:3796, 4013-4024)."""
+    import dataclasses
+    n = rs.n
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[dd.perm[:n]] = np.arange(n)
+    ref_ids = rs.ids_left if direction == 0 else rs.ids_right
+    hp_p = np.full(dd.ids.shape[0], 2, dtype=np.int32)
+    seed_p = np.zeros(dd.ids.shape[0], dtype=bool)
+    for rid in ref_ids:
+        t = int(seed_tags[rid])
+        hp_p[inv_perm[rid]] = t & 3
+        seed_p[inv_perm[rid]] = t in (0, 1)
+    return dataclasses.replace(dd, hp_init=hp_p, seed_ok=seed_p)
+
+
+def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1,
+               n_permutations: int = 1, rngs=None):
     """Pack one group of loaded (i, rs, ms_fwd, ms_bwd) windows into a
     device batch: both directions ride ONE dispatch (lanes [0:n) bwd,
-    [n:2n) fwd). Pads use the coarse bucket ladder, NOT tight round-up:
-    each distinct (G,R,S) is a fresh Mosaic compile of the whole-loop
-    kernel (minutes of variance through the remote compile service), so a
-    handful of stable shapes beats minimal padding decisively. Shared by
-    run_gaps_batched and main_warmup — warmup compiles exactly the shapes
-    real runs will request.
+    [n:2n) fwd; with permutation voting each (gap, direction) contributes
+    n_permutations consecutive lanes). Pads use the coarse bucket ladder,
+    NOT tight round-up: each distinct (G,R,S) is a fresh Mosaic compile of
+    the whole-loop kernel (minutes of variance through the remote compile
+    service), so a handful of stable shapes beats minimal padding
+    decisively. Shared by run_gaps_batched and main_warmup — warmup
+    compiles exactly the shapes real runs will request.
 
     lane_multiple: pad the lane count to a multiple of this (the mesh
     device count) so the lane axis shards evenly. Power-of-two device
-    counts <=32 already divide every bucket; odd counts pad further."""
+    counts <=32 already divide every bucket; odd counts pad further.
+
+    rngs: per-gap Drand48 streams (required when n_permutations > 1);
+    each gap's stream is consumed bwd-permutes-then-fwd-permutes, the
+    same order as the host oracle within a gap (PARITY.md X7).
+
+    Returns (per-lane datas, batch, errs) where errs is the set of
+    (gap_index_in_loaded, direction) whose permute failed (empty boundary
+    list) — those directions decide -1, blockjoin.c:4160-4163."""
+    from ..core.engine_host import make_permutation_seeds
     from ..parallel.batch import pack_gap_batch
 
+    if n_permutations > 1:
+        assert rngs is not None and len(rngs) == len(loaded), \
+            "per-gap rng streams are required for batched permutation voting"
     pad_r = _bucket_dim(max(rs.n for _, rs, _, _ in loaded))
     pad_s = _bucket_dim(max(max(t[2].n, t[3].n) for t in loaded))
     datas = []
+    errs = set()
     for direction in (1, 0):
-        for i, rs, ms_fwd, ms_bwd in loaded:
+        for j, (i, rs, ms_fwd, ms_bwd) in enumerate(loaded):
             ms = ms_fwd if direction == 0 else ms_bwd
             store_mmr_of_reads(rs, ms)
-            datas.append(build_gap_device_data(rs, ms, direction, pad_r, pad_s))
+            dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
             wipe_mmr_of_reads(rs)
-    pad_g = _bucket_lanes(2 * len(loaded))
+            if n_permutations == 1:
+                datas.append(dd)
+                continue
+            seeds, err = make_permutation_seeds(rs, direction,
+                                                n_permutations, rngs[j])
+            if err:
+                errs.add((j, direction))
+            while len(seeds) < n_permutations:
+                # failed permute: keep the lane grid rectangular with dead
+                # copies of run 0 (their results are discarded via errs)
+                seeds.append(seeds[0])
+            datas.append(dd)  # run 0 = the initial tags
+            for seed in seeds[1:]:
+                datas.append(_reseeded(dd, rs, direction, seed))
+    pad_g = _bucket_lanes(2 * len(loaded) * n_permutations)
     if lane_multiple > 1 and pad_g % lane_multiple:
         import math
         pad_g = _round_up(pad_g, math.lcm(32, lane_multiple))
     batch = pack_gap_batch(datas, [cfg.cov_for_runtime] * len(datas),
                            n_cand, pad_g=pad_g)
-    return datas, batch
+    return datas, batch, errs
 
 
-def _drain_group(entry, decisions, tag_maps) -> None:
-    loaded, datas, fut = entry
+def _drain_group(entry, decisions, tag_maps, n_permutations: int = 1) -> None:
+    """Download one finished group and run the host-side decision step:
+    per (gap, direction) evaluate each permutation lane's separation, vote
+    (vote_permutations — with N=1 this reduces to the score>=2/which_way
+    gate of haplotag_region2's single run), then apply the fwd/bwd agreement
+    gate (blockjoin.c:4288-4320)."""
+    from ..core.engine_host import vote_permutations
+
+    loaded, datas, errs, fut = entry
     out = np.asarray(fut)  # blocks until the device batch finishes
     n_loaded = len(loaded)
-    hp_by_gap: Dict[int, Dict[int, np.ndarray]] = {i: {} for i, *_ in loaded}
-    for k, direction in enumerate((1, 0)):
-        for j, (i, rs, _, _) in enumerate(loaded):
-            dd = datas[k * n_loaded + j]
-            hp = out[k * n_loaded + j]
-            hp_orig = np.full(rs.n, 2, dtype=np.int32)
-            hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
-            hp_by_gap[i][direction] = hp_orig
-    for i, rs, _, _ in loaded:
+    N = n_permutations
+    for j, (i, rs, _, _) in enumerate(loaded):
         initial = rs.store_haplotags()
-        d = _decide_from_direction_tags(rs, initial, hp_by_gap[i])
+        results: Dict[int, tuple] = {}
+        for k, direction in enumerate((1, 0)):
+            if (j, direction) in errs:
+                results[direction] = (-1, None)
+                continue
+            evals, bufs = [], []
+            for p in range(N):
+                lane = (k * n_loaded + j) * N + p
+                dd = datas[lane]
+                hp = out[lane]
+                hp_orig = np.full(rs.n, 2, dtype=np.int32)
+                hp_orig[dd.perm[: rs.n]] = hp[: rs.n]
+                rs.restore_haplotags(hp_orig)
+                evals.append(evaluate_separation(
+                    rs, initial, 1 if direction == 0 else 0))
+                bufs.append(hp_orig)
+                rs.restore_haplotags(initial)
+            join, chosen = vote_permutations(N, evals)
+            results[direction] = (join, bufs[chosen] if join >= 0 else None)
+        join2, _ = results[1]
+        join1, tags_fwd = results[0]
+        if join1 != join2 or (join1 == -1 and join2 == -1):
+            rs.set_all_as_unphased()
+            d = -1
+        else:
+            rs.restore_haplotags(tags_fwd)
+            d = join1
         decisions[i] = d
         tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}

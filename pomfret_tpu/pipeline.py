@@ -219,10 +219,16 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                     qname2haptag.setdefault(qn, hp)
             continue
         indices.append(i)
-    if engine == "jax" and indices and n_permutations == 1:
+    if engine == "jax" and indices:
+        # permutation voting rides the same grouped batch: each (gap,
+        # direction) contributes n_permutations lanes, one dispatch per
+        # group (VERDICT r1 item 7); per-gap srand48 streams keyed
+        # identically to the host path below (PARITY.md X7)
         from .kernels.engine_jax import run_gaps_batched
-        decisions, tag_maps = run_gaps_batched(st, bam, ref_name, rg, cfg,
-                                               n_cand, indices=indices)
+        decisions, tag_maps = run_gaps_batched(
+            st, bam, ref_name, rg, cfg, n_cand, indices=indices,
+            n_permutations=n_permutations,
+            perm_key_base=job_i * 1_000_003)
         for i, d, tags in zip(indices, decisions, tag_maps):
             rg.decisions[i] = d
             if manifest is not None:
@@ -233,9 +239,6 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
                     qname2haptag.setdefault(qn, hp)
         return qname2haptag
     for i in indices:
-        # reached with engine='jax' only when n_permutations>1: permutation
-        # restarts dispatch per gap through run_gap_jax instead of the
-        # grouped batch
         decision, rs = haplotag_region_given_bam(
             st, bam, ref_name, rg.starts[i], rg.ends[i], cfg, n_cand,
             engine, n_permutations, perm_key=job_i * 1_000_003 + i)
@@ -446,7 +449,8 @@ def main_warmup(opt: CliOpt) -> int:
                 loaded.append((i, rs, ms_f, ms_b))
             if not loaded:
                 continue
-            datas, batch = pack_group(loaded, cfg, n_cand, lane_multiple=n_dev)
+            datas, batch, _errs = pack_group(loaded, cfg, n_cand,
+                                             lane_multiple=n_dev)
             key = (batch.ids.shape, batch.D, batch.nc_cap)
             if key in seen:
                 continue
@@ -674,12 +678,14 @@ def main_methreport(opt: CliOpt) -> int:
             eng = "jax" if _jax.default_backend() == "tpu" else "host"
         mine = [wi for wi in range(len(rg.starts))
                 if win_global[(i_ref, wi)] % n_procs == proc_id]
-        if eng == "jax" and opt.n_permutations == 1 and mine:
+        if eng == "jax" and mine:
             # windows are independent, so they ride the same vmapped gap
-            # batches as methphase
+            # batches as methphase (incl. batched permutation lanes)
             from .kernels.engine_jax import run_gaps_batched
             decs, _ = run_gaps_batched(st, bam, st.ref_names[i_ref], rg,
-                                       cfg, n_cand, indices=mine)
+                                       cfg, n_cand, indices=mine,
+                                       n_permutations=opt.n_permutations,
+                                       perm_key_base=i_ref * 1_000_003)
             for wi, d in zip(mine, decs):
                 local_dec[win_global[(i_ref, wi)]] = d
         else:

@@ -361,6 +361,87 @@ def make_two_chrom_scenario(tmpdir: str, cfg: Optional[SynthConfig] = None):
     return bam, vcf, truths
 
 
+def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
+                                      n_blocks: int = 4,
+                                      block_len: int = 60_000,
+                                      gap_len: int = 30_000,
+                                      read_stagger: int = 700):
+    """n_chroms chromosomes x (n_blocks-1) joinable gaps each, ONE BAM/VCF.
+
+    The multi-host e2e fixture (VERDICT r1 item 6b): under round-robin gap
+    assignment every process decides gaps on every chromosome, so the
+    decision/tag merge interleaving is exercised at n>1 gaps per host and
+    >1 chromosomes (the round-1 fixture had a single gap, leaving host 1
+    idle). Returns (bam, vcf, truths per chrom)."""
+    import os
+    margin = 5_000
+    ref_len = margin * 2 + n_blocks * block_len + (n_blocks - 1) * gap_len
+    regions, truths, cfgs = [], [], []
+    for ci in range(n_chroms):
+        c = SynthConfig(ref_len=ref_len, chrom=f"chr{ci + 1}", seed=ci,
+                        read_stagger=read_stagger)
+        sr = SynthRegion(c)
+        blocks = []
+        p = margin
+        for _ in range(n_blocks):
+            blocks.append((p, p + block_len))
+            p += block_len + gap_len
+        snp_pos = []
+        for lo, hi in blocks:
+            q = lo
+            while q < hi:
+                for r in range(q, min(q + 200, c.ref_len)):
+                    if sr.ref[r] == "A":
+                        snp_pos.append(r)
+                        break
+                q += 2_000
+        sr.add_snps(snp_pos, [i % 2 for i in range(len(snp_pos))])
+        block_snps = [[s for s in snp_pos if lo <= s < hi] for lo, hi in blocks]
+        ps_ids = [bs[0] + 1 for bs in block_snps]
+        truths.append({
+            "blocks": blocks, "ps_ids": ps_ids, "region": sr,
+            "gaps": [(block_snps[i][-1] + 1, ps_ids[i + 1])
+                     for i in range(n_blocks - 1)],
+        })
+        cfgs.append(c)
+        regions.append(sr)
+
+    from .io.bam_writer import BamWriter
+    bam = os.path.join(tmpdir, "multichrom.bam")
+    w = BamWriter(bam, [c.chrom for c in cfgs], [c.ref_len for c in cfgs],
+                  header_text="@HD\tVN:1.6\tSO:coordinate\n",
+                  keep_index_info=True)
+    for ci, sr in enumerate(regions):
+        recs = sr.make_reads(tagged=True)
+        for r in recs:
+            r.refID = ci
+            r.qname = f"c{ci}_" + r.qname
+            w.write(r)
+    w.close()
+    w.build_index(n_ref=n_chroms)
+
+    vcf = os.path.join(tmpdir, "multichrom.vcf.gz")
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsample",
+    ]
+    for ci, (sr, t) in enumerate(zip(regions, truths)):
+        for pos, ref, alt, hap_alt in sr.snps:
+            ps = None
+            for (lo, hi), pid in zip(t["blocks"], t["ps_ids"]):
+                if lo <= pos < hi:
+                    ps = pid
+                    break
+            if ps is None:
+                continue
+            a0, a1 = (1, 0) if hap_alt == 0 else (0, 1)
+            lines.append(f"{cfgs[ci].chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t60"
+                         f"\tPASS\t.\tGT:PS\t{a0}|{a1}:{ps}")
+    with gzip.open(vcf, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    return bam, vcf, truths
+
+
 def make_multi_block_scenario(tmpdir: str, n_blocks: int = 6,
                               block_len: int = 60_000, gap_len: int = 30_000,
                               cfg: Optional[SynthConfig] = None):

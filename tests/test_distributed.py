@@ -41,6 +41,45 @@ def test_assign_gaps_partitions():
     assert not (set(a) & set(b))
 
 
+def test_tag_map_pack_merge_roundtrip():
+    from pomfret_tpu.parallel.distributed import (_merge_packed_tag_maps,
+                                                  _pack_tag_map)
+    m0 = {"readA": 0, "readB": 1, "shared": 0}
+    m1 = {"readC": 1, "shared": 1}
+    b0, t0 = _pack_tag_map(m0)
+    b1, t1 = _pack_tag_map(m1)
+    merged = _merge_packed_tag_maps([b0, b1], [t0, t1])
+    assert merged == {"readA": 0, "readB": 1, "readC": 1, "shared": 0}
+    # first process wins on conflicts (blockjoin.c:4579-4595)
+    assert merged["shared"] == 0
+    # empty maps are fine
+    be, te = _pack_tag_map({})
+    assert _merge_packed_tag_maps([be, b1], [te, t1]) == m1
+
+
+def test_tag_map_merge_scales_to_a_million_tags():
+    """WGS-scale merge (VERDICT r1 item 6a): >=1e6 tags across simulated
+    hosts must pack, transport-shape, and merge without memory blowup —
+    the packed form is ~bytes(names)+4B/tag, not a JSON blob."""
+    import time
+    from pomfret_tpu.parallel.distributed import (_merge_packed_tag_maps,
+                                                  _pack_tag_map)
+    P, per = 4, 275_000
+    packed = []
+    for p in range(P):
+        m = {f"m64012_220{p}_{i:07d}/ccs": (i + p) & 1 for i in range(per)}
+        packed.append(_pack_tag_map(m))
+    total_bytes = sum(len(b) + 4 * len(t) for b, t in packed)
+    assert total_bytes < 50 << 20, "packed form unexpectedly large"
+    t0 = time.time()
+    merged = _merge_packed_tag_maps([b for b, _ in packed],
+                                    [t for _, t in packed])
+    dt = time.time() - t0
+    assert len(merged) == P * per
+    assert merged["m64012_2200_0000007/ccs"] == 1
+    assert dt < 30, f"million-tag merge took {dt:.1f}s"
+
+
 @pytest.mark.slow
 def test_two_process_allgather(tmp_path):
     port = str(20000 + (os.getpid() % 20000))

@@ -870,6 +870,7 @@ class CramReader:
         self._ref_cache: Dict[Tuple[int, int, int], str] = {}
         self._crai: Optional[List[Tuple[int, int, int, int, int, int]]] = None
         self._crai_tried = False
+        self._spool_reader = None  # lazy BamReader over the hot-path spool
         # decoded-slice LRU: repeated window fetches (each gap loads a
         # ±READBACK halo) hit the same slices many times
         self._slice_cache: "dict[tuple, list]" = {}
@@ -1098,8 +1099,38 @@ class CramReader:
         for _, h, body in self._iter_containers():
             yield from self._decode_container(h, body)
 
+    # -- hot paths: delegate to a one-time BAM spool (see spool_path).
+    # CRAM's per-record feature decode is inherently Python-speed here
+    # (~220 us/record); the reference reads CRAM at full htslib speed
+    # (blockjoin.c:4609 allows is_cram end-to-end). One transcoding pass
+    # buys every native fast path — columnar window loads, the coverage
+    # scan, and the native retag stream — for all subsequent accesses.
+    def _spooled(self):
+        """BamReader over this CRAM's spool, or None (spooling disabled)."""
+        if os.environ.get("POMFRET_NO_CRAM_SPOOL"):
+            return None
+        if self._spool_reader is None:
+            from .bam import BamReader
+            self._spool_reader = BamReader(
+                spool_path(self.path, ref_fasta=self._ref_fasta_path))
+        return self._spool_reader
+
     def scan_columns(self):
-        return None, None
+        sp = self._spooled()
+        if sp is None:
+            return None, None
+        return sp.scan_columns()
+
+    def fetch_window_columnar(self, chrom: str, beg: int, end: int,
+                              min_mapq: int, readlen_threshold: int,
+                              de_max: float, lo: int, hi: int):
+        """Native one-call window load (BamReader.fetch_window_columnar)
+        over the spool; (None, None) sends callers to the Python path."""
+        sp = self._spooled()
+        if sp is None:
+            return None, None
+        return sp.fetch_window_columnar(chrom, beg, end, min_mapq,
+                                        readlen_threshold, de_max, lo, hi)
 
     def _build_index_in_memory(self):
         """No .crai on disk: scan container + slice headers once (no record
@@ -1161,6 +1192,66 @@ class CramReader:
 def is_cram(path: str) -> bool:
     with open(path, "rb") as f:
         return f.read(4) == b"CRAM"
+
+
+_SPOOL_CACHE: Dict[Tuple[str, int, int], str] = {}
+
+
+def spool_path(cram_path: str, ref_fasta: Optional[str] = None) -> str:
+    """One-time CRAM->BAM transcode powering the native hot paths.
+
+    The spool lives under POMFRET_SPOOL_DIR (default: the system tempdir)
+    with a name keyed on (realpath, mtime, size), so every reader in this
+    process — and any other process on the machine — reuses one transcode.
+    Written to a unique temp name and os.replace'd so concurrent spoolers
+    race benignly. Returns the spooled BAM path (with .bai beside it)."""
+    import hashlib
+    import tempfile
+    st = os.stat(cram_path)
+    key = (os.path.realpath(cram_path), st.st_mtime_ns, st.st_size)
+    cached = _SPOOL_CACHE.get(key)
+    if cached and os.path.exists(cached) and os.path.exists(cached + ".bai"):
+        return cached
+    h = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+    d = os.environ.get("POMFRET_SPOOL_DIR") or tempfile.gettempdir()
+    out = os.path.join(d, f"pomfret_spool_{h}.bam")
+    if not (os.path.exists(out) and os.path.exists(out + ".bai")):
+        from ..utils.log import Get_T, log_info
+        from .bam_writer import BamWriter
+        T = Get_T()
+        log_info("cram_spool",
+                 f"transcoding {cram_path} to a BAM spool for the native "
+                 f"hot paths (once per file)...")
+        rd = CramReader(cram_path, ref_fasta=ref_fasta)
+        tmp = out + f".tmp{os.getpid()}"
+        w = BamWriter(tmp, rd.ref_names, rd.ref_lens,
+                      header_text=rd.header_text,
+                      threads=max(2, min(4, os.cpu_count() or 2)),
+                      keep_index_info=True)
+        n = 0
+        try:
+            for rec in rd.fetch_all():
+                w.write(rec)
+                n += 1
+            w.close()
+            w.build_index(tmp + ".bai", n_ref=len(rd.ref_names))
+        except BaseException:
+            try:
+                w.close()
+            except Exception:
+                pass
+            for p in (tmp, tmp + ".bai"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
+        os.replace(tmp, out)
+        os.replace(tmp + ".bai", out + ".bai")
+        log_info("cram_spool",
+                 f"spooled {n} records in {Get_T() - T:.1f}s -> {out}")
+    _SPOOL_CACHE[key] = out
+    return out
 
 
 def open_alignment(path: str, threads: int = 1, ref_fasta: Optional[str] = None):

@@ -276,6 +276,14 @@ def stream_retag_native(fn_bam: str, fn_out: str, build_maps, st=None,
     from .bgzf import is_bgzf
     if os.environ.get("POMFRET_NO_NATIVE_RETAG") or not native.native_available():
         return False
+    from .cram import is_cram, spool_path
+    if is_cram(fn_bam):
+        # CRAM input rides the one-time BAM spool (io/cram.py spool_path):
+        # the native retag pass then streams at BAM speed; the record bytes
+        # are exactly what the Python CramReader loop would re-encode
+        if os.environ.get("POMFRET_NO_CRAM_SPOOL"):
+            return False
+        fn_bam = spool_path(fn_bam)
     if not is_bgzf(fn_bam):
         return False
 

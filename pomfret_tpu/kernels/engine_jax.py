@@ -457,81 +457,111 @@ def run_gaps_batched(st, bam, ref_name: str, rg, cfg: MmrConfig, n_cand: int,
     instead of N dispatches per gap. perm_key_base + gap_index seeds the
     per-gap srand48 stream (PARITY.md X7), identical to the host oracle's.
     """
+    idxs = list(indices if indices is not None else range(len(rg.starts)))
+    job = dict(ref_name=ref_name, rg=rg, cfg=cfg, n_cand=n_cand,
+               indices=idxs, perm_key_base=perm_key_base)
+    (decisions, tag_maps), = run_jobs_batched(
+        st, bam, [job], group=group, n_permutations=n_permutations)
+    return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
+
+
+def _pick_load_threads(bam) -> int:
+    """Window loads overlap across gaps: the native decode path (inflate +
+    bam_window_load) releases the GIL, so a small thread pool hides the
+    Python-side assembly behind the C++ work. The serial fetch path mutates
+    BgzfReader position state, so only the columnar path pools.
+
+    bam_window_load is itself threaded (min(8, cpus+1) workers,
+    io/native/__init__.py), so an outer pool only helps once there are
+    cores beyond one call's workers — oversubscribing is actively harmful
+    (measured 16 loads on 2 cores: 1.4s serial, 3.9s at pool=2, 9.9s at
+    pool=8). POMFRET_LOAD_THREADS overrides."""
     import os as _os
-    from ..parallel.batch import production_mesh
+    if getattr(bam, "fetch_window_columnar", None) is None or \
+            _os.environ.get("POMFRET_NO_NATIVE_WINDOW"):
+        return 1
+    from ..io import native as _native
+    if not _native.native_available():
+        return 1
+    return int(_os.environ.get(
+        "POMFRET_LOAD_THREADS",
+        max(1, min(4, (_os.cpu_count() or 2) // 8))))
+
+
+def run_jobs_batched(st, bam, jobs, group: int = 0,
+                     n_permutations: int = 1):
+    """Run many chromosomes' gap jobs through ONE device pipeline.
+
+    jobs: list of dicts {ref_name, rg, cfg, n_cand, indices, perm_key_base}.
+    Returns a list of (decisions, tag_maps) dicts aligned with jobs.
+
+    The one-deep async pipeline (device runs group k while the host loads
+    and packs group k+1) spans JOB boundaries: the device never idles at a
+    chromosome transition and the host never stalls on the last group of a
+    chromosome before loading the next one's windows — the cross-chromosome
+    overlap the round-1 pipeline lacked (VERDICT r1 item 2)."""
+    import os as _os
+    from ..parallel.batch import (DISPATCH_STATS, production_mesh,
+                                  run_gap_batch_async)
     mesh = production_mesh()
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     group = group or max(1, int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
                          * n_dev // max(1, n_permutations))
+    n_load_threads = _pick_load_threads(bam)
+    results = [({}, {}) for _ in jobs]  # (decisions, tag_maps) per job
 
-    idxs = list(indices if indices is not None else range(len(rg.starts)))
-    decisions: Dict[int, int] = {}
-    tag_maps: Dict[int, Dict[str, int]] = {}
+    pending = []  # one-deep pipeline across ALL jobs
+    for ji, job in enumerate(jobs):
+        ref_name, rg, cfg = job["ref_name"], job["rg"], job["cfg"]
+        decisions, tag_maps = results[ji]
 
-    def _load_one(i):
-        rs = load_reads_given_interval(
-            bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
-            st.qname2haptag_raw if st.stores_raw_tag else None)
-        ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
-        ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
-        return i, rs, ms_fwd, ms_bwd
+        def _load_one(i, ref_name=ref_name, rg=rg, cfg=cfg):
+            rs = load_reads_given_interval(
+                bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
+                st.qname2haptag_raw if st.stores_raw_tag else None)
+            ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
+            ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+            return i, rs, ms_fwd, ms_bwd
 
-    # window loads overlap across gaps: the native decode path (inflate +
-    # bam_window_load) releases the GIL, so a small thread pool hides the
-    # Python-side assembly behind the C++ work. The serial fetch path
-    # mutates BgzfReader position state, so only the columnar path pools.
-    n_load_threads = 1
-    if getattr(bam, "fetch_window_columnar", None) is not None and \
-            not _os.environ.get("POMFRET_NO_NATIVE_WINDOW"):
-        from ..io import native as _native
-        if _native.native_available():
-            # bam_window_load is itself threaded (min(8, cpus+1) workers,
-            # io/native/__init__.py), so an outer pool only helps once there
-            # are cores beyond one call's workers — oversubscribing is
-            # actively harmful (measured 16 loads on 2 cores: 1.4s serial,
-            # 3.9s at pool=2, 9.9s at pool=8). POMFRET_LOAD_THREADS
-            # overrides.
-            n_load_threads = int(_os.environ.get(
-                "POMFRET_LOAD_THREADS",
-                max(1, min(4, (_os.cpu_count() or 2) // 8))))
-
-    pending = []  # one-deep pipeline: device runs group k while host packs k+1
-    for c0 in range(0, len(idxs), group):
-        chunk = idxs[c0 : c0 + group]
-        if n_load_threads > 1 and len(chunk) > 1:
-            import concurrent.futures as _fut
-            with _fut.ThreadPoolExecutor(n_load_threads) as ex:
-                results = list(ex.map(_load_one, chunk))
-        else:
-            results = [_load_one(i) for i in chunk]
-        loaded = []
-        for i, rs, ms_fwd, ms_bwd in results:
-            if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
-                decisions[i] = -1
-                tag_maps[i] = {}
+        idxs = job["indices"]
+        for c0 in range(0, len(idxs), group):
+            chunk = idxs[c0 : c0 + group]
+            if n_load_threads > 1 and len(chunk) > 1:
+                import concurrent.futures as _fut
+                with _fut.ThreadPoolExecutor(n_load_threads) as ex:
+                    loads = list(ex.map(_load_one, chunk))
+            else:
+                loads = [_load_one(i) for i in chunk]
+            loaded = []
+            for i, rs, ms_fwd, ms_bwd in loads:
+                DISPATCH_STATS["window_reads"] += int(rs.n)
+                if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
+                    decisions[i] = -1
+                    tag_maps[i] = {}
+                    continue
+                loaded.append((i, rs, ms_fwd, ms_bwd))
+            if not loaded:
                 continue
-            loaded.append((i, rs, ms_fwd, ms_bwd))
-        if not loaded:
-            continue
-        rngs = None
-        if n_permutations > 1:
-            from ..core.engine_host import Drand48
-            rngs = [Drand48.from_srand48(perm_key_base + i)
-                    for i, *_ in loaded]
-        datas, batch, errs = pack_group(loaded, cfg, n_cand,
-                                        lane_multiple=n_dev,
-                                        n_permutations=n_permutations,
-                                        rngs=rngs)
-        # dispatch asynchronously: the device crunches this group while the
-        # host loads and packs the next one (download deferred)
-        from ..parallel.batch import run_gap_batch_async  # noqa: local import avoids a cycle
-        pending.append((loaded, datas, errs,
-                        run_gap_batch_async(batch, mesh=mesh)))
-        if len(pending) > 1:
-            _drain_group(pending.pop(0), decisions, tag_maps, n_permutations)
+            rngs = None
+            if n_permutations > 1:
+                from ..core.engine_host import Drand48
+                rngs = [Drand48.from_srand48(job["perm_key_base"] + i)
+                        for i, *_ in loaded]
+            datas, batch, errs = pack_group(loaded, cfg, job["n_cand"],
+                                            lane_multiple=n_dev,
+                                            n_permutations=n_permutations,
+                                            rngs=rngs)
+            # dispatch asynchronously: the device crunches this group while
+            # the host loads and packs the next one (download deferred)
+            pending.append((ji, loaded, datas, errs,
+                            run_gap_batch_async(batch, mesh=mesh)))
+            if len(pending) > 1:
+                e = pending.pop(0)
+                _drain_group(e[1:], *results[e[0]], n_permutations)
     while pending:
-        _drain_group(pending.pop(0), decisions, tag_maps, n_permutations)
-    return [decisions[i] for i in idxs], [tag_maps[i] for i in idxs]
+        e = pending.pop(0)
+        _drain_group(e[1:], *results[e[0]], n_permutations)
+    return results
 
 
 def _reseeded(dd: GapDeviceData, rs: ReadSet, direction: int,

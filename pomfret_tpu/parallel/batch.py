@@ -229,7 +229,8 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
 # production-dispatch observability: tests and dryrun_multichip assert the
 # pipeline actually sharded over >1 device (VERDICT r1: the round-1 pipeline
 # only ever drove one chip per process)
-DISPATCH_STATS = {"n_dispatches": 0, "n_devices_last": 1, "lanes_last": 0}
+DISPATCH_STATS = {"n_dispatches": 0, "n_devices_last": 1, "lanes_last": 0,
+                  "window_reads": 0}
 
 
 def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None,

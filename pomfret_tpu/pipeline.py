@@ -252,6 +252,62 @@ def _blockjoin_one_chrom(st: Storage, fn_bam: str, job_i: int,
     return qname2haptag
 
 
+def _blockjoin_all_chroms_jax(st: Storage, fn_bam: str, config: MmrConfig,
+                              n_cand_in: int, ref_covs, make_filter,
+                              manifest, done,
+                              n_permutations: int) -> List[Dict[str, int]]:
+    """All chromosomes' gap jobs through ONE device pipeline (engine='jax').
+
+    Unlike the per-chromosome path, the async one-deep dispatch queue spans
+    chromosome boundaries (run_jobs_batched), so the device keeps crunching
+    chromosome k's last group while the host loads chromosome k+1's windows.
+    Decisions/tags/manifest records are identical to per-chromosome calls:
+    the per-chromosome parameter derivation, resume handling and first-wins
+    tag merge order (done gaps first, then engine gaps, both in gap order)
+    are preserved. Returns the per-chromosome qname->haptag maps."""
+    from .kernels.engine_jax import run_jobs_batched
+    bam = open_alignment(fn_bam)
+    qmaps: List[Dict[str, int]] = [dict() for _ in st.ranges]
+    jobs = []
+    for job_i, rg in enumerate(st.ranges):
+        ref_name = st.ref_names[job_i]
+        cfg, n_cand = _derive_chrom_params(config, n_cand_in,
+                                           ref_covs[job_i], ref_name)
+        log_info("blockjoin_one_chrom",
+                 f"ref {ref_name} using: cov_for_selection={cfg.cov_for_selection}, n_cand_per_iter={n_cand}")
+        gap_filter = make_filter(job_i)
+        indices = []
+        for i in range(len(rg.starts)):
+            if gap_filter is not None and not gap_filter(i):
+                continue
+            if done is not None and (ref_name, i) in done:
+                e = done[(ref_name, i)]
+                rg.decisions[i] = e["decision"]
+                if e["decision"] >= 0:
+                    for qn, hp in e["tags"].items():
+                        qmaps[job_i].setdefault(qn, hp)
+                continue
+            indices.append(i)
+        if indices:
+            jobs.append(dict(job_i=job_i, ref_name=ref_name, rg=rg, cfg=cfg,
+                             n_cand=n_cand, indices=indices,
+                             perm_key_base=job_i * 1_000_003))
+    results = run_jobs_batched(st, bam, jobs, n_permutations=n_permutations)
+    for job, (decisions, tag_maps) in zip(jobs, results):
+        rg, ref_name = job["rg"], job["ref_name"]
+        for i in job["indices"]:
+            d = decisions[i]
+            tags = tag_maps[i]
+            rg.decisions[i] = d
+            if manifest is not None:
+                manifest.record(ref_name, i, rg.starts[i], rg.ends[i], d,
+                                tags if d >= 0 else None)
+            if d >= 0:
+                for qn, hp in tags.items():
+                    qmaps[job["job_i"]].setdefault(qn, hp)
+    return qmaps
+
+
 def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     """Load gaps (+ optional varhaptag), then join per chromosome
     (blockjoin.c:4428-4603)."""
@@ -344,7 +400,14 @@ def blockjoin_parallel(opt: CliOpt, config: MmrConfig) -> Storage:
     done = load_manifest(manifest_path) if opt.resume else None
     manifest = ManifestWriter(manifest_path, append=bool(opt.resume))
 
-    if opt.threads > 1 and n_jobs > 1:
+    if engine == "jax":
+        # all chromosomes share one device pipeline so the async dispatch
+        # queue overlaps work across chromosome boundaries
+        maps = _blockjoin_all_chroms_jax(st, opt.fn_bam, config,
+                                         opt.n_candidates_per_iter, ref_covs,
+                                         make_filter, manifest, done,
+                                         opt.n_permutations)
+    elif opt.threads > 1 and n_jobs > 1:
         with _fut.ThreadPoolExecutor(opt.threads) as ex:
             maps = list(ex.map(
                 lambda i: _blockjoin_one_chrom(st, opt.fn_bam, i, config,

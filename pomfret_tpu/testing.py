@@ -365,21 +365,33 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
                                       n_blocks: int = 4,
                                       block_len: int = 60_000,
                                       gap_len: int = 30_000,
-                                      read_stagger: int = 700):
+                                      read_stagger: int = 700,
+                                      per_chrom=None,
+                                      bam_threads: int = 1,
+                                      bam_name: str = "multichrom.bam"):
     """n_chroms chromosomes x (n_blocks-1) joinable gaps each, ONE BAM/VCF.
 
     The multi-host e2e fixture (VERDICT r1 item 6b): under round-robin gap
     assignment every process decides gaps on every chromosome, so the
     decision/tag merge interleaving is exercised at n>1 gaps per host and
     >1 chromosomes (the round-1 fixture had a single gap, leaving host 1
-    idle). Returns (bam, vcf, truths per chrom)."""
+    idle). Returns (bam, vcf, truths per chrom).
+
+    per_chrom: optional list of SynthConfig-kwarg dicts (one per
+    chromosome) to vary coverage / CpG density / read length across
+    chromosomes — the heterogeneity knob for the scale benchmark."""
     import os
+    if per_chrom is not None:
+        n_chroms = len(per_chrom)
     margin = 5_000
     ref_len = margin * 2 + n_blocks * block_len + (n_blocks - 1) * gap_len
     regions, truths, cfgs = [], [], []
     for ci in range(n_chroms):
-        c = SynthConfig(ref_len=ref_len, chrom=f"chr{ci + 1}", seed=ci,
-                        read_stagger=read_stagger)
+        kw = dict(ref_len=ref_len, chrom=f"chr{ci + 1}", seed=ci,
+                  read_stagger=read_stagger)
+        if per_chrom is not None:
+            kw.update(per_chrom[ci])
+        c = SynthConfig(**kw)
         sr = SynthRegion(c)
         blocks = []
         p = margin
@@ -407,10 +419,11 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
         regions.append(sr)
 
     from .io.bam_writer import BamWriter
-    bam = os.path.join(tmpdir, "multichrom.bam")
-    w = BamWriter(bam, [c.chrom for c in cfgs], [c.ref_len for c in cfgs],
+    bam = os.path.join(tmpdir, bam_name)
+    w = BamWriter(bam, [c.chrom for c in cfgs],
+                  [c.ref_len for c in cfgs],
                   header_text="@HD\tVN:1.6\tSO:coordinate\n",
-                  keep_index_info=True)
+                  threads=bam_threads, keep_index_info=True)
     for ci, sr in enumerate(regions):
         recs = sr.make_reads(tagged=True)
         for r in recs:

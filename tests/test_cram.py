@@ -211,6 +211,57 @@ def test_methphase_cram_input_matches_bam(scenario, tmp_path):
             assert f1.read() == f2.read(), ext
 
 
+def test_cram_spool_hot_paths_match_python(scenario, tmp_path, monkeypatch):
+    """CRAM hot paths ride a one-time BAM spool (io/cram.py spool_path):
+    columnar window loads, the coverage scan, and the native retag stream.
+    Their outputs must be byte-identical to the pure-Python CRAM paths
+    (POMFRET_NO_CRAM_SPOOL=1 + POMFRET_NO_NATIVE_RETAG=1)."""
+    from pomfret_tpu.cli import main as cli_main
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "in.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=200)
+    monkeypatch.setenv("POMFRET_SPOOL_DIR", str(tmp_path))
+    # no -c: the coverage scan runs (scan_columns delegates to the spool)
+    args = ["--vcf", vcf, "--write-bam", "--engine", "host", cram]
+
+    p1 = str(tmp_path / "spool")
+    assert cli_main(["methphase", "-o", p1, *args]) == 0
+    spools = [f for f in os.listdir(str(tmp_path))
+              if f.startswith("pomfret_spool_") and f.endswith(".bam")]
+    assert len(spools) == 1, "expected exactly one spool transcode"
+
+    monkeypatch.setenv("POMFRET_NO_CRAM_SPOOL", "1")
+    monkeypatch.setenv("POMFRET_NO_NATIVE_RETAG", "1")
+    p2 = str(tmp_path / "python")
+    assert cli_main(["methphase", "-o", p2, *args]) == 0
+    monkeypatch.delenv("POMFRET_NO_CRAM_SPOOL")
+    monkeypatch.delenv("POMFRET_NO_NATIVE_RETAG")
+
+    for ext in (".mp.gtf", ".mp.vcf", ".mp.bam", ".mp.bam.bai"):
+        with open(p1 + ext, "rb") as f1, open(p2 + ext, "rb") as f2:
+            assert f1.read() == f2.read(), \
+                f"{ext} differs between spool-backed and Python CRAM paths"
+
+
+def test_cram_varhaptag_spool_matches_python(scenario, tmp_path, monkeypatch):
+    """varhaptag on CRAM input: the spool-backed native retag pass must
+    equal the Python record loop byte-for-byte."""
+    from pomfret_tpu.cli import main as cli_main
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "vh.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=200)
+    monkeypatch.setenv("POMFRET_SPOOL_DIR", str(tmp_path))
+
+    p1 = str(tmp_path / "nat.bam")
+    assert cli_main(["varhaptag", "-o", p1, vcf, cram]) == 0
+    monkeypatch.setenv("POMFRET_NO_CRAM_SPOOL", "1")
+    p2 = str(tmp_path / "py.bam")
+    assert cli_main(["varhaptag", "-o", p2, vcf, cram]) == 0
+    monkeypatch.delenv("POMFRET_NO_CRAM_SPOOL")
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert open(p1 + ".varhaptag.tsv").read() == open(p2 + ".varhaptag.tsv").read()
+
+
 def test_cram_roundtrip_bq_feature_style(scenario, tmp_path):
     """'B' (verbatim base+qual) and 'i' (single-base insertion) features are
     legal alternatives to 'X'/'I'; decode must give identical records."""

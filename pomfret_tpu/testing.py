@@ -505,7 +505,8 @@ def make_multi_block_scenario(tmpdir: str, n_blocks: int = 6,
 
 def make_two_block_scenario(tmpdir: str, trans: bool = False,
                             tagged: bool = True,
-                            cfg: Optional[SynthConfig] = None):
+                            cfg: Optional[SynthConfig] = None,
+                            uninformative: Optional[Tuple[int, int]] = None):
     """Standard fixture: two phase blocks separated by a variant-free gap.
 
     Block1 variants in [5k, 80k), gap (no SNPs) in [80k, 120k), block2 in
@@ -517,6 +518,10 @@ def make_two_block_scenario(tmpdir: str, trans: bool = False,
     import os
     cfg = cfg or SynthConfig()
     sr = SynthRegion(cfg)
+    if uninformative is not None:
+        # wipe haplotype-specific methylation in this range (both haps
+        # unmethylated) -> no usable methmer sites -> the joiner must bail
+        sr.set_uninformative(*uninformative)
     b1 = (5_000, 80_000)
     gap = (80_000, 120_000)
     b2 = (120_000, 195_000)

@@ -40,7 +40,6 @@ def output_gtf(st: Storage, prefix: str) -> None:
 class _VcfRewriteState:
     def __init__(self):
         self.prev_pos = -1
-        self.prev_group_idx = [0]   # unused placeholder to mirror C signature
         self.flip = FlipLookup()
 
 

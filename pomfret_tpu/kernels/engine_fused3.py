@@ -66,6 +66,28 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 _BIG = 0x3FFFFFFF
 
 
+# compile-probe fallback (round-1 advisor/VERDICT weak item 6): the VMEM
+# model below is an anchored heuristic fit to the bench shape family; when
+# an unusual (D,S,NC,R) still exceeds scoped VMEM at Mosaic-compile time,
+# the dispatcher (parallel.batch) calls lower_bg_cap and retries — the
+# learned cap is remembered per shape key for the rest of the process.
+_BG_CAP: dict = {}
+
+
+def _cap_key(D: int, S: int, nc_cap: int, R: int):
+    return (D, S, nc_cap, R)
+
+
+def lower_bg_cap(D: int, S: int, nc_cap: int, R: int) -> bool:
+    """Halve the learned lane-block cap for this shape after a VMEM
+    compile failure. Returns False when already at the 8-lane floor."""
+    cur = pick_bg3(D, S, nc_cap, R=R)
+    if cur <= 8:
+        return False
+    _BG_CAP[_cap_key(D, S, nc_cap, R)] = cur // 2
+    return True
+
+
 def pick_bg3(D: int, S: int, nc_cap: int, R: int = 0) -> int:
     """Largest lane block whose v3 VMEM residency fits the budget.
 
@@ -73,7 +95,8 @@ def pick_bg3(D: int, S: int, nc_cap: int, R: int = 0) -> int:
     fastest measured configuration; bg=64 exceeds scoped VMEM. The temp
     estimate is ~2 live (bg,NC,S) f32 intermediates (the nested-select
     scoring chain lets Mosaic reuse buffers) plus the R-resident vectors
-    (hp in/out, has_mmr, eligibility temps)."""
+    (hp in/out, has_mmr, eligibility temps). A Mosaic VMEM failure at
+    compile time additionally lowers the per-shape cap via lower_bg_cap."""
     if jax.default_backend() != "tpu":
         return min(BG3, 8)
     per_lane = (2 * (2 * D * S * 4)      # cnt block + scratch
@@ -83,6 +106,9 @@ def pick_bg3(D: int, S: int, nc_cap: int, R: int = 0) -> int:
     bg = BG3
     while bg > 8 and bg * per_lane > _VMEM_BUDGET:
         bg //= 2
+    cap = _BG_CAP.get(_cap_key(D, S, nc_cap, R))
+    if cap is not None:
+        bg = min(bg, cap)
     return bg
 
 

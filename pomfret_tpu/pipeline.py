@@ -718,6 +718,10 @@ def main_methreport(opt: CliOpt) -> int:
     n_windows = g
     local_dec: Dict[int, int] = {}
 
+    eng = opt.engine
+    if eng == "auto":
+        eng = "jax" if _jax.default_backend() == "tpu" else "host"
+    jobs = []
     for i_ref, rg in enumerate(st.ranges):
         # NOTE: the reference indexes its coverage array by the STORAGE
         # ref index (blockjoin.c:5046) — wrong when the VCF's chromosome
@@ -736,21 +740,15 @@ def main_methreport(opt: CliOpt) -> int:
         cfg.cov_for_selection = cov // 10 + 1
         cfg.cov_for_runtime = cfg.cov_for_selection * 2
         n_cand = cov // 4 + 1
-        eng = opt.engine
-        if eng == "auto":
-            eng = "jax" if _jax.default_backend() == "tpu" else "host"
         mine = [wi for wi in range(len(rg.starts))
                 if win_global[(i_ref, wi)] % n_procs == proc_id]
         if eng == "jax" and mine:
-            # windows are independent, so they ride the same vmapped gap
-            # batches as methphase (incl. batched permutation lanes)
-            from .kernels.engine_jax import run_gaps_batched
-            decs, _ = run_gaps_batched(st, bam, st.ref_names[i_ref], rg,
-                                       cfg, n_cand, indices=mine,
-                                       n_permutations=opt.n_permutations,
-                                       perm_key_base=i_ref * 1_000_003)
-            for wi, d in zip(mine, decs):
-                local_dec[win_global[(i_ref, wi)]] = d
+            # windows are independent, so they ride the same batched device
+            # pipeline as methphase (incl. batched permutation lanes and
+            # the cross-chromosome dispatch overlap)
+            jobs.append(dict(job_i=i_ref, ref_name=st.ref_names[i_ref],
+                             rg=rg, cfg=cfg, n_cand=n_cand, indices=mine,
+                             perm_key_base=i_ref * 1_000_003))
         else:
             for k, wi in enumerate(mine):
                 decision, _ = haplotag_region_given_bam(
@@ -762,6 +760,13 @@ def main_methreport(opt: CliOpt) -> int:
                     log_info("main_methreport",
                              f"scored {k + 1}/{len(mine)} windows on "
                              f"{st.ref_names[i_ref]}")
+    if jobs:
+        from .kernels.engine_jax import run_jobs_batched
+        results = run_jobs_batched(st, bam, jobs,
+                                   n_permutations=opt.n_permutations)
+        for job, (decisions, _) in zip(jobs, results):
+            for wi in job["indices"]:
+                local_dec[win_global[(job["job_i"], wi)]] = decisions[wi]
 
     if n_procs > 1:
         from .parallel.distributed import allgather_decisions

@@ -99,3 +99,32 @@ def test_fused3_zero_max_iters(tmp_path):
     h3 = np.asarray(run_batch_fused3(*args, D=batch.D, nc_cap=batch.nc_cap,
                                      bg=8, interpret=True))
     assert np.array_equal(hv, h3)
+
+
+def test_pick_bg3_vmem_compile_probe_fallback(monkeypatch):
+    """A Mosaic scoped-VMEM failure lowers the learned per-shape lane-block
+    cap (lower_bg_cap) and pick_bg3 honors it thereafter; the cap bottoms
+    out at 8 lanes (VERDICT r1 weak item 6)."""
+    from pomfret_tpu.kernels import engine_fused3 as f3
+    from pomfret_tpu.parallel.batch import _is_vmem_error
+
+    monkeypatch.setattr(f3.jax, "default_backend", lambda: "tpu")
+    f3._BG_CAP.clear()
+    try:
+        bg0 = f3.pick_bg3(4, 1536, 16, R=512)
+        assert bg0 == 32, "anchor configuration should pick the full block"
+        assert f3.lower_bg_cap(4, 1536, 16, 512)
+        assert f3.pick_bg3(4, 1536, 16, R=512) == bg0 // 2
+        # other shapes are unaffected
+        assert f3.pick_bg3(4, 256, 16, R=512) == 32
+        while f3.lower_bg_cap(4, 1536, 16, 512):
+            pass
+        assert f3.pick_bg3(4, 1536, 16, R=512) == 8
+        assert not f3.lower_bg_cap(4, 1536, 16, 512)
+    finally:
+        f3._BG_CAP.clear()
+
+    assert _is_vmem_error(RuntimeError(
+        "Mosaic failed: Ran out of memory in scoped vmem"))
+    assert _is_vmem_error(RuntimeError("exceeded VMEM limit"))
+    assert not _is_vmem_error(RuntimeError("shape mismatch"))

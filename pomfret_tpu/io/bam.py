@@ -316,6 +316,9 @@ class BamReader:
         self._name2id = {n: i for i, n in enumerate(self.ref_names)}
         self._index: Optional[BaiIndex] = None
         self._index_tried = False
+        import threading
+        self._span_cache = None  # rolling inflate cache (_inflate_range)
+        self._span_lock = threading.Lock()
 
     # ---- index ----
     def _load_index(self) -> Optional[BaiIndex]:
@@ -376,6 +379,64 @@ class BamReader:
             return None, None
         return cols, buf
 
+    def _inflate_range(self, b0: int, slice_end: int):
+        """Inflate compressed range [b0, slice_end) with a rolling cache.
+
+        Consecutive gap windows overlap heavily (±READBACK halos around
+        gaps ~90 kb apart share 40-70% of their BGZF blocks), so re-
+        inflating every window from scratch wastes most of the inflate
+        work. The cache keeps the last inflated range + its block index;
+        a request overlapping the cached tail only inflates the NEW tail
+        and reuses the cached prefix. Returns (plain ndarray, abs block
+        offsets ndarray, per-block plain sizes ndarray) for [b0, slice_end)
+        or None. Thread-safe: cache swaps happen under a lock, inflation
+        runs outside it (concurrent misses may duplicate work, never
+        corrupt)."""
+        import numpy as _np
+        from . import native
+        raw = self._bgzf._raw
+
+        def inflate(lo, hi):
+            res = native.bgzf_inflate_index(raw[lo:hi])
+            if res is None:
+                return None
+            plain, offs, isize = res
+            return plain, offs.astype(_np.int64) + lo, isize
+
+        with self._span_lock:
+            cache = self._span_cache
+        if cache is not None:
+            c0, c1, c_plain, c_offs, c_isize = cache
+            if b0 >= c0 and slice_end <= c1:
+                # fully cached: slice by block index
+                k0 = int(_np.searchsorted(c_offs, b0))
+                if k0 < len(c_offs) and c_offs[k0] == b0:
+                    k1 = int(_np.searchsorted(c_offs, slice_end))
+                    p_lo = int(c_isize[:k0].sum())
+                    p_hi = int(c_isize[:k1].sum())
+                    return (c_plain[p_lo:p_hi], c_offs[k0:k1],
+                            c_isize[k0:k1])
+            if c0 <= b0 < c1 and slice_end > c1:
+                # overlap: inflate only the tail beyond the cache
+                k0 = int(_np.searchsorted(c_offs, b0))
+                if k0 < len(c_offs) and c_offs[k0] == b0:
+                    tail = inflate(c1, slice_end)
+                    if tail is None:
+                        return None
+                    p_lo = int(c_isize[:k0].sum())
+                    plain = _np.concatenate([c_plain[p_lo:], tail[0]])
+                    offs = _np.concatenate([c_offs[k0:], tail[1]])
+                    isize = _np.concatenate([c_isize[k0:], tail[2]])
+                    with self._span_lock:
+                        self._span_cache = (b0, slice_end, plain, offs, isize)
+                    return plain, offs, isize
+        res = inflate(b0, slice_end)
+        if res is None:
+            return None
+        with self._span_lock:
+            self._span_cache = (b0, slice_end) + res
+        return res
+
     def plain_span(self, v_start: int, v_stop: int):
         """Decompress the block span covering virtual offsets [v_start,
         v_stop) and return (plain bytes, start offset, stop offset) — the
@@ -396,7 +457,7 @@ class BamReader:
             slice_end = b1 + bsize
         else:
             slice_end = min(b1, len(raw))
-        res = native.bgzf_inflate_index(raw[b0:slice_end])
+        res = self._inflate_range(b0, slice_end)
         if res is None:
             return None
         plain, offs, isize = res
@@ -427,29 +488,62 @@ class BamReader:
         if not native.native_available():
             return None, None
         chunks = idx.chunks_for_region(tid, beg, end)
-        bufs = []
-        ranges = []
-        base = 0
-        for cb, ce in chunks:
-            span = self.plain_span(cb, ce)
-            if span is None:
-                return None, None
-            plain, s, e = span
-            bufs.append(plain)
-            ranges.append((base + s, base + e))
-            base += len(plain)
         import numpy as np
-        if not bufs:
+        if not chunks:
             buf = np.empty(0, dtype=np.uint8)
-        elif len(bufs) == 1:
-            buf = bufs[0]
-        else:
-            buf = np.concatenate(bufs)
-        cols = native.bam_window_load(buf, ranges, tid, beg, end, min_mapq,
+            cols = native.bam_window_load(buf, [], tid, beg, end, min_mapq,
+                                          readlen_threshold, de_max, lo, hi)
+            return (cols, buf) if cols is not None else (None, None)
+        # inflate the UNION of the chunks' block ranges ONCE (a window's
+        # chunks are genomically adjacent, so the union is barely larger
+        # than their sum) and index each chunk into the single plain buffer
+        # — no per-chunk inflation, no multi-MB np.concatenate per window
+        from .bgzf import _parse_block_header
+        raw = self._bgzf._raw
+        b_lo = min(cb >> 16 for cb, _ in chunks)
+        s_end = 0
+        for _, ce in chunks:
+            b1 = ce >> 16
+            w1 = ce & 0xFFFF
+            if w1 > 0 and b1 < len(raw):
+                _, bsize = _parse_block_header(raw, b1)
+                se = b1 + bsize
+            else:
+                se = min(b1, len(raw))
+            s_end = max(s_end, se)
+        res = self._inflate_range(b_lo, s_end)
+        if res is None:
+            return None, None
+        plain, offs, isize = res
+        poff = np.concatenate([np.zeros(1, dtype=np.int64),
+                               np.cumsum(isize)])
+
+        def p_of(block_off: int):
+            if block_off >= s_end:
+                return int(poff[-1])
+            k = int(np.searchsorted(offs, block_off))
+            if k >= len(offs) or offs[k] != block_off:
+                return None
+            return int(poff[k])
+
+        ranges = []
+        for cb, ce in chunks:
+            s0 = p_of(cb >> 16)
+            b1 = ce >> 16
+            w1 = ce & 0xFFFF
+            if w1 > 0 and b1 < len(raw):
+                e0 = p_of(b1)
+                e0 = None if e0 is None else e0 + w1
+            else:
+                e0 = p_of(min(b1, s_end))
+            if s0 is None or e0 is None:
+                return None, None
+            ranges.append((s0 + (cb & 0xFFFF), min(e0, len(plain))))
+        cols = native.bam_window_load(plain, ranges, tid, beg, end, min_mapq,
                                       readlen_threshold, de_max, lo, hi)
         if cols is None:
             return None, None
-        return cols, buf
+        return cols, plain
 
     def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:
         """Records overlapping 0-based half-open [beg, end) on `chrom`."""

@@ -68,7 +68,7 @@ class GapDeviceData:
     bwd: descending end-position order) so the device loop needs no
     per-iteration indirection; `perm` maps device row -> original read id.
     """
-    ids: np.ndarray        # (R, S) int32, mer id at covered sites else -1
+    ids: np.ndarray        # (R, S) int8 (int32 if max_d>127), -1 = absent
     has_mmr: np.ndarray    # (R,) bool
     hp_init: np.ndarray    # (R,) int32 — post-wipe tags (step 1.5)
     seed_ok: np.ndarray    # (R,) bool — RAW haptag was 0/1 (may seed counts)
@@ -103,11 +103,14 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     # dense per-site mer-id assignment, vectorized: a (site, key) pair's id
     # is its first-appearance rank within the site, matching the insertion
     # order of the reference's per-site linear dictionaries (mmr_t insert,
-    # blockjoin.c:3453-3486 — reads in storage order, mers left to right)
-    ids = np.full((R, SP), INVALID_ID, dtype=np.int32)
+    # blockjoin.c:3453-3486 — reads in storage order, mers left to right).
+    # The grid allocates int8 when the dictionary fits (the common case):
+    # the (R,SP) memset + the later (G,R,S) batch copy are a quarter the
+    # bytes, and batch packing ships int8 to the device anyway.
     has_mmr = np.zeros(R, dtype=bool)
     reads_with = [r for r in rs.reads if r.mmr_n]
     max_d = 1
+    ids = None
     if reads_with:
         lens = np.array([r.mmr_n for r in reads_with], dtype=np.int64)
         rrow = np.repeat(np.array([r.i for r in reads_with], dtype=np.int64),
@@ -141,9 +144,13 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
         dense_of_pair[o2] = rank_sorted
         dense = np.empty(len(keys), dtype=np.int64)
         dense[order] = dense_of_pair[pair_of_triple]
-        ids[inv_perm[rrow], scol] = dense.astype(np.int32)
-        has_mmr[inv_perm[[r.i for r in reads_with]]] = True
         max_d = int(rank_sorted.max()) + 1
+        dt = np.int8 if max_d <= 127 else np.int32
+        ids = np.full((R, SP), INVALID_ID, dtype=dt)
+        ids[inv_perm[rrow], scol] = dense.astype(dt)
+        has_mmr[inv_perm[[r.i for r in reads_with]]] = True
+    if ids is None:
+        ids = np.full((R, SP), INVALID_ID, dtype=np.int8)
 
     # step 1 seeds (blockjoin.c:3976-4004)
     if direction == 0:
@@ -401,7 +408,8 @@ def run_gap_jax(rs: ReadSet, ms_fwd: Methmers, ms_bwd: Methmers,
             rs.restore_haplotags(seed)
             dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
             hp = np.asarray(run_direction_device(
-                jnp.asarray(dd.ids), jnp.asarray(dd.has_mmr),
+                jnp.asarray(np.asarray(dd.ids, dtype=np.int32)),
+                jnp.asarray(dd.has_mmr),
                 jnp.asarray(dd.hp_init), jnp.asarray(dd.seed_ok),
                 jnp.int32(dd.n_reads), jnp.int32(dd.n_sites),
                 jnp.int32(dd.q_break), jnp.int32(dd.min0), jnp.int32(dd.max0),

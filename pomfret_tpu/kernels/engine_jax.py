@@ -561,15 +561,55 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
                                             rngs=rngs)
             # dispatch asynchronously: the device crunches this group while
             # the host loads and packs the next one (download deferred)
-            pending.append((ji, loaded, datas, errs,
-                            run_gap_batch_async(batch, mesh=mesh)))
+            try:
+                fut = run_gap_batch_async(batch, mesh=mesh)
+            except Exception as e:
+                _host_fallback_group(e, loaded, job, *results[ji],
+                                     n_permutations=n_permutations)
+                continue
+            pending.append((ji, loaded, datas, errs, fut))
             if len(pending) > 1:
-                e = pending.pop(0)
-                _drain_group(e[1:], *results[e[0]], n_permutations)
+                _drain_or_fallback(pending.pop(0), results, jobs,
+                                   n_permutations)
     while pending:
-        e = pending.pop(0)
-        _drain_group(e[1:], *results[e[0]], n_permutations)
+        _drain_or_fallback(pending.pop(0), results, jobs, n_permutations)
     return results
+
+
+def _drain_or_fallback(entry, results, jobs, n_permutations: int) -> None:
+    ji = entry[0]
+    try:
+        _drain_group(entry[1:], *results[ji], n_permutations)
+    except Exception as e:
+        _host_fallback_group(e, entry[1], jobs[ji], *results[ji],
+                             n_permutations=n_permutations)
+
+
+def _host_fallback_group(err: BaseException, loaded, job, decisions,
+                         tag_maps, n_permutations: int = 1) -> None:
+    """Elastic recovery (SURVEY.md §5.3): a terminally failed device batch
+    — tunnel death, XLA internal error, anything the VMEM compile-probe
+    retry could not absorb — is recomputed on the HOST ORACLE instead of
+    aborting the run. Host and device engines are decision- and
+    tag-identical (tests/test_engine_jax.py), so outputs are unchanged;
+    only wall time suffers. POMFRET_NO_HOST_FALLBACK=1 propagates the
+    error instead (set in the test suite so device regressions fail
+    loudly rather than silently falling back)."""
+    import os as _os
+    if _os.environ.get("POMFRET_NO_HOST_FALLBACK"):
+        raise err
+    from ..core.engine_host import Drand48, haplotag_region
+    from ..utils.log import log_warn
+    log_warn("run_jobs_batched",
+             f"device batch failed ({type(err).__name__}: {err}); "
+             f"recomputing {len(loaded)} gaps on the host engine")
+    for i, rs, ms_fwd, ms_bwd in loaded:
+        rng = (Drand48.from_srand48(job["perm_key_base"] + i)
+               if n_permutations > 1 else None)
+        d = haplotag_region(rs, ms_fwd, ms_bwd, job["n_cand"],
+                            job["cfg"].cov_for_runtime, n_permutations, rng)
+        decisions[i] = d
+        tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}
 
 
 def _reseeded(dd: GapDeviceData, rs: ReadSet, direction: int,

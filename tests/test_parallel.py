@@ -130,3 +130,40 @@ def test_engine_generation_selector(monkeypatch):
     assert B._engine_for(b).func.__name__ == "run_batch_fused3"
     monkeypatch.delenv("POMFRET_FORCE_FUSED")
     assert B._engine_for(b).func.__name__ == "_run_batch_jit"
+
+
+def test_device_failure_falls_back_to_host_oracle(tmp_path, monkeypatch):
+    """A terminally failed device dispatch must not abort methphase: the
+    group recomputes on the host oracle with identical outputs (elastic
+    recovery, SURVEY.md §5.3)."""
+    from pomfret_tpu.cli import main as cli_main
+    from pomfret_tpu.kernels import engine_jax as ej
+    from pomfret_tpu.testing import make_multi_block_scenario
+
+    d = tmp_path / "fallback"
+    d.mkdir()
+    bam, vcf, truth = make_multi_block_scenario(str(d), n_blocks=3)
+    args = ["-c", "50", "--vcf", vcf, bam]
+
+    p_ok = str(d / "ok")
+    assert cli_main(["methphase", "-o", p_ok, "--engine", "jax", *args]) == 0
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated tunnel death")
+
+    monkeypatch.delenv("POMFRET_NO_HOST_FALLBACK", raising=False)
+    monkeypatch.setattr(ej, "run_gap_batch_async", boom, raising=False)
+    # run_jobs_batched imports it locally from parallel.batch
+    from pomfret_tpu.parallel import batch as pb
+    monkeypatch.setattr(pb, "run_gap_batch_async", boom)
+    p_fb = str(d / "fb")
+    assert cli_main(["methphase", "-o", p_fb, "--engine", "jax", *args]) == 0
+    for ext in (".mp.gtf", ".mp.vcf"):
+        assert open(p_ok + ext, "rb").read() == open(p_fb + ext, "rb").read()
+
+    # with the escape hatch set, the error propagates instead
+    monkeypatch.setenv("POMFRET_NO_HOST_FALLBACK", "1")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated tunnel death"):
+        cli_main(["methphase", "-o", str(d / "prop"), "--engine", "jax",
+                  *args])

@@ -506,7 +506,9 @@ def make_multi_block_scenario(tmpdir: str, n_blocks: int = 6,
 def make_two_block_scenario(tmpdir: str, trans: bool = False,
                             tagged: bool = True,
                             cfg: Optional[SynthConfig] = None,
-                            uninformative: Optional[Tuple[int, int]] = None):
+                            uninformative: Optional[Tuple[int, int]] = None,
+                            frac_clipped: float = 0.0,
+                            frac_indel: float = 0.0):
     """Standard fixture: two phase blocks separated by a variant-free gap.
 
     Block1 variants in [5k, 80k), gap (no SNPs) in [80k, 120k), block2 in
@@ -562,7 +564,9 @@ def make_two_block_scenario(tmpdir: str, trans: bool = False,
             return (1 - hap) + 1
         return hap + 1
 
-    recs = sr.make_reads(tagged=tagged, hp_label_fn=hp_label_fn if tagged else None)
+    recs = sr.make_reads(tagged=tagged,
+                         hp_label_fn=hp_label_fn if tagged else None,
+                         frac_clipped=frac_clipped, frac_indel=frac_indel)
     bam = os.path.join(tmpdir, "synth.bam")
     vcf = os.path.join(tmpdir, "synth.vcf.gz")
     sr.write_bam(bam, recs)

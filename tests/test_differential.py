@@ -128,6 +128,35 @@ def test_differential_untagged_u(ref_binary, tmp_path):
                     write_bam=True)
 
 
+def test_differential_clips_indels_noise(ref_binary, tmp_path):
+    """Soft-clipped reads, CpG-neutral indels and noisy/nocall mod calls:
+    stresses the CIGAR lift (get_mod_poss_on_ref), MM/ML iteration on both
+    strands, and score ordering under noise — with --write-bam so the HP
+    rewrite also matches."""
+    d = str(tmp_path)
+    bam, vcf, truth = make_two_block_scenario(
+        d, cfg=SynthConfig(noise=0.05, nocall=0.05, seed=21),
+        frac_clipped=0.2, frac_indel=0.2)
+    _methphase_pair(ref_binary, d, bam, vcf, extra=("-c", "50"),
+                    write_bam=True)
+
+
+def test_differential_varhaptag_clips_indels(ref_binary, tmp_path):
+    """Untagged varhaptag on clipped/indel reads: the CIGAR+MD variant
+    extraction walk (parse_variants_for_one_read) must agree read-for-read."""
+    d = str(tmp_path)
+    bam, vcf, truth = make_two_block_scenario(
+        d, tagged=False, cfg=SynthConfig(seed=23),
+        frac_clipped=0.25, frac_indel=0.25)
+    out_ref = os.path.join(d, "refci.bam")
+    out_tpu = os.path.join(d, "tpuci.bam")
+    run_ref(ref_binary, ["varhaptag", "-o", out_ref, vcf, bam], cwd=d)
+    assert cli_main(["varhaptag", "-o", out_tpu, vcf, bam]) == 0
+    assert open(out_ref + ".varhaptag.tsv").read() == \
+        open(out_tpu + ".varhaptag.tsv").read()
+    assert hp_map(out_ref) == hp_map(out_tpu)
+
+
 def test_differential_varhaptag(ref_binary, tmp_path):
     d = str(tmp_path)
     bam, vcf, truth = make_two_block_scenario(d, tagged=False)

@@ -167,6 +167,7 @@ def bench_e2e():
     CLAUDE.md)."""
     from pomfret_tpu.parallel import batch as pb
     from pomfret_tpu.pipeline import CliOpt, main_blockjoin
+    from pomfret_tpu.utils.stats import reset_stages, stage_report
 
     bam, vcf, n_gaps = build_scale_dataset()
     rounds = int(os.environ.get("BENCH_E2E_ROUNDS", "2"))
@@ -177,18 +178,21 @@ def bench_e2e():
         t0 = time.time()
         main_blockjoin(opt)
         sys.stderr.write(f"[bench] e2e warmup run {time.time()-t0:.1f}s\n")
-        best, reads = float("inf"), 0
+        best, reads, stages = float("inf"), 0, {}
         for _ in range(rounds):
             r0 = pb.DISPATCH_STATS["window_reads"]
+            reset_stages()
             t0 = time.time()
             main_blockjoin(opt)
             dt = time.time() - t0
             reads = pb.DISPATCH_STATS["window_reads"] - r0
             sys.stderr.write(f"[bench] e2e run: {dt:.1f}s, "
-                             f"{reads} window reads\n")
-            best = min(best, dt)
+                             f"{reads} window reads, "
+                             f"stages={json.dumps(stage_report(2))}\n")
+            if dt < best:
+                best, stages = dt, stage_report(2)
     assert reads > 0, "e2e run processed no window reads — benchmark invalid"
-    return reads / best, reads, best, n_gaps
+    return reads / best, reads, best, n_gaps, stages
 
 
 def main():
@@ -207,7 +211,7 @@ def main():
 
     out = {}
     if not os.environ.get("BENCH_SKIP_E2E"):
-        e2e_rps, e2e_reads, e2e_wall, n_gaps = bench_e2e()
+        e2e_rps, e2e_reads, e2e_wall, n_gaps, stages = bench_e2e()
         out = {
             "metric": "methphase_e2e_reads_per_s",
             "value": round(e2e_rps, 1),
@@ -216,6 +220,7 @@ def main():
             "e2e_gaps": n_gaps,
             "e2e_window_reads": int(e2e_reads),
             "e2e_wall_s": round(e2e_wall, 2),
+            "e2e_stage_seconds": stages,
         }
         if dev_rps is not None:
             out["device_loop_reads_per_s"] = round(dev_rps, 1)

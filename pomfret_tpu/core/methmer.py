@@ -64,29 +64,31 @@ def get_methmer_sites_and_ranges(
     masked_positions=None,
 ) -> Methmers:
     # --- per-position meth/unmeth counting (hash in C, np.unique here) ---
-    if rs.n:
-        all_pos = np.concatenate([r.calls for r in rs.reads])
-        all_q = np.concatenate([r.quals for r in rs.reads])
+    # The selection depends only on (reads' calls/quals, cov_for_selection),
+    # which never change after load — both directions of a gap share one
+    # counting pass via a per-ReadSet memo.
+    cache = getattr(rs, "_site_sel_cache", None)
+    if cache is not None and cache[0] == config.cov_for_selection:
+        cand = cache[1]
     else:
-        all_pos = np.zeros(0, dtype=np.uint32)
-        all_q = np.zeros(0, dtype=np.uint8)
-    ok: List[int] = []
-    if all_pos.size:
-        key = all_pos.astype(np.uint64) * 4 + all_q
-        uniq, cnts = np.unique(key, return_counts=True)
-        pos_u = (uniq // 4).astype(np.uint64)
-        cls_u = (uniq % 4).astype(np.uint8)
-        # per position: counts of class 0 (meth) and 1 (unmeth)
-        positions, inv = np.unique(pos_u, return_inverse=True)
-        cmat = np.zeros((len(positions), 3), dtype=np.int64)
-        np.add.at(cmat, (inv, np.minimum(cls_u, 2).astype(np.int64)), cnts)
-        sel = (cmat[:, 0] >= config.cov_for_selection) & (cmat[:, 1] >= config.cov_for_selection)
-        cand = positions[sel]
-        if masked_positions:
-            cand = np.array([p for p in cand if int(p) not in masked_positions],
-                            dtype=np.uint64)
-        ok = cand.astype(np.uint32)
-    sites = np.sort(np.asarray(ok, dtype=np.uint32))
+        all_pos, all_q, _, _ = rs.concat_calls()
+        cand = np.zeros(0, dtype=np.uint64)
+        if all_pos.size:
+            key = all_pos.astype(np.uint64) * 4 + all_q
+            uniq, cnts = np.unique(key, return_counts=True)
+            pos_u = (uniq // 4).astype(np.uint64)
+            cls_u = (uniq % 4).astype(np.uint8)
+            # per position: counts of class 0 (meth) and 1 (unmeth)
+            positions, inv = np.unique(pos_u, return_inverse=True)
+            cmat = np.zeros((len(positions), 3), dtype=np.int64)
+            np.add.at(cmat, (inv, np.minimum(cls_u, 2).astype(np.int64)), cnts)
+            sel = (cmat[:, 0] >= config.cov_for_selection) & (cmat[:, 1] >= config.cov_for_selection)
+            cand = positions[sel]
+        rs._site_sel_cache = (config.cov_for_selection, cand)
+    if masked_positions:
+        cand = np.array([p for p in cand if int(p) not in masked_positions],
+                        dtype=np.uint64)
+    sites = np.sort(cand.astype(np.uint32))
     n = len(sites)
 
     ms = Methmers(
@@ -98,26 +100,26 @@ def get_methmer_sites_and_ranges(
     if n == 0:
         return ms
 
+    # Directional variable-length windows (blockjoin.c:3307-3338): each
+    # site's methmer spans up to k following (fwd) / preceding (bwd) sites
+    # within k_span bp. The reference's decrement-while-out-of-span walk is
+    # equivalent to j = min(i + k, n-1, last index within span) because the
+    # site array is sorted — vectorized with searchsorted (the per-site
+    # Python loop was a measured hot spot at 200-gap scale).
+    idx = np.arange(n, dtype=np.int64)
     if direction == 0:
-        s = sites
-        for i in range(n):
-            j = min(i + config.k, n - 1)
-            while int(s[j]) - int(s[i]) > config.k_span:
-                j -= 1
-            ms.mmr_lens[i] = 1 if j - i == 0 else j - i
-            ms.sites_starts[i] = s[i]
+        s = sites.astype(np.int64)
+        j = np.minimum(np.minimum(idx + config.k, n - 1),
+                       np.searchsorted(s, s + config.k_span, side="right") - 1)
+        ms.mmr_lens = np.maximum(j - idx, 1).astype(np.uint8)
+        ms.sites_starts = sites.copy()
     elif direction == 1:
-        s = sites[::-1].copy()  # descending
-        lens = np.zeros(n, dtype=np.uint8)
-        starts = np.zeros(n, dtype=np.uint32)
-        for i in range(n):
-            j = min(i + config.k, n - 1)
-            while int(s[i]) - int(s[j]) > config.k_span:
-                j -= 1
-            lens[i] = 1 if j - i == 0 else j - i
-            starts[i] = s[j]
-        ms.mmr_lens = lens[::-1].copy()
-        ms.sites_starts = starts[::-1].copy()
+        s = sites[::-1].astype(np.int64)  # descending
+        t = -s                            # ascending
+        j = np.minimum(np.minimum(idx + config.k, n - 1),
+                       np.searchsorted(t, t + config.k_span, side="right") - 1)
+        ms.mmr_lens = np.maximum(j - idx, 1).astype(np.uint8)[::-1].copy()
+        ms.sites_starts = s[j].astype(np.uint32)[::-1].copy()
     else:
         raise NotImplementedError("symmetric methmers (direction=2) unreachable in reference")
     return ms
@@ -292,11 +294,7 @@ def store_mmr_of_reads(rs: ReadSet, ms: Methmers) -> None:
         if native.native_available():
             # batch C++ walk over all reads (mmr_extract_reads); the Python
             # path below stays as the parity oracle (POMFRET_NO_NATIVE_MMR=1)
-            calls = np.concatenate([r.calls for r in rs.reads])
-            quals = np.concatenate([r.quals for r in rs.reads])
-            call_n = np.asarray([len(r.calls) for r in rs.reads], dtype=np.int32)
-            call_off = np.zeros(rs.n, dtype=np.int64)
-            np.cumsum(call_n[:-1], out=call_off[1:])
+            calls, quals, call_off, call_n = rs.concat_calls()
             res = native.mmr_extract_reads(ms.sites_starts, ms.mmr_lens,
                                            calls, quals, call_off, call_n)
             if res is not None:

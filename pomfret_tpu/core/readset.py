@@ -65,10 +65,31 @@ class ReadSet:
     ids_right_strict: List[int] = field(default_factory=list)
     rev_order: List[int] = field(default_factory=list)  # read IDs sorted by (end, id)
     has_mmr: bool = False
+    # memoized derived arrays (reads' calls/quals never change after load):
+    # concat_calls() result, and the per-cov methmer site selection
+    _calls_concat: Optional[tuple] = field(default=None, repr=False)
+    _site_sel_cache: Optional[tuple] = field(default=None, repr=False)
 
     @property
     def n(self) -> int:
         return len(self.reads)
+
+    def concat_calls(self) -> tuple:
+        """(calls, quals, call_off, call_n) concatenated over all reads,
+        computed once per window (both methmer directions and the site
+        selection consume the identical concatenation)."""
+        if self._calls_concat is None:
+            calls = np.concatenate([r.calls for r in self.reads]) if self.reads \
+                else np.zeros(0, dtype=np.uint32)
+            quals = np.concatenate([r.quals for r in self.reads]) if self.reads \
+                else np.zeros(0, dtype=np.uint8)
+            call_n = np.asarray([len(r.calls) for r in self.reads],
+                                dtype=np.int32)
+            call_off = np.zeros(self.n, dtype=np.int64)
+            if self.n:
+                np.cumsum(call_n[:-1], out=call_off[1:])
+            self._calls_concat = (calls, quals, call_off, call_n)
+        return self._calls_concat
 
     def store_haplotags(self) -> np.ndarray:
         # uint8 snapshot (store_haplotags, blockjoin.c:518-526)
@@ -147,12 +168,19 @@ def load_reads_given_interval(
             set_data_has_implicit()
         from ..io.bam import decode_record
         call_off = cols["call_off"] if cols["n"] else None
-        buf_bytes = None  # lazily materialized; fallback reads are rare
         for j in range(cols["n"]):
             if cols["fallback"][j]:
-                if buf_bytes is None:
-                    buf_bytes = buf if isinstance(buf, bytes) else buf.tobytes()
-                rec, _ = decode_record(buf_bytes, int(cols["rec_off"][j]))
+                # fallback reads are rare: slice just this record's bytes
+                # (4-byte block_size prefix + body) instead of copying the
+                # whole multi-MB window buffer per window
+                off = int(cols["rec_off"][j])
+                if isinstance(buf, bytes):
+                    bs = int.from_bytes(buf[off : off + 4], "little")
+                    rec_bytes = buf[off : off + 4 + bs]
+                else:
+                    bs = int.from_bytes(buf[off : off + 4].tobytes(), "little")
+                    rec_bytes = buf[off : off + 4 + bs].tobytes()
+                rec, _ = decode_record(rec_bytes, 0)
                 calls_l, quals_l, has_implicit = read_meth_calls(
                     rec, config.lo, config.hi)
                 if has_implicit:

@@ -355,7 +355,9 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
         if n < 0:
             return None
         n = int(n)
-        qb = qname_buf.tobytes()
+        # slice to the used qname bytes (qn_cap scales with the window
+        # buffer; copying the whole capacity cost ~1s/200 windows)
+        qb = qname_buf[: int(qname_off[n])].tobytes() if n else b""
         return {
             "n": n,
             "rec_off": rec_off[:n], "pos": pos[:n], "endpos": endpos[:n],
@@ -416,7 +418,7 @@ def varhaptag_reads(buf, chunk_ranges, tid: int, beg: int, end: int,
         if n < 0:
             return None
         n = int(n)
-        qb = qname_buf.tobytes()
+        qb = qname_buf[: int(qname_off[n])].tobytes() if n else b""
         return {
             "n": n, "rec_off": rec_off[:n], "hap": hap[:n],
             "fallback": fallback[:n],

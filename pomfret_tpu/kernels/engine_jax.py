@@ -511,6 +511,7 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
     import os as _os
     from ..parallel.batch import (DISPATCH_STATS, production_mesh,
                                   run_gap_batch_async)
+    from ..utils.stats import stage
     mesh = production_mesh()
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     group = group or max(1, int(_os.environ.get("POMFRET_GAP_GROUP", "128"))
@@ -518,12 +519,18 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
     n_load_threads = _pick_load_threads(bam)
     results = [({}, {}) for _ in jobs]  # (decisions, tag_maps) per job
 
-    pending = []  # one-deep pipeline across ALL jobs
+    # the ordered plan of (job index, gap-index chunk) groups
+    plan = []
     for ji, job in enumerate(jobs):
-        ref_name, rg, cfg = job["ref_name"], job["rg"], job["cfg"]
-        decisions, tag_maps = results[ji]
+        idxs = job["indices"]
+        for c0 in range(0, len(idxs), group):
+            plan.append((ji, idxs[c0 : c0 + group]))
 
-        def _load_one(i, ref_name=ref_name, rg=rg, cfg=cfg):
+    def _load_chunk(ji, chunk):
+        job = jobs[ji]
+        ref_name, rg, cfg = job["ref_name"], job["rg"], job["cfg"]
+
+        def _load_one(i):
             rs = load_reads_given_interval(
                 bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
                 st.qname2haptag_raw if st.stores_raw_tag else None)
@@ -531,46 +538,87 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
             ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
             return i, rs, ms_fwd, ms_bwd
 
-        idxs = job["indices"]
-        for c0 in range(0, len(idxs), group):
-            chunk = idxs[c0 : c0 + group]
+        with stage("window_load"):
             if n_load_threads > 1 and len(chunk) > 1:
                 import concurrent.futures as _fut
                 with _fut.ThreadPoolExecutor(n_load_threads) as ex:
-                    loads = list(ex.map(_load_one, chunk))
-            else:
-                loads = [_load_one(i) for i in chunk]
-            loaded = []
-            for i, rs, ms_fwd, ms_bwd in loads:
-                DISPATCH_STATS["window_reads"] += int(rs.n)
-                if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
-                    decisions[i] = -1
-                    tag_maps[i] = {}
-                    continue
-                loaded.append((i, rs, ms_fwd, ms_bwd))
-            if not loaded:
+                    return list(ex.map(_load_one, chunk))
+            return [_load_one(i) for i in chunk]
+
+    # Window loading spends most of its time in GIL-releasing native calls
+    # (inflate + bam_window_load), so a single background producer thread
+    # loads group k+1..k+depth while the main thread packs/dispatches/
+    # decides group k — real parallelism, not time-slicing. Depth is small:
+    # each in-flight group holds its windows' read arrays in RAM.
+    # POMFRET_PREFETCH=0 restores the serial order (identical results
+    # either way: the plan order, and per-group contents, are unchanged).
+    depth = int(_os.environ.get("POMFRET_PREFETCH", "2"))
+    if depth > 0 and len(plan) > 1:
+        import queue as _queue
+        import threading as _threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+
+        def _producer():
+            try:
+                for ji, chunk in plan:
+                    q.put((ji, chunk, _load_chunk(ji, chunk), None))
+            except BaseException as e:  # surface in the consumer
+                q.put((None, None, None, e))
+
+        t = _threading.Thread(target=_producer, name="pomfret-loader",
+                              daemon=True)
+        t.start()
+
+        def _iter_groups():
+            for _ in range(len(plan)):
+                ji, chunk, loads, err = q.get()
+                if err is not None:
+                    raise err
+                yield ji, loads
+            t.join()
+    else:
+        def _iter_groups():
+            for ji, chunk in plan:
+                yield ji, _load_chunk(ji, chunk)
+
+    pending = []  # one-deep device pipeline across ALL jobs
+    for ji, loads in _iter_groups():
+        job = jobs[ji]
+        decisions, tag_maps = results[ji]
+        loaded = []
+        for i, rs, ms_fwd, ms_bwd in loads:
+            DISPATCH_STATS["window_reads"] += int(rs.n)
+            if rs.n == 0 or ms_fwd.n == 0 or ms_bwd.n == 0:
+                decisions[i] = -1
+                tag_maps[i] = {}
                 continue
-            rngs = None
-            if n_permutations > 1:
-                from ..core.engine_host import Drand48
-                rngs = [Drand48.from_srand48(job["perm_key_base"] + i)
-                        for i, *_ in loaded]
-            datas, batch, errs = pack_group(loaded, cfg, job["n_cand"],
+            loaded.append((i, rs, ms_fwd, ms_bwd))
+        if not loaded:
+            continue
+        rngs = None
+        if n_permutations > 1:
+            from ..core.engine_host import Drand48
+            rngs = [Drand48.from_srand48(job["perm_key_base"] + i)
+                    for i, *_ in loaded]
+        with stage("pack"):
+            datas, batch, errs = pack_group(loaded, job["cfg"],
+                                            job["n_cand"],
                                             lane_multiple=n_dev,
                                             n_permutations=n_permutations,
                                             rngs=rngs)
-            # dispatch asynchronously: the device crunches this group while
-            # the host loads and packs the next one (download deferred)
-            try:
+        # dispatch asynchronously: the device crunches this group while
+        # the host loads and packs the next one (download deferred)
+        try:
+            with stage("dispatch"):
                 fut = run_gap_batch_async(batch, mesh=mesh)
-            except Exception as e:
-                _host_fallback_group(e, loaded, job, *results[ji],
-                                     n_permutations=n_permutations)
-                continue
-            pending.append((ji, loaded, datas, errs, fut))
-            if len(pending) > 1:
-                _drain_or_fallback(pending.pop(0), results, jobs,
-                                   n_permutations)
+        except Exception as e:
+            _host_fallback_group(e, loaded, job, *results[ji],
+                                 n_permutations=n_permutations)
+            continue
+        pending.append((ji, loaded, datas, errs, fut))
+        if len(pending) > 1:
+            _drain_or_fallback(pending.pop(0), results, jobs,
+                               n_permutations)
     while pending:
         _drain_or_fallback(pending.pop(0), results, jobs, n_permutations)
     return results
@@ -704,11 +752,15 @@ def _drain_group(entry, decisions, tag_maps, n_permutations: int = 1) -> None:
     gate of haplotag_region2's single run), then apply the fwd/bwd agreement
     gate (blockjoin.c:4288-4320)."""
     from ..core.engine_host import vote_permutations
+    from ..utils.stats import stage
 
     loaded, datas, errs, fut = entry
-    out = np.asarray(fut)  # blocks until the device batch finishes
+    with stage("device_wait"):
+        out = np.asarray(fut)  # blocks until the device batch finishes
     n_loaded = len(loaded)
     N = n_permutations
+    import time as _time
+    t_decide = _time.perf_counter()
     for j, (i, rs, _, _) in enumerate(loaded):
         initial = rs.store_haplotags()
         results: Dict[int, tuple] = {}
@@ -740,3 +792,5 @@ def _drain_group(entry, decisions, tag_maps, n_permutations: int = 1) -> None:
             d = join1
         decisions[i] = d
         tag_maps[i] = {r.qname: r.hp for r in rs.reads} if d >= 0 else {}
+    from ..utils.stats import add_stage
+    add_stage("decide", _time.perf_counter() - t_decide)

@@ -963,8 +963,8 @@ class CramReader:
                 continue
             yield from self._decode_slice(ch, body, lm)
 
-    def _decode_slice(self, ch: CompressionHeader, body: bytes, p: int
-                      ) -> Iterator[BamRecord]:
+    def _slice_parts(self, body: bytes, p: int
+                     ) -> Tuple[SliceHeader, bytes, Dict[int, bytes]]:
         sblk, p = read_block(body, p)
         if sblk.content_type != CT_MAPPED_SLICE:
             raise ValueError("expected slice header block")
@@ -977,6 +977,41 @@ class CramReader:
                 core_data = b.data
             else:
                 ext_blocks[b.content_id] = b.data
+        return sl, core_data, ext_blocks
+
+    def _slice_ref(self, ch: CompressionHeader, sl: SliceHeader,
+                   ext_blocks: Dict[int, bytes]):
+        """(ref bytes-or-str or None, ref_offset) for a slice."""
+        if sl.embedded_ref_id >= 0 and sl.embedded_ref_id in ext_blocks:
+            return ext_blocks[sl.embedded_ref_id], sl.start - 1
+        if ch.rr and sl.ref_id >= 0:
+            return (self._ref_slice(sl.ref_id, sl.start - 1,
+                                    sl.start - 1 + sl.span), sl.start - 1)
+        return None, 0
+
+    def _decode_slice_raw(self, ch: CompressionHeader, body: bytes, p: int):
+        """Native one-call slice decode -> (raw BAM record bytes, metas
+        (n,6) int64 [refID,pos,endpos,off,len,unmapped]) or None when the
+        native lib is absent / the slice uses an uncovered encoding (the
+        caller falls back to the per-record Python loop)."""
+        if os.environ.get("POMFRET_NO_NATIVE_CRAM"):
+            return None
+        try:
+            from . import native
+        except ImportError:
+            return None
+        if not native.native_available():
+            return None
+        sl, core_data, ext_blocks = self._slice_parts(body, p)
+        ref_seq, ref_offset = self._slice_ref(ch, sl, ext_blocks)
+        if ref_seq is None and ch.rr and sl.ref_id >= 0:
+            return None  # let the Python path produce its diagnostic
+        return native.cram_decode_slice(ch, sl, core_data, ext_blocks,
+                                        ref_seq, ref_offset, self.rg_ids)
+
+    def _decode_slice(self, ch: CompressionHeader, body: bytes, p: int
+                      ) -> Iterator[BamRecord]:
+        sl, core_data, ext_blocks = self._slice_parts(body, p)
         core = BitReader(core_data)
         ext = ExternalStreams(ext_blocks)
         recs = decode_slice_records(ch, sl, core, ext)
@@ -1229,10 +1264,27 @@ def spool_path(cram_path: str, ref_fasta: Optional[str] = None) -> str:
                       threads=max(2, min(4, os.cpu_count() or 2)),
                       keep_index_info=True)
         n = 0
+        n_native = 0
         try:
-            for rec in rd.fetch_all():
-                w.write(rec)
-                n += 1
+            # native per-slice transcode (cram_decode_slice emits the raw
+            # BAM record stream in bulk); slices with uncovered encodings
+            # fall back to the per-record Python decode
+            for _, h, body in rd._iter_containers():
+                blk, _ = read_block(body, 0)
+                if blk.content_type != CT_COMPRESSION_HEADER:
+                    raise ValueError("expected compression header block")
+                ch = parse_compression_header(blk.data)
+                for lm in h.landmarks:
+                    res = rd._decode_slice_raw(ch, body, lm)
+                    if res is not None:
+                        bam_bytes, metas = res
+                        w.write_raw_records(bam_bytes, metas)
+                        n += len(metas)
+                        n_native += len(metas)
+                    else:
+                        for rec in rd._decode_slice(ch, body, lm):
+                            w.write(rec)
+                            n += 1
             w.close()
             w.build_index(tmp + ".bai", n_ref=len(rd.ref_names))
         except BaseException:
@@ -1249,7 +1301,8 @@ def spool_path(cram_path: str, ref_fasta: Optional[str] = None) -> str:
         os.replace(tmp, out)
         os.replace(tmp + ".bai", out + ".bai")
         log_info("cram_spool",
-                 f"spooled {n} records in {Get_T() - T:.1f}s -> {out}")
+                 f"spooled {n} records ({n_native} native-decoded) in "
+                 f"{Get_T() - T:.1f}s -> {out}")
     _SPOOL_CACHE[key] = out
     return out
 

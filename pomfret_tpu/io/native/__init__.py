@@ -109,6 +109,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, i64p, i32p, ctypes.c_int64, i32, i32,
             i64p, i64p, i64p, i64p, i32p, i32,
             i32p, i64p, ctypes.c_int64, i64p, i64p]
+        lib.cram_decode_slice.restype = ctypes.c_int64
+        lib.cram_decode_slice.argtypes = [
+            u8p, i32p, i64p, i64p, i32,               # ext blocks
+            u8p, ctypes.c_int64,                      # core
+            i32, ctypes.c_int64, i32,                 # slice ref/start/n_rec
+            i32, i32, u8p,                            # rn/ap-delta/sub matrix
+            i32p, i64p, u8p,                          # series encodings
+            i32p, i32, i32p,                          # tag dict
+            i32p, i32p, i64p, u8p, i32,               # tag encodings
+            u8p, ctypes.c_int64, ctypes.c_int64,      # ref slice
+            u8p, i64p, i32,                           # rg ids
+            u8p, ctypes.c_int64, i64p]                # out + metas
         _LIB = lib
         return _LIB
 
@@ -558,3 +570,109 @@ def bam_retag_hp(buf: bytes, maps, intervals, state: np.ndarray,
     nm = int(n_meta.value)
     return (out[:n_out].tobytes(), meta[: nm * 8].reshape(nm, 8),
             int(consumed.value))
+
+
+# fixed series order shared with cram_decode_slice in pomfret_native.cpp
+_CRAM_SERIES = ("BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP",
+                "TS", "NF", "TL", "FN", "FC", "FP", "DL", "BB", "QQ", "BS",
+                "IN", "SC", "BA", "QS", "MQ", "RS", "PD", "HC")
+
+
+def cram_decode_slice(ch, sl, core_data: bytes, ext_blocks: dict,
+                      ref_seq, ref_offset: int, rg_ids) -> Optional[tuple]:
+    """Native decode of one CRAM slice into a raw BAM record stream.
+
+    ch: io.cram.CompressionHeader; sl: io.cram.SliceHeader.
+    Returns (bam_bytes, metas int64 (n,6) [refID,pos,endpos,off,len,unmapped])
+    or None when the native lib is unavailable or the slice uses an encoding
+    the C++ decoder does not cover (callers fall back to the Python loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rec = sl.n_records
+    if n_rec == 0:
+        return b"", np.zeros((0, 6), dtype=np.int64)
+
+    ids = sorted(ext_blocks)
+    ext_ids = np.asarray(ids, dtype=np.int32)
+    ext_len = np.asarray([len(ext_blocks[i]) for i in ids], dtype=np.int64)
+    ext_off = np.zeros(len(ids), dtype=np.int64)
+    if len(ids) > 1:
+        np.cumsum(ext_len[:-1], out=ext_off[1:])
+    ext_buf = np.frombuffer(b"".join(ext_blocks[i] for i in ids) or b"\0",
+                            dtype=np.uint8)
+
+    se_codec = np.zeros(len(_CRAM_SERIES), dtype=np.int32)
+    se_off = np.zeros(len(_CRAM_SERIES) + 1, dtype=np.int64)
+    prm_parts = []
+    for k, key in enumerate(_CRAM_SERIES):
+        enc = ch.series.get(key)
+        if enc is not None:
+            se_codec[k] = enc.codec
+            prm_parts.append(enc.params)
+        se_off[k + 1] = se_off[k] + (len(enc.params) if enc is not None else 0)
+    se_prm = np.frombuffer(b"".join(prm_parts) or b"\0", dtype=np.uint8)
+
+    td_off = np.zeros(len(ch.tag_dict) + 1, dtype=np.int32)
+    td_keys_l = []
+    for li, line in enumerate(ch.tag_dict):
+        for tag, typ in line:
+            td_keys_l.append((ord(tag[0]) << 16) | (ord(tag[1]) << 8) | typ)
+        td_off[li + 1] = len(td_keys_l)
+    td_keys = np.asarray(td_keys_l or [0], dtype=np.int32)
+
+    tag_keys = np.asarray(sorted(ch.tags) or [0], dtype=np.int32)
+    n_tag = len(ch.tags)
+    tag_codec = np.zeros(max(n_tag, 1), dtype=np.int32)
+    tag_off = np.zeros(n_tag + 1, dtype=np.int64)
+    tprm_parts = []
+    for i, key in enumerate(sorted(ch.tags)):
+        enc = ch.tags[key]
+        tag_codec[i] = enc.codec
+        tprm_parts.append(enc.params)
+        tag_off[i + 1] = tag_off[i] + len(enc.params)
+    tag_prm = np.frombuffer(b"".join(tprm_parts) or b"\0", dtype=np.uint8)
+
+    if isinstance(ref_seq, str):
+        ref_seq = ref_seq.encode()
+    ref_arr = np.frombuffer(ref_seq, dtype=np.uint8) if ref_seq else None
+    rg_off = np.zeros(len(rg_ids) + 1, dtype=np.int64)
+    rg_parts = []
+    for i, rid in enumerate(rg_ids):
+        rg_parts.append(rid.encode())
+        rg_off[i + 1] = rg_off[i] + len(rg_parts[-1])
+    rg_buf = np.frombuffer(b"".join(rg_parts) or b"\0", dtype=np.uint8)
+
+    core_arr = np.frombuffer(core_data or b"\0", dtype=np.uint8)
+    sub = np.frombuffer(ch.sub_matrix, dtype=np.uint8)
+    metas = np.empty(n_rec * 6, dtype=np.int64)
+    # generous first guess: records expand vs their compressed size
+    cap = max(1 << 16, int(ext_len.sum()) * 3 + n_rec * 64)
+    for _ in range(8):
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.cram_decode_slice(
+            _p(ext_buf, ctypes.c_uint8), _p(ext_ids, ctypes.c_int32),
+            _p(ext_off, ctypes.c_int64), _p(ext_len, ctypes.c_int64),
+            len(ids),
+            _p(core_arr, ctypes.c_uint8), len(core_data or b""),
+            sl.ref_id, sl.start, n_rec,
+            1 if ch.rn_preserved else 0, 1 if ch.ap_delta else 0,
+            _p(sub, ctypes.c_uint8),
+            _p(se_codec, ctypes.c_int32), _p(se_off, ctypes.c_int64),
+            _p(se_prm, ctypes.c_uint8),
+            _p(td_off, ctypes.c_int32), len(ch.tag_dict),
+            _p(td_keys, ctypes.c_int32),
+            _p(tag_keys, ctypes.c_int32), _p(tag_codec, ctypes.c_int32),
+            _p(tag_off, ctypes.c_int64), _p(tag_prm, ctypes.c_uint8), n_tag,
+            _p(ref_arr, ctypes.c_uint8) if ref_arr is not None else None,
+            len(ref_arr) if ref_arr is not None else 0, ref_offset,
+            _p(rg_buf, ctypes.c_uint8), _p(rg_off, ctypes.c_int64),
+            len(rg_ids),
+            _p(out, ctypes.c_uint8), cap, _p(metas, ctypes.c_int64))
+        if r == -1:
+            cap *= 2
+            continue
+        if r < 0:
+            return None  # unsupported/corrupt -> Python fallback
+        return out[:r].tobytes(), metas.reshape(n_rec, 6)
+    return None

@@ -1729,3 +1729,775 @@ extern "C" int64_t bam_retag_hp(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CRAM 3.0 slice decode -> raw BAM record stream
+// ---------------------------------------------------------------------------
+// The per-record hot loop of the CRAM reader (io/cram.py decode_slice_records
+// + build_alignment + _to_bam_record, themselves a from-spec implementation —
+// the reference consumes CRAM through htslib, blockjoin.c:4609). Python keeps
+// the per-container work (header/encoding parsing, block decompression) and
+// hands this function one slice's decompressed blocks; it emits the BAM
+// record byte stream + (refID,pos,endpos,off,len,unmapped) metas that
+// BamWriter.write_raw_records consumes. Codec coverage: EXTERNAL, HUFFMAN,
+// BETA, GAMMA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP — anything else returns
+// CRAM_UNSUPPORTED and the caller falls back to the Python record loop.
+
+#include <cstdio>
+#include <memory>
+
+namespace cramdec {
+
+static const int CRAM_OVERFLOW = -1;
+static const int CRAM_UNSUPPORTED = -2;
+static const int CRAM_CORRUPT = -3;
+
+struct ExtS { const uint8_t* d = nullptr; int64_t len = 0; int64_t pos = 0; };
+
+struct Core {
+    const uint8_t* d = nullptr; int64_t len = 0; int64_t pos = 0; int bit = 0;
+    int64_t read_bits(int n, bool& err) {
+        int64_t v = 0;
+        for (int i = 0; i < n; i++) {
+            if (pos >= len) { err = true; return 0; }
+            v = (v << 1) | ((d[pos] >> (7 - bit)) & 1);
+            if (++bit == 8) { bit = 0; pos++; }
+        }
+        return v;
+    }
+};
+
+static int64_t rd_itf8(const uint8_t* b, int64_t len, int64_t& p, bool& err) {
+    if (p >= len) { err = true; return 0; }
+    uint32_t b0 = b[p];
+    int n = b0 < 0x80 ? 0 : b0 < 0xC0 ? 1 : b0 < 0xE0 ? 2 : b0 < 0xF0 ? 3 : 4;
+    if (p + 1 + n > len) { err = true; return 0; }
+    uint32_t v;
+    switch (n) {
+        case 0: v = b0; break;
+        case 1: v = ((b0 & 0x3F) << 8) | b[p + 1]; break;
+        case 2: v = ((b0 & 0x1F) << 16) | (b[p + 1] << 8) | b[p + 2]; break;
+        case 3: v = ((b0 & 0x0F) << 24) | (b[p + 1] << 16) | (b[p + 2] << 8)
+                    | b[p + 3]; break;
+        default: v = ((b0 & 0x0F) << 28) | (b[p + 1] << 20) | (b[p + 2] << 12)
+                     | (b[p + 3] << 4) | (b[p + 4] & 0x0F); break;
+    }
+    p += 1 + n;
+    return (int64_t)(int32_t)v;  // matches the Python signed wrap
+}
+
+// codecs (CRAM 3.0 spec numbering, mirrored from io/cram.py)
+static const int E_EXTERNAL = 1, E_HUFFMAN = 3, E_BYTE_ARRAY_LEN = 4,
+                 E_BYTE_ARRAY_STOP = 5, E_BETA = 6, E_GAMMA = 9;
+
+struct Enc {
+    int codec = 0;
+    const uint8_t* prm = nullptr; int64_t plen = 0;
+    bool parsed = false, unsup = false;
+    int ext = -1;                      // EXTERNAL / BYTE_ARRAY_STOP stream idx
+    int stop = 0;                      // BYTE_ARRAY_STOP
+    std::vector<int64_t> h_syms; std::vector<int> h_lens;  // HUFFMAN
+    struct HNode { int len; uint32_t code; int64_t sym; };
+    std::vector<HNode> hnodes;
+    int64_t beta_off = 0; int beta_bits = 0;
+    std::unique_ptr<Enc> alen, aval;   // BYTE_ARRAY_LEN
+
+    void parse(const int32_t* ext_ids, int n_ext, bool& err);
+    int64_t read_int(Core& core, ExtS* exts, const int32_t* ext_ids,
+                     int n_ext, bool& err);
+    int read_byte(Core& core, ExtS* exts, const int32_t* ext_ids, int n_ext,
+                  bool& err);
+    // returns false on error; out points either into the ext stream or into
+    // scratch (cleared+filled here)
+    bool read_bytes(Core& core, ExtS* exts, const int32_t* ext_ids, int n_ext,
+                    const uint8_t** out, int64_t* n,
+                    std::vector<uint8_t>& scratch, bool& err);
+};
+
+static int ext_index(const int32_t* ext_ids, int n_ext, int64_t cid) {
+    for (int i = 0; i < n_ext; i++)
+        if (ext_ids[i] == (int32_t)cid) return i;
+    return -1;
+}
+
+void Enc::parse(const int32_t* ext_ids, int n_ext, bool& err) {
+    if (parsed) return;
+    parsed = true;
+    int64_t p = 0;
+    if (codec == E_EXTERNAL) {
+        int64_t cid = rd_itf8(prm, plen, p, err);
+        ext = ext_index(ext_ids, n_ext, cid);
+        if (ext < 0) unsup = true;
+    } else if (codec == E_HUFFMAN) {
+        int64_t ns = rd_itf8(prm, plen, p, err);
+        if (err || ns < 0 || ns > 1 << 20) { unsup = true; return; }
+        for (int64_t i = 0; i < ns; i++) h_syms.push_back(rd_itf8(prm, plen, p, err));
+        int64_t nl = rd_itf8(prm, plen, p, err);
+        if (err || nl != ns) { unsup = true; return; }
+        for (int64_t i = 0; i < nl; i++) h_lens.push_back((int)rd_itf8(prm, plen, p, err));
+        // canonical codes: ascending (bit length, symbol) — io/cram.py:344
+        std::vector<std::pair<int, int64_t>> pairs;
+        for (size_t i = 0; i < h_syms.size(); i++)
+            pairs.push_back({h_lens[i], h_syms[i]});
+        std::sort(pairs.begin(), pairs.end());
+        uint32_t code = 0; int prev_len = 0;
+        for (auto& pr : pairs) {
+            code <<= (pr.first - prev_len);
+            hnodes.push_back({pr.first, code, pr.second});
+            code += 1;
+            prev_len = pr.first;
+        }
+    } else if (codec == E_BYTE_ARRAY_LEN) {
+        alen.reset(new Enc()); aval.reset(new Enc());
+        alen->codec = (int)rd_itf8(prm, plen, p, err);
+        int64_t n1 = rd_itf8(prm, plen, p, err);
+        if (err || p + n1 > plen) { unsup = true; return; }
+        alen->prm = prm + p; alen->plen = n1; p += n1;
+        aval->codec = (int)rd_itf8(prm, plen, p, err);
+        int64_t n2 = rd_itf8(prm, plen, p, err);
+        if (err || p + n2 > plen) { unsup = true; return; }
+        aval->prm = prm + p; aval->plen = n2;
+        alen->parse(ext_ids, n_ext, err);
+        aval->parse(ext_ids, n_ext, err);
+        if (alen->unsup || aval->unsup) unsup = true;
+    } else if (codec == E_BYTE_ARRAY_STOP) {
+        if (plen < 1) { unsup = true; return; }
+        stop = prm[0];
+        int64_t p1 = 1;
+        int64_t cid = rd_itf8(prm, plen, p1, err);
+        ext = ext_index(ext_ids, n_ext, cid);
+        if (ext < 0) unsup = true;
+    } else if (codec == E_BETA) {
+        beta_off = rd_itf8(prm, plen, p, err);
+        beta_bits = (int)rd_itf8(prm, plen, p, err);
+    } else if (codec == E_GAMMA) {
+        // no params
+    } else {
+        unsup = true;
+    }
+}
+
+int64_t Enc::read_int(Core& core, ExtS* exts, const int32_t* ext_ids,
+                      int n_ext, bool& err) {
+    parse(ext_ids, n_ext, err);
+    if (unsup || err) { err = true; return 0; }
+    if (codec == E_EXTERNAL) {
+        ExtS& s = exts[ext];
+        return rd_itf8(s.d, s.len, s.pos, err);
+    }
+    if (codec == E_HUFFMAN) {
+        if (h_syms.size() == 1 && h_lens[0] == 0) return h_syms[0];
+        uint32_t code = 0; int ln = 0;
+        while (true) {
+            code = (code << 1) | (uint32_t)core.read_bits(1, err);
+            ln++;
+            if (err || ln > 31) { err = true; return 0; }
+            for (auto& hn : hnodes)
+                if (hn.len == ln && hn.code == code) return hn.sym;
+        }
+    }
+    if (codec == E_BETA) return core.read_bits(beta_bits, err) - beta_off;
+    if (codec == E_GAMMA) {
+        int n = 0;
+        while (core.read_bits(1, err) == 0) { if (err || n > 62) { err = true; return 0; } n++; }
+        int64_t v = 1;
+        for (int i = 0; i < n; i++) v = (v << 1) | core.read_bits(1, err);
+        return v - 1;
+    }
+    err = true;
+    return 0;
+}
+
+int Enc::read_byte(Core& core, ExtS* exts, const int32_t* ext_ids, int n_ext,
+                   bool& err) {
+    parse(ext_ids, n_ext, err);
+    if (unsup || err) { err = true; return 0; }
+    if (codec == E_EXTERNAL) {
+        ExtS& s = exts[ext];
+        if (s.pos >= s.len) { err = true; return 0; }
+        return s.d[s.pos++];
+    }
+    return (int)read_int(core, exts, ext_ids, n_ext, err);
+}
+
+bool Enc::read_bytes(Core& core, ExtS* exts, const int32_t* ext_ids,
+                     int n_ext, const uint8_t** out, int64_t* n,
+                     std::vector<uint8_t>& scratch, bool& err) {
+    parse(ext_ids, n_ext, err);
+    if (unsup || err) { err = true; return false; }
+    if (codec == E_BYTE_ARRAY_LEN) {
+        int64_t ln = alen->read_int(core, exts, ext_ids, n_ext, err);
+        if (err || ln < 0) { err = true; return false; }
+        if (aval->codec == E_EXTERNAL) {
+            aval->parse(ext_ids, n_ext, err);
+            ExtS& s = exts[aval->ext];
+            if (s.pos + ln > s.len) { err = true; return false; }
+            *out = s.d + s.pos; *n = ln; s.pos += ln;
+            return true;
+        }
+        scratch.clear();
+        for (int64_t i = 0; i < ln; i++)
+            scratch.push_back((uint8_t)aval->read_byte(core, exts, ext_ids,
+                                                       n_ext, err));
+        if (err) return false;
+        *out = scratch.data(); *n = ln;
+        return true;
+    }
+    if (codec == E_BYTE_ARRAY_STOP) {
+        ExtS& s = exts[ext];
+        const uint8_t* q = (const uint8_t*)memchr(s.d + s.pos, stop,
+                                                  s.len - s.pos);
+        if (!q) { err = true; return false; }
+        *out = s.d + s.pos; *n = q - (s.d + s.pos);
+        s.pos = (q - s.d) + 1;
+        return true;
+    }
+    err = true;
+    return false;
+}
+
+// fixed series order shared with io/native/__init__.py cram_decode_slice
+enum {
+    S_BF, S_CF, S_RI, S_RL, S_AP, S_RG, S_RN, S_MF, S_NS, S_NP, S_TS, S_NF,
+    S_TL, S_FN, S_FC, S_FP, S_DL, S_BB, S_QQ, S_BS, S_IN, S_SC, S_BA, S_QS,
+    S_MQ, S_RS, S_PD, S_HC, N_SERIES
+};
+
+static const uint8_t CF_QS_STORED = 0x1, CF_DETACHED = 0x2,
+                     CF_MATE_DOWNSTREAM = 0x4, CF_NO_SEQ = 0x8;
+static const uint8_t MF_MATE_REVERSED = 0x1, MF_MATE_UNMAPPED = 0x2;
+
+// decoded-sequence base tables (io/cram.py:527-557)
+static const char* SUB_ROW[5] = {"CGTN", "AGTN", "ACTN", "ACGN", "ACGT"};
+static int ref_order(char c) {
+    switch (c) { case 'A': return 0; case 'C': return 1; case 'G': return 2;
+                 case 'T': return 3; default: return 4; }
+}
+static char sub_base(const uint8_t* m, char ref, int code) {
+    int r = ref_order(ref);
+    uint8_t row = m[r];
+    for (int i = 0; i < 4; i++)
+        if (((row >> (6 - 2 * i)) & 3) == code) return SUB_ROW[r][i];
+    return 'N';
+}
+
+static int reg2bin(int64_t beg, int64_t end) {
+    end -= 1;
+    if (beg >> 14 == end >> 14) return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+    return 0;
+}
+
+static const uint8_t NT16[256] = {
+    // '=ACMGRSVTWYHKDBN' indices, lower+upper; everything else 15
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,0,15,15,  // '='
+    15,1,14,2,13,15,15,4,11,15,15,12,15,3,15,15,     // A B C D G H K M
+    15,15,5,6,8,15,7,9,15,10,15,15,15,15,15,15,      // R S T V W Y
+    15,1,14,2,13,15,15,4,11,15,15,12,15,3,15,15,
+    15,15,5,6,8,15,7,9,15,10,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+};
+
+struct Feature { char fc; int64_t fp; int64_t ival;
+                 const uint8_t* bytes; int64_t blen; uint8_t b2[2]; };
+
+struct RecScratch {
+    std::vector<Feature> feats;
+    std::vector<uint8_t> seq, quals, name, aux, cigbuf, md;
+    std::vector<std::pair<int64_t, uint8_t>> qual_overlay;
+    std::vector<uint8_t> scratch;      // read_bytes overflow scratch
+    std::vector<uint8_t> feat_bytes;   // stable storage for byte features
+};
+
+struct RecMeta {  // per-record info for mate fixups
+    int64_t out_off = 0, out_len = 0;
+    int32_t ref_id = -1; int64_t pos = 0, endpos = 0;
+    uint16_t flag = 0;
+    int32_t cf = 0; int64_t nf = -1;
+    bool unmapped = false;
+};
+
+}  // namespace cramdec
+
+extern "C" int64_t cram_decode_slice(
+    const uint8_t* ext_buf, const int32_t* ext_ids, const int64_t* ext_off,
+    const int64_t* ext_len, int32_t n_ext,
+    const uint8_t* core_buf, int64_t core_len,
+    int32_t sl_ref_id, int64_t sl_start, int32_t n_records,
+    int32_t rn_preserved, int32_t ap_delta, const uint8_t* sub_matrix,
+    // series encodings: codec int32[N_SERIES]; params blob + offsets
+    const int32_t* se_codec, const int64_t* se_off, const uint8_t* se_prm,
+    // tag dictionary: line l covers td_keys[td_off[l] .. td_off[l+1])
+    const int32_t* td_off, int32_t n_td_lines, const int32_t* td_keys,
+    // tag encodings: n_tag x (key int32; codec int32; params slice)
+    const int32_t* tag_keys, const int32_t* tag_codec, const int64_t* tag_off,
+    const uint8_t* tag_prm, int32_t n_tag,
+    // reference slice bytes (may be null)
+    const uint8_t* ref_seq, int64_t ref_len, int64_t ref_offset,
+    // @RG ids for RG:Z reconstruction (rg_off has n_rg+1 entries)
+    const uint8_t* rg_buf, const int64_t* rg_off, int32_t n_rg,
+    uint8_t* out, int64_t out_cap,
+    int64_t* metas /* n_records x 6 */) {
+    using namespace cramdec;
+    std::vector<ExtS> exts(n_ext > 0 ? n_ext : 1);
+    for (int i = 0; i < n_ext; i++)
+        exts[i] = ExtS{ext_buf + ext_off[i], ext_len[i], 0};
+    Core core{core_buf, core_len, 0, 0};
+
+    std::vector<Enc> S(N_SERIES);
+    for (int i = 0; i < N_SERIES; i++) {
+        S[i].codec = se_codec[i];
+        S[i].prm = se_prm + se_off[i];
+        S[i].plen = se_off[i + 1] - se_off[i];
+    }
+    std::vector<Enc> tenc(n_tag > 0 ? n_tag : 1);
+    for (int i = 0; i < n_tag; i++) {
+        tenc[i].codec = tag_codec[i];
+        tenc[i].prm = tag_prm + tag_off[i];
+        tenc[i].plen = tag_off[i + 1] - tag_off[i];
+    }
+    auto tag_enc_of = [&](int32_t key) -> Enc* {
+        for (int i = 0; i < n_tag; i++)
+            if (tag_keys[i] == key) return &tenc[i];
+        return nullptr;
+    };
+
+    bool err = false;
+    RecScratch rs;
+    std::vector<RecMeta> rms(n_records);
+    int64_t prev_ap = sl_start;
+    int64_t op = 0;
+
+    for (int ri = 0; ri < n_records; ri++) {
+        RecMeta& rm = rms[ri];
+        auto rint = [&](int si) { return S[si].read_int(core, exts.data(), ext_ids, n_ext, err); };
+        auto rbyte = [&](int si) { return S[si].read_byte(core, exts.data(), ext_ids, n_ext, err); };
+
+        int64_t bf = rint(S_BF);
+        int64_t cf = rint(S_CF);
+        int64_t ref_id = (sl_ref_id == -2) ? rint(S_RI) : sl_ref_id;
+        int64_t rl = rint(S_RL);
+        int64_t ap = rint(S_AP);
+        if (ap_delta) { ap = prev_ap + ap; prev_ap = ap; }
+        int64_t rg = rint(S_RG);
+        const uint8_t* name = nullptr; int64_t name_n = 0;
+        std::vector<uint8_t> name_store;
+        if (rn_preserved) {
+            if (!S[S_RN].read_bytes(core, exts.data(), ext_ids, n_ext, &name,
+                                    &name_n, rs.scratch, err)) return S[S_RN].unsup ? CRAM_UNSUPPORTED : CRAM_CORRUPT;
+            name_store.assign(name, name + name_n);
+        }
+        int64_t mf = 0, ns = -1, np = 0, ts = 0, nf = -1;
+        if (cf & CF_DETACHED) {
+            mf = rint(S_MF);
+            if (!rn_preserved) {
+                if (!S[S_RN].read_bytes(core, exts.data(), ext_ids, n_ext,
+                                        &name, &name_n, rs.scratch, err))
+                    return S[S_RN].unsup ? CRAM_UNSUPPORTED : CRAM_CORRUPT;
+                name_store.assign(name, name + name_n);
+            }
+            ns = rint(S_NS); np = rint(S_NP); ts = rint(S_TS);
+        } else if (cf & CF_MATE_DOWNSTREAM) {
+            nf = rint(S_NF);
+        }
+        int64_t tl = rint(S_TL);
+        if (err) return CRAM_CORRUPT;
+
+        // tags (verbatim BAM aux value bytes)
+        rs.aux.clear();
+        bool has_md = false, has_nm = false, has_rg = false;
+        if (n_td_lines > 0 && tl >= 0 && tl < n_td_lines) {
+            for (int32_t k = td_off[tl]; k < td_off[tl + 1]; k++) {
+                int32_t key = td_keys[k];
+                char c0 = (char)((key >> 16) & 0xFF), c1 = (char)((key >> 8) & 0xFF);
+                uint8_t typ = (uint8_t)(key & 0xFF);
+                Enc* te = tag_enc_of(key);
+                if (!te) return CRAM_UNSUPPORTED;
+                const uint8_t* val; int64_t vn;
+                if (!te->read_bytes(core, exts.data(), ext_ids, n_ext, &val,
+                                    &vn, rs.scratch, err))
+                    return te->unsup ? CRAM_UNSUPPORTED : CRAM_CORRUPT;
+                rs.aux.push_back((uint8_t)c0); rs.aux.push_back((uint8_t)c1);
+                rs.aux.push_back(typ);
+                rs.aux.insert(rs.aux.end(), val, val + vn);
+                if (c0 == 'M' && c1 == 'D') has_md = true;
+                if (c0 == 'N' && c1 == 'M') has_nm = true;
+                if (c0 == 'R' && c1 == 'G') has_rg = true;
+            }
+        }
+
+        // features / bases / quals
+        rs.feats.clear(); rs.feat_bytes.clear();
+        int64_t mq = 0;
+        rs.quals.clear();
+        rs.seq.assign((size_t)rl, 'N');
+        bool qs_stored = (cf & CF_QS_STORED) != 0;
+        std::vector<std::pair<int64_t, int64_t>> feat_byte_spans;
+        if (!(bf & 4)) {
+            int64_t fn = rint(S_FN);
+            int64_t fpos = 0;
+            if (err) return CRAM_CORRUPT;
+            for (int64_t fi = 0; fi < fn; fi++) {
+                Feature f{};
+                f.fc = (char)rbyte(S_FC);
+                fpos += rint(S_FP);
+                f.fp = fpos;
+                switch (f.fc) {
+                    case 'B': f.b2[0] = (uint8_t)rbyte(S_BA);
+                              f.b2[1] = (uint8_t)rbyte(S_QS); break;
+                    case 'X': f.ival = rbyte(S_BS); break;
+                    case 'I': case 'S': case 'b': case 'q': {
+                        int si = f.fc == 'I' ? S_IN : f.fc == 'S' ? S_SC
+                                 : f.fc == 'b' ? S_BB : S_QQ;
+                        const uint8_t* bb; int64_t bn;
+                        if (!S[si].read_bytes(core, exts.data(), ext_ids,
+                                              n_ext, &bb, &bn, rs.scratch,
+                                              err))
+                            return S[si].unsup ? CRAM_UNSUPPORTED : CRAM_CORRUPT;
+                        // stash in stable storage (scratch gets reused)
+                        feat_byte_spans.push_back({(int64_t)rs.feat_bytes.size(), bn});
+                        rs.feat_bytes.insert(rs.feat_bytes.end(), bb, bb + bn);
+                        f.blen = bn;
+                        break;
+                    }
+                    case 'i': f.ival = rbyte(S_BA); break;
+                    case 'Q': f.ival = rbyte(S_QS); break;
+                    case 'D': f.ival = rint(S_DL); break;
+                    case 'N': f.ival = rint(S_RS); break;
+                    case 'P': f.ival = rint(S_PD); break;
+                    case 'H': f.ival = rint(S_HC); break;
+                    default: return CRAM_UNSUPPORTED;
+                }
+                if (err) return CRAM_CORRUPT;
+                rs.feats.push_back(f);
+            }
+            // resolve stable byte pointers now that feat_bytes is final
+            {
+                size_t bi = 0;
+                for (auto& f : rs.feats)
+                    if (f.fc == 'I' || f.fc == 'S' || f.fc == 'b' || f.fc == 'q') {
+                        f.bytes = rs.feat_bytes.data() + feat_byte_spans[bi].first;
+                        bi++;
+                    }
+            }
+            mq = rint(S_MQ);
+            if (qs_stored) {
+                if (S[S_QS].codec == E_EXTERNAL) {
+                    S[S_QS].parse(ext_ids, n_ext, err);
+                    if (S[S_QS].unsup) return CRAM_UNSUPPORTED;
+                    ExtS& s = exts[S[S_QS].ext];
+                    if (s.pos + rl > s.len) return CRAM_CORRUPT;
+                    rs.quals.assign(s.d + s.pos, s.d + s.pos + rl);
+                    s.pos += rl;
+                } else {
+                    for (int64_t i = 0; i < rl; i++)
+                        rs.quals.push_back((uint8_t)rbyte(S_QS));
+                }
+            }
+        } else {
+            if (!(cf & CF_NO_SEQ))
+                for (int64_t i = 0; i < rl; i++)
+                    rs.seq[i] = (uint8_t)rbyte(S_BA);
+            if (qs_stored) {
+                if (S[S_QS].codec == E_EXTERNAL) {
+                    S[S_QS].parse(ext_ids, n_ext, err);
+                    if (S[S_QS].unsup) return CRAM_UNSUPPORTED;
+                    ExtS& s = exts[S[S_QS].ext];
+                    if (s.pos + rl > s.len) return CRAM_CORRUPT;
+                    rs.quals.assign(s.d + s.pos, s.d + s.pos + rl);
+                    s.pos += rl;
+                } else {
+                    for (int64_t i = 0; i < rl; i++)
+                        rs.quals.push_back((uint8_t)rbyte(S_QS));
+                }
+            }
+        }
+        if (err) return CRAM_CORRUPT;
+
+        // ---- build_alignment (io/cram.py:662-763) ----
+        rs.cigbuf.clear();          // packed u32 cigar ops appended below
+        rs.qual_overlay.clear();
+        int64_t n_cig = 0;
+        uint32_t last_op = 0xFFFFFFFF; int64_t last_ln = 0;
+        auto add_op = [&](int opcode, int64_t ln) {
+            if (ln <= 0) return;
+            if (last_op == (uint32_t)opcode) { last_ln += ln; return; }
+            if (last_op != 0xFFFFFFFF) {
+                uint32_t v = ((uint32_t)last_ln << 4) | last_op;
+                rs.cigbuf.insert(rs.cigbuf.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+                n_cig++;
+            }
+            last_op = opcode; last_ln = ln;
+        };
+        auto flush_ops = [&]() {
+            if (last_op != 0xFFFFFFFF) {
+                uint32_t v = ((uint32_t)last_ln << 4) | last_op;
+                rs.cigbuf.insert(rs.cigbuf.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+                n_cig++;
+                last_op = 0xFFFFFFFF; last_ln = 0;
+            }
+        };
+        // op codes: MIDNSHP=X -> 012345678
+        const int OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5,
+                  OP_P = 6;
+        int64_t pos0 = ap - 1;
+        int64_t rpos = 0, gpos = pos0;
+        auto ref_base_at = [&](int64_t rp) -> char {
+            int64_t i = rp - ref_offset;
+            if (ref_seq && i >= 0 && i < ref_len) return (char)ref_seq[i];
+            return 'N';
+        };
+        auto fill_match = [&](int64_t n) {
+            for (int64_t k = 0; k < n; k++)
+                rs.seq[rpos + k] = (uint8_t)ref_base_at(gpos + k);
+            add_op(OP_M, n);
+            rpos += n; gpos += n;
+        };
+        if (!(bf & 4)) {
+            for (auto& f : rs.feats) {
+                if (f.fp - 1 > rpos) fill_match(f.fp - 1 - rpos);
+                switch (f.fc) {
+                    case 'B':
+                        if (rpos < rl) { rs.seq[rpos] = f.b2[0];
+                            rs.qual_overlay.push_back({rpos, f.b2[1]}); }
+                        add_op(OP_M, 1); rpos++; gpos++;
+                        break;
+                    case 'X':
+                        if (rpos < rl)
+                            rs.seq[rpos] = (uint8_t)sub_base(sub_matrix,
+                                ref_base_at(gpos), (int)f.ival);
+                        add_op(OP_M, 1); rpos++; gpos++;
+                        break;
+                    case 'I':
+                        for (int64_t k = 0; k < f.blen && rpos + k < rl; k++)
+                            rs.seq[rpos + k] = f.bytes[k];
+                        add_op(OP_I, f.blen); rpos += f.blen;
+                        break;
+                    case 'i':
+                        if (rpos < rl) rs.seq[rpos] = (uint8_t)f.ival;
+                        add_op(OP_I, 1); rpos++;
+                        break;
+                    case 'S':
+                        for (int64_t k = 0; k < f.blen && rpos + k < rl; k++)
+                            rs.seq[rpos + k] = f.bytes[k];
+                        add_op(OP_S, f.blen); rpos += f.blen;
+                        break;
+                    case 'b':
+                        for (int64_t k = 0; k < f.blen && rpos + k < rl; k++)
+                            rs.seq[rpos + k] = f.bytes[k];
+                        add_op(OP_M, f.blen); rpos += f.blen; gpos += f.blen;
+                        break;
+                    case 'q':
+                        for (int64_t k = 0; k < f.blen; k++)
+                            if (f.fp - 1 + k >= 0 && f.fp - 1 + k < rl)
+                                rs.qual_overlay.push_back({f.fp - 1 + k,
+                                                           f.bytes[k]});
+                        break;
+                    case 'Q':
+                        if (f.fp - 1 >= 0 && f.fp - 1 < rl)
+                            rs.qual_overlay.push_back({f.fp - 1,
+                                                       (uint8_t)f.ival});
+                        break;
+                    case 'D': add_op(OP_D, f.ival); gpos += f.ival; break;
+                    case 'N': add_op(OP_N, f.ival); gpos += f.ival; break;
+                    case 'P': add_op(OP_P, f.ival); break;
+                    case 'H': add_op(OP_H, f.ival); break;
+                }
+            }
+            if (rpos < rl) fill_match(rl - rpos);
+        }
+        flush_ops();
+
+        // quals resolution
+        if (qs_stored) {
+            // keep rs.quals
+        } else if (!rs.qual_overlay.empty()) {
+            rs.quals.assign((size_t)rl, 0xFF);
+            for (auto& kv : rs.qual_overlay) rs.quals[kv.first] = kv.second;
+        } else {
+            rs.quals.assign((size_t)rl, 0xFF);
+        }
+
+        // flags / mate (detached here; NF links patched in the second pass)
+        uint16_t flag = (uint16_t)bf;
+        int32_t next_ref = -1; int64_t next_pos = -1, tlen = 0;
+        if (cf & CF_DETACHED) {
+            if (mf & MF_MATE_REVERSED) flag |= 0x20;
+            if (mf & MF_MATE_UNMAPPED) flag |= 0x8;
+            next_ref = (int32_t)ns; next_pos = np - 1; tlen = ts;
+        }
+
+        // RG:Z reconstruction (io/cram.py:1065-1069)
+        if (rg >= 0 && rg < n_rg && !has_rg) {
+            rs.aux.push_back('R'); rs.aux.push_back('G'); rs.aux.push_back('Z');
+            const uint8_t* rgid = rg_buf + rg_off[rg];
+            int64_t rgl = rg_off[rg + 1] - rg_off[rg];
+            rs.aux.insert(rs.aux.end(), rgid, rgid + rgl);
+            rs.aux.push_back(0);
+        }
+
+        // MD/NM regeneration (io/cram.py:777-820) when mapped + ref present
+        int64_t ref_span = 0;
+        {
+            const uint8_t* cp = rs.cigbuf.data();
+            for (int64_t k = 0; k < n_cig; k++) {
+                uint32_t v; memcpy(&v, cp + 4 * k, 4);
+                int opc = v & 0xF; int64_t ln = v >> 4;
+                if (opc == OP_M || opc == OP_D || opc == OP_N || opc == 7 ||
+                    opc == 8)
+                    ref_span += ln;
+            }
+        }
+        if (!(bf & 4) && ref_seq && (!has_md || !has_nm)) {
+            rs.md.clear();
+            int64_t nm = 0, match_run = 0, rp = 0, gp = pos0;
+            auto md_num = [&](int64_t v) {
+                char tmp[24]; int tn = snprintf(tmp, sizeof tmp, "%lld",
+                                                (long long)v);
+                rs.md.insert(rs.md.end(), tmp, tmp + tn);
+            };
+            const uint8_t* cp = rs.cigbuf.data();
+            for (int64_t k = 0; k < n_cig; k++) {
+                uint32_t v; memcpy(&v, cp + 4 * k, 4);
+                int opc = v & 0xF; int64_t ln = v >> 4;
+                if (opc == OP_M || opc == 7 || opc == 8) {
+                    int64_t prev_end = 0;
+                    for (int64_t x = 0; x < ln; x++) {
+                        char rb = ref_base_at(gp + x);
+                        if ((char)rs.seq[rp + x] != rb) {
+                            md_num(match_run + (x - prev_end));
+                            rs.md.push_back((uint8_t)rb);
+                            match_run = 0; prev_end = x + 1; nm++;
+                        }
+                    }
+                    match_run += ln - prev_end;
+                    rp += ln; gp += ln;
+                } else if (opc == OP_I) {
+                    nm += ln; rp += ln;
+                } else if (opc == OP_D) {
+                    md_num(match_run); match_run = 0;
+                    rs.md.push_back('^');
+                    for (int64_t x = 0; x < ln; x++)
+                        rs.md.push_back((uint8_t)ref_base_at(gp + x));
+                    nm += ln; gp += ln;
+                } else if (opc == OP_N) {
+                    gp += ln;
+                } else if (opc == OP_S) {
+                    rp += ln;
+                }
+            }
+            md_num(match_run);
+            if (!has_md) {
+                rs.aux.push_back('M'); rs.aux.push_back('D'); rs.aux.push_back('Z');
+                rs.aux.insert(rs.aux.end(), rs.md.begin(), rs.md.end());
+                rs.aux.push_back(0);
+            }
+            if (!has_nm) {
+                rs.aux.push_back('N'); rs.aux.push_back('M'); rs.aux.push_back('i');
+                int32_t nm32 = (int32_t)nm;
+                rs.aux.insert(rs.aux.end(), (uint8_t*)&nm32, (uint8_t*)&nm32 + 4);
+            }
+        }
+
+        // ---- serialize BAM record ----
+        if (name_n + 1 > 254) return CRAM_UNSUPPORTED;
+        int64_t l_read_name = name_n + 1;
+        int64_t seq_bytes = (rl + 1) / 2;
+        int64_t body = 32 + l_read_name + 4 * n_cig + seq_bytes + rl
+                       + (int64_t)rs.aux.size();
+        if (op + 4 + body > out_cap) return CRAM_OVERFLOW;
+        uint8_t* w = out + op;
+        int32_t i32; uint16_t u16;
+        i32 = (int32_t)body; memcpy(w, &i32, 4); w += 4;
+        i32 = (int32_t)ref_id; memcpy(w, &i32, 4); w += 4;
+        i32 = (int32_t)pos0; memcpy(w, &i32, 4); w += 4;
+        int64_t end_for_bin = pos0 + (ref_span > 0 ? ref_span : 1);
+        *w++ = (uint8_t)l_read_name;
+        *w++ = (uint8_t)mq;
+        u16 = (uint16_t)reg2bin(pos0 > 0 ? pos0 : 0,
+                                end_for_bin > 1 ? end_for_bin : 1);
+        memcpy(w, &u16, 2); w += 2;
+        u16 = (uint16_t)n_cig; memcpy(w, &u16, 2); w += 2;
+        u16 = flag; memcpy(w, &u16, 2); w += 2;
+        i32 = (int32_t)rl; memcpy(w, &i32, 4); w += 4;
+        i32 = next_ref; memcpy(w, &i32, 4); w += 4;
+        i32 = (int32_t)next_pos; memcpy(w, &i32, 4); w += 4;
+        i32 = (int32_t)tlen; memcpy(w, &i32, 4); w += 4;
+        if (name_n) { memcpy(w, name_store.data(), name_n); w += name_n; }
+        *w++ = 0;
+        if (n_cig) { memcpy(w, rs.cigbuf.data(), 4 * n_cig); w += 4 * n_cig; }
+        for (int64_t k = 0; k < rl; k += 2) {
+            uint8_t hi = NT16[rs.seq[k]];
+            uint8_t lo = (k + 1 < rl) ? NT16[rs.seq[k + 1]] : 0;
+            *w++ = (uint8_t)((hi << 4) | lo);
+        }
+        if (rl) { memcpy(w, rs.quals.data(), rl); w += rl; }
+        if (!rs.aux.empty()) {
+            memcpy(w, rs.aux.data(), rs.aux.size()); w += rs.aux.size();
+        }
+
+        rm.out_off = op; rm.out_len = 4 + body;
+        rm.ref_id = (int32_t)ref_id; rm.pos = pos0;
+        rm.endpos = pos0 + (ref_span > 0 ? ref_span : 1);
+        rm.flag = flag; rm.cf = (int32_t)cf; rm.nf = nf;
+        rm.unmapped = (bf & 4) != 0;
+        op += 4 + body;
+    }
+
+    // ---- two-sided NF mate fixups (io/cram.py:1003-1024) ----
+    for (int i = 0; i < n_records; i++) {
+        RecMeta& a = rms[i];
+        if ((a.cf & CF_DETACHED) || a.nf < 0) continue;
+        int64_t j = i + a.nf + 1;
+        if (j >= n_records) continue;
+        RecMeta& b = rms[j];
+        // upstream record a: next fields from mate b (done in _to_bam_record
+        // for the Python path; here both sides patch in this pass)
+        uint8_t* wa = out + a.out_off;
+        uint8_t* wb = out + b.out_off;
+        int32_t i32; uint16_t u16;
+        // a.next_refID/next_pos = b
+        i32 = b.ref_id; memcpy(wa + 24, &i32, 4);
+        i32 = (int32_t)b.pos; memcpy(wa + 28, &i32, 4);
+        uint16_t aflag = a.flag, bflag = b.flag;
+        if (bflag & 0x10) aflag |= 0x20;
+        if (bflag & 0x4) aflag |= 0x8;
+        // b.next = a
+        i32 = a.ref_id; memcpy(wb + 24, &i32, 4);
+        i32 = (int32_t)a.pos; memcpy(wb + 28, &i32, 4);
+        if (aflag & 0x10) bflag |= 0x20;
+        if (aflag & 0x4) bflag |= 0x8;
+        u16 = aflag; memcpy(wa + 18, &u16, 2);
+        u16 = bflag; memcpy(wb + 18, &u16, 2);
+        a.flag = aflag; b.flag = bflag;
+        int64_t left = a.pos < b.pos ? a.pos : b.pos;
+        int64_t right = a.endpos > b.endpos ? a.endpos : b.endpos;
+        int64_t span = right - left;
+        int32_t ta = (a.pos <= b.pos) ? (int32_t)span : (int32_t)-span;
+        i32 = ta; memcpy(wa + 32, &i32, 4);
+        i32 = -ta; memcpy(wb + 32, &i32, 4);
+    }
+
+    for (int i = 0; i < n_records; i++) {
+        metas[i * 6 + 0] = rms[i].ref_id;
+        metas[i * 6 + 1] = rms[i].pos;
+        metas[i * 6 + 2] = rms[i].endpos;
+        metas[i * 6 + 3] = rms[i].out_off;
+        metas[i * 6 + 4] = rms[i].out_len;
+        metas[i * 6 + 5] = rms[i].unmapped ? 1 : 0;
+    }
+    return op;
+}

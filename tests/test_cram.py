@@ -506,3 +506,108 @@ def test_cram_nf_linked_mates_decode_both_sides():
     a.tlen, b.tlen = span, -span
     assert a.next_pos == 200 and a.flag & 0x20  # mate reversed
     assert b.next_pos == 100 and b.tlen == -104 and a.tlen == 104
+
+
+def _spool_both_ways(cram, tmp_path, monkeypatch):
+    """(native spool bytes, python spool bytes) for one CRAM."""
+    from pomfret_tpu.io import cram as C
+    outs = []
+    for tag, env in (("nat", None), ("py", "1")):
+        C._SPOOL_CACHE.clear()
+        d = str(tmp_path / f"sp_{tag}")
+        os.makedirs(d, exist_ok=True)
+        monkeypatch.setenv("POMFRET_SPOOL_DIR", d)
+        if env:
+            monkeypatch.setenv("POMFRET_NO_NATIVE_CRAM", env)
+        else:
+            monkeypatch.delenv("POMFRET_NO_NATIVE_CRAM", raising=False)
+        p = C.spool_path(cram)
+        with open(p, "rb") as f:
+            outs.append(f.read())
+        with open(p + ".bai", "rb") as f:
+            outs.append(f.read())
+    C._SPOOL_CACHE.clear()
+    return outs
+
+
+def test_cram_native_spool_matches_python(scenario, tmp_path, monkeypatch):
+    """The C++ slice decoder (cram_decode_slice) must transcode to a BAM
+    spool byte-identical to the per-record Python loop, index included."""
+    from pomfret_tpu.io import native
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "ns.cram")
+    bam_to_cram(bam, cram, embed_ref=True)
+    nb, nbai, pb, pbai = _spool_both_ways(cram, tmp_path, monkeypatch)
+    assert nb == pb, "native CRAM spool differs from Python spool"
+    assert nbai == pbai
+
+
+def test_cram_native_spool_fuzz_and_unmapped(tmp_path, monkeypatch):
+    """Native spool equality on the hard content: mixed CIGARs (S/I/D/N/P/H),
+    IUPAC bases, every aux type, detached mates, unmapped reads, multiple
+    chromosomes/slices, and the 'B' feature style + no-ref mode."""
+    import random
+    from pomfret_tpu.io import native
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    from pomfret_tpu.io.bam_writer import BamWriter
+    from pomfret_tpu.io.records import make_record
+
+    rng = random.Random(777)
+    bam = str(tmp_path / "nf.bam")
+    refs = ["cA", "cB"]
+    lens = [50_000, 30_000]
+    recs = []
+    for tid in (0, 1):
+        pos = 100
+        for k in range(80):
+            L = rng.randint(30, 300)
+            cig = []
+            left = L
+            if rng.random() < 0.3:
+                s = rng.randint(1, min(10, left - 1)); cig.append(("S", s)); left -= s
+            m1 = rng.randint(1, left); cig.append(("M", m1)); left -= m1
+            while left > 0:
+                op = rng.choice(["M", "I", "D", "N", "M", "M"])
+                if op in ("M", "I"):
+                    n = rng.randint(1, left); left -= n
+                else:
+                    n = rng.randint(1, 50)
+                if cig and cig[-1][0] == op:
+                    cig[-1] = (op, cig[-1][1] + n)
+                else:
+                    cig.append((op, n))
+            if rng.random() < 0.15:
+                cig.insert(0, ("H", rng.randint(1, 5)))
+            L = sum(n for op, n in cig if op in ("M", "I", "S", "=", "X"))
+            seq = "".join(rng.choices("ACGTNRYKM",
+                                      weights=[8, 8, 8, 8, 1, 1, 1, 1, 1], k=L))
+            flag = rng.choice([0, 16, 1 | 32, 1 | 16 | 8, 4])
+            if flag & 4:
+                cig = []
+            tags = [("HP", "i", rng.randint(1, 2)),
+                    ("de", "f", rng.random() / 10),
+                    ("XA", "A", rng.choice("xyz")),
+                    ("XB", "B:S", [rng.randint(0, 65535) for _ in range(3)]),
+                    ("XZ", "Z", "s" * rng.randint(0, 5))]
+            r = make_record(f"nf{tid}_{k}", tid, pos, seq, cig,
+                            flag=flag, mapq=rng.randint(0, 60), tags=tags)
+            if flag & 1:
+                r.next_refID = tid
+                r.next_pos = pos + 500
+                r.tlen = rng.randint(-1000, 1000)
+            recs.append(r)
+            pos += rng.randint(10, 120)
+    with BamWriter(bam, refs, lens) as w:
+        for r in recs:
+            w.write(r)
+    for mode in ({"embed_ref": True}, {"no_ref": True},
+                 {"embed_ref": True, "feature_style": "B"}):
+        name = "_".join(f"{k}" for k in mode)
+        cram = str(tmp_path / f"nf_{name}.cram")
+        bam_to_cram(bam, cram, records_per_slice=37, **mode)
+        nb, nbai, pb, pbai = _spool_both_ways(cram, tmp_path, monkeypatch)
+        assert nb == pb, f"native spool differs ({mode})"
+        assert nbai == pbai, f"native spool index differs ({mode})"

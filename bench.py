@@ -20,7 +20,8 @@ the e2e one is the apples-to-apples comparison.
 
 Env knobs: BENCH_GAPS (device-loop lanes, default 512), BENCH_ITERS,
 BENCH_ROUNDS, BENCH_E2E_ROUNDS (default 2), BENCH_SKIP_E2E=1,
-BENCH_SKIP_DEVICE=1.
+BENCH_SKIP_DEVICE=1, BENCH_SCALE=N (N=5 -> 1,050 gaps incl. a dense 110x
+chromosome with 1,000+ read windows).
 """
 import json
 import os
@@ -124,18 +125,30 @@ def build_scale_dataset():
     Reads are 20 kb so the default coverage estimator (len>=15000 filter,
     blockjoin.c:951-1040) and readlen_threshold both apply unmodified —
     the bench exercises the stock defaults end to end. Generated once into
-    .bench_data/ (~28k reads)."""
+    .bench_data/ (~28k reads).
+
+    BENCH_SCALE=N multiplies the gap count per chromosome and (for N>1)
+    adds a dense 110x chromosome whose windows carry 1,000+ reads — the
+    closer-to-WGS configuration of VERDICT r2 item 7 (N=5 -> 1,050 gaps,
+    mixed R buckets). Each scale caches separately under .bench_data/."""
     import hashlib
+    scale = int(os.environ.get("BENCH_SCALE", "1"))
+    per_chrom = [
+        {"read_stagger": 700, "cpg_every": 100, "read_len": 20_000},
+        {"read_stagger": 1000, "cpg_every": 120, "read_len": 20_000,
+         "noise": 0.02, "nocall": 0.02},
+        {"read_stagger": 1400, "cpg_every": 160, "read_len": 20_000},
+        {"read_stagger": 2000, "cpg_every": 200, "read_len": 20_000,
+         "noise": 0.03, "nocall": 0.03},
+    ]
+    if scale > 1:
+        # ~110x: a 130 kb gap window holds (130k + 20k) / (180/2) ~= 1.6k
+        # reads — the 1,000+ read bucket the 200-gap set never exercises
+        per_chrom.append({"read_stagger": 180, "cpg_every": 120,
+                          "read_len": 20_000, "noise": 0.02})
     params = dict(
-        n_blocks=51, block_len=60_000, gap_len=30_000,
-        per_chrom=[
-            {"read_stagger": 700, "cpg_every": 100, "read_len": 20_000},
-            {"read_stagger": 1000, "cpg_every": 120, "read_len": 20_000,
-             "noise": 0.02, "nocall": 0.02},
-            {"read_stagger": 1400, "cpg_every": 160, "read_len": 20_000},
-            {"read_stagger": 2000, "cpg_every": 200, "read_len": 20_000,
-             "noise": 0.03, "nocall": 0.03},
-        ])
+        n_blocks=50 * scale + 1, block_len=60_000, gap_len=30_000,
+        per_chrom=per_chrom)
     key = hashlib.sha1(
         json.dumps(params, sort_keys=True).encode()).hexdigest()[:12]
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -155,7 +168,7 @@ def build_scale_dataset():
             bam_threads=max(2, (os.cpu_count() or 2)), bam_name="scale.bam")
         sys.stderr.write(f"[bench] dataset generated in {time.time()-t0:.0f}s "
                          f"({os.path.getsize(bam) >> 20} MB BAM)\n")
-    n_gaps = 4 * (params["n_blocks"] - 1)
+    n_gaps = len(params["per_chrom"]) * (params["n_blocks"] - 1)
     return bam, vcf, n_gaps
 
 

@@ -286,6 +286,22 @@ def _get_mmr_of_read_walk(read: Read, ms: Methmers) -> Tuple[List[int], int]:
     return out, start_pos_i
 
 
+def extract_mmr_arrays(rs: ReadSet, ms: Methmers):
+    """Native batch methmer extraction WITHOUT storing onto the Read
+    objects: {mers, off, n, start_i} columnar arrays, or None (native lib
+    unavailable / POMFRET_NO_NATIVE_MMR=1). The device packers consume the
+    arrays directly (build_gap_device_data mmr_arrays=), skipping the
+    store -> per-read concat -> wipe round-trip of the object path."""
+    if rs.n == 0 or os.environ.get("POMFRET_NO_NATIVE_MMR"):
+        return None
+    from ..io import native
+    if not native.native_available():
+        return None
+    calls, quals, call_off, call_n = rs.concat_calls()
+    return native.mmr_extract_reads(ms.sites_starts, ms.mmr_lens,
+                                    calls, quals, call_off, call_n)
+
+
 def store_mmr_of_reads(rs: ReadSet, ms: Methmers) -> None:
     if rs.has_mmr:
         raise RuntimeError("storing methmers when read set already has them")

@@ -81,14 +81,62 @@ class GapDeviceData:
     max0: int
 
 
-def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
-                          pad_r: Optional[int] = None,
-                          pad_s: Optional[int] = None) -> GapDeviceData:
-    """Pack one direction of one gap. Assumes store_mmr_of_reads(rs, ms) ran."""
+def _grid_from_arrays(read_rows: np.ndarray, lens: np.ndarray,
+                      start_is: np.ndarray, keys: np.ndarray,
+                      inv_perm: np.ndarray, R: int, SP: int):
+    """Dense per-site mer-id grid from per-read methmer arrays.
+
+    read_rows/lens/start_is: one entry per read WITH methmers (original
+    read ids, run lengths, first site indices); keys: their methmers
+    concatenated in read order. Returns (ids, has_mmr, max_d)."""
+    has_mmr = np.zeros(R, dtype=bool)
+    if len(read_rows) == 0:
+        return np.full((R, SP), INVALID_ID, dtype=np.int8), has_mmr, 1
+    # scol[k] = read's mmr_start_i + within-read offset, one repeat+arange
+    total = int(lens.sum())
+    run_start = np.repeat(np.cumsum(lens) - lens, lens)
+    rrow = np.repeat(read_rows, lens)
+    scol = (np.repeat(start_is, lens)
+            + np.arange(total, dtype=np.int64) - run_start)
+    keys = keys.astype(np.int64)
+    seq = np.arange(len(keys), dtype=np.int64)
+    # a (site, key) pair's dense id is its first-appearance rank within the
+    # site, matching the insertion order of the reference's per-site linear
+    # dictionaries (mmr_t insert, blockjoin.c:3453-3486 — reads in storage
+    # order, mers left to right). int8 grid when the dictionary fits: the
+    # (R,SP) memset + the (G,R,S) batch copy are a quarter the bytes.
+    order = np.lexsort((seq, keys, scol))
+    ss, ks, qs = scol[order], keys[order], seq[order]
+    new = np.empty(len(ss), dtype=bool)
+    new[0] = True
+    new[1:] = (ss[1:] != ss[:-1]) | (ks[1:] != ks[:-1])
+    pair_of_triple = np.cumsum(new) - 1
+    first_seq = qs[new]
+    pair_site = ss[new]
+    o2 = np.lexsort((first_seq, pair_site))
+    m_pairs = len(o2)
+    site_change = np.empty(m_pairs, dtype=bool)
+    site_change[0] = True
+    ps_sorted = pair_site[o2]
+    site_change[1:] = ps_sorted[1:] != ps_sorted[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(site_change, np.arange(m_pairs), 0))
+    rank_sorted = np.arange(m_pairs) - grp_start
+    dense_of_pair = np.empty(m_pairs, dtype=np.int64)
+    dense_of_pair[o2] = rank_sorted
+    dense = np.empty(len(keys), dtype=np.int64)
+    dense[order] = dense_of_pair[pair_of_triple]
+    max_d = int(rank_sorted.max()) + 1
+    dt = np.int8 if max_d <= 127 else np.int32
+    ids = np.full((R, SP), INVALID_ID, dtype=dt)
+    ids[inv_perm[rrow], scol] = dense.astype(dt)
+    has_mmr[inv_perm[read_rows]] = True
+    return ids, has_mmr, max_d
+
+
+def _scan_perm(rs: ReadSet, direction: int, R: int):
+    """(perm, inv_perm, q_break) for one direction's candidate-scan order."""
     n = rs.n
-    S = ms.n
-    R = pad_r or max(n, 1)
-    SP = pad_s or max(S, 1)
     if direction == 0:
         scan_list = list(range(n))
         q_break = n
@@ -99,58 +147,44 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     perm[:n] = scan_list
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[perm[:n]] = np.arange(n)
+    return perm, inv_perm, q_break
 
-    # dense per-site mer-id assignment, vectorized: a (site, key) pair's id
-    # is its first-appearance rank within the site, matching the insertion
-    # order of the reference's per-site linear dictionaries (mmr_t insert,
-    # blockjoin.c:3453-3486 — reads in storage order, mers left to right).
-    # The grid allocates int8 when the dictionary fits (the common case):
-    # the (R,SP) memset + the later (G,R,S) batch copy are a quarter the
-    # bytes, and batch packing ships int8 to the device anyway.
-    has_mmr = np.zeros(R, dtype=bool)
-    reads_with = [r for r in rs.reads if r.mmr_n]
-    max_d = 1
-    ids = None
-    if reads_with:
-        lens = np.array([r.mmr_n for r in reads_with], dtype=np.int64)
-        rrow = np.repeat(np.array([r.i for r in reads_with], dtype=np.int64),
-                         lens)
-        # scol[k] = read's mmr_start_i + within-read offset, one repeat+arange
+
+def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
+                          pad_r: Optional[int] = None,
+                          pad_s: Optional[int] = None,
+                          mmr_arrays=None) -> GapDeviceData:
+    """Pack one direction of one gap. Either store_mmr_of_reads(rs, ms) ran,
+    or `mmr_arrays` carries the native batch-extraction result
+    (core.methmer.extract_mmr_arrays) — the fast path skips the
+    store/concat/wipe round-trip through the Read objects."""
+    n = rs.n
+    S = ms.n
+    R = pad_r or max(n, 1)
+    SP = pad_s or max(S, 1)
+    perm, inv_perm, q_break = _scan_perm(rs, direction, R)
+
+    if mmr_arrays is not None:
+        sel = np.flatnonzero(mmr_arrays["n"] > 0)
+        lens = mmr_arrays["n"][sel].astype(np.int64)
         total = int(lens.sum())
-        run_start = np.repeat(np.cumsum(lens) - lens, lens)
-        scol = (np.repeat(np.array([r.mmr_start_i for r in reads_with],
-                                   dtype=np.int64), lens)
-                + np.arange(total, dtype=np.int64) - run_start)
-        keys = np.concatenate([r.mmr for r in reads_with]).astype(np.int64)
-        seq = np.arange(len(keys), dtype=np.int64)
-        order = np.lexsort((seq, keys, scol))
-        ss, ks, qs = scol[order], keys[order], seq[order]
-        new = np.empty(len(ss), dtype=bool)
-        new[0] = True
-        new[1:] = (ss[1:] != ss[:-1]) | (ks[1:] != ks[:-1])
-        pair_of_triple = np.cumsum(new) - 1
-        first_seq = qs[new]
-        pair_site = ss[new]
-        o2 = np.lexsort((first_seq, pair_site))
-        m_pairs = len(o2)
-        site_change = np.empty(m_pairs, dtype=bool)
-        site_change[0] = True
-        ps_sorted = pair_site[o2]
-        site_change[1:] = ps_sorted[1:] != ps_sorted[:-1]
-        grp_start = np.maximum.accumulate(
-            np.where(site_change, np.arange(m_pairs), 0))
-        rank_sorted = np.arange(m_pairs) - grp_start
-        dense_of_pair = np.empty(m_pairs, dtype=np.int64)
-        dense_of_pair[o2] = rank_sorted
-        dense = np.empty(len(keys), dtype=np.int64)
-        dense[order] = dense_of_pair[pair_of_triple]
-        max_d = int(rank_sorted.max()) + 1
-        dt = np.int8 if max_d <= 127 else np.int32
-        ids = np.full((R, SP), INVALID_ID, dtype=dt)
-        ids[inv_perm[rrow], scol] = dense.astype(dt)
-        has_mmr[inv_perm[[r.i for r in reads_with]]] = True
-    if ids is None:
-        ids = np.full((R, SP), INVALID_ID, dtype=np.int8)
+        offs = mmr_arrays["off"][sel]
+        gidx = (np.repeat(offs, lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens))
+        ids, has_mmr, max_d = _grid_from_arrays(
+            sel.astype(np.int64), lens,
+            mmr_arrays["start_i"][sel].astype(np.int64),
+            mmr_arrays["mers"][gidx], inv_perm, R, SP)
+    else:
+        reads_with = [r for r in rs.reads if r.mmr_n]
+        ids, has_mmr, max_d = _grid_from_arrays(
+            np.array([r.i for r in reads_with], dtype=np.int64),
+            np.array([r.mmr_n for r in reads_with], dtype=np.int64),
+            np.array([r.mmr_start_i for r in reads_with], dtype=np.int64),
+            np.concatenate([r.mmr for r in reads_with])
+            if reads_with else np.zeros(0, dtype=np.int64),
+            inv_perm, R, SP)
 
     # step 1 seeds (blockjoin.c:3976-4004)
     if direction == 0:
@@ -719,9 +753,15 @@ def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1,
     for direction in (1, 0):
         for j, (i, rs, ms_fwd, ms_bwd) in enumerate(loaded):
             ms = ms_fwd if direction == 0 else ms_bwd
-            store_mmr_of_reads(rs, ms)
-            dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
-            wipe_mmr_of_reads(rs)
+            from ..core.methmer import extract_mmr_arrays
+            res = extract_mmr_arrays(rs, ms)
+            if res is not None:
+                dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s,
+                                           mmr_arrays=res)
+            else:
+                store_mmr_of_reads(rs, ms)
+                dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)
+                wipe_mmr_of_reads(rs)
             if n_permutations == 1:
                 datas.append(dd)
                 continue

@@ -560,19 +560,58 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
         for c0 in range(0, len(idxs), group):
             plan.append((ji, idxs[c0 : c0 + group]))
 
+    src_state = {"ji": None, "src": None}  # producer-local, one job at a time
+
+    def _chrom_source(ji):
+        """Whole-chromosome columnar source for job ji, or None.
+
+        Used when this job's gap windows (± READBACK halos) would touch
+        most of the chromosome anyway — then one segmented decode beats
+        re-decoding every halo-overlapping read per window (~1.4x) and
+        the per-window native-call round trips. POMFRET_CHROM_SCAN=1
+        forces it on, POMFRET_NO_CHROM_SCAN=1 off."""
+        if src_state["ji"] == ji:
+            return src_state["src"]
+        src_state["ji"] = ji
+        src_state["src"] = None
+        job = jobs[ji]
+        if not _os.environ.get("POMFRET_CHROM_SCAN"):
+            tid = bam.ref_id(job["ref_name"]) if hasattr(bam, "ref_id") else -1
+            if tid < 0:
+                return None
+            ref_len = bam.ref_lens[tid]
+            rg = job["rg"]
+            span = sum(min(rg.ends[i] + READBACK, ref_len)
+                       - max(rg.starts[i] - READBACK, 0)
+                       for i in job["indices"])
+            if span < 0.5 * ref_len:
+                return None
+        from ..core.readset import ChromReadSource
+        src = ChromReadSource(bam, job["ref_name"], job["cfg"])
+        src_state["src"] = src if src.ok else None
+        return src_state["src"]
+
     def _load_chunk(ji, chunk):
         job = jobs[ji]
         ref_name, rg, cfg = job["ref_name"], job["rg"], job["cfg"]
 
-        def _load_one(i):
-            rs = load_reads_given_interval(
-                bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
-                st.qname2haptag_raw if st.stores_raw_tag else None)
+        def _load_one(i, src=None):
+            if src is not None:
+                rs = src.window(rg.starts[i], rg.ends[i], READBACK,
+                                st.qname2haptag_raw if st.stores_raw_tag
+                                else None)
+            else:
+                rs = load_reads_given_interval(
+                    bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
+                    st.qname2haptag_raw if st.stores_raw_tag else None)
             ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
             ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
             return i, rs, ms_fwd, ms_bwd
 
         with stage("window_load"):
+            src = _chrom_source(ji)
+            if src is not None:
+                return [_load_one(i, src) for i in chunk]
             if n_load_threads > 1 and len(chunk) > 1:
                 import concurrent.futures as _fut
                 with _fut.ThreadPoolExecutor(n_load_threads) as ex:

@@ -370,3 +370,63 @@ def test_varhaptag_native_missing_md_raises(tmp_path):
     kv = [Variant(105, VAR_OP_X, 1, (0,), 0)]
     with pytest.raises(ValueError, match="lacks MD tag"):
         pre_haplotagging_read_in_one_ref(BamReader(p), "c1", kv, {})
+
+
+def test_chrom_source_matches_per_window_loads(tmp_path):
+    """ChromReadSource (whole-chromosome segmented decode, sliced per gap)
+    must produce ReadSets identical to load_reads_given_interval for every
+    window — incl. boundary classification, HP semantics, the coverage
+    gate, raw-tag overrides and small-segment boundaries."""
+    from pomfret_tpu.core.readset import ChromReadSource
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    bamr = BamReader(bam)
+    gs, ge = truth["gap"]
+    # small segments force many segment boundaries across the 200 kb region
+    src = ChromReadSource(bamr, "chr1", cfg, seg_len=13_000)
+    assert src.ok
+    windows = [(gs, ge), (gs - 7000, ge + 9000), (100, 9000),
+               (180_000, 199_000), (0, 200_000)]
+    for s, e in windows:
+        direct = _snap(load_reads_given_interval(bamr, "chr1", s, e,
+                                                 READBACK, cfg))
+        sliced = _snap(src.window(s, e, READBACK))
+        assert direct == sliced, f"window {s}-{e} differs"
+    # raw-tag override path
+    raw = {r[0]: i % 3 for i, r in enumerate(
+        _snap(load_reads_given_interval(bamr, "chr1", gs, ge, READBACK,
+                                        cfg))["reads"])}
+    d = _snap(load_reads_given_interval(bamr, "chr1", gs, ge, READBACK,
+                                        cfg, raw))
+    s_ = _snap(src.window(gs, ge, READBACK, raw))
+    assert d == s_
+    # unknown chromosome -> ok source with empty windows
+    src2 = ChromReadSource(bamr, "chrMissing", cfg)
+    assert src2.ok
+    assert _snap(src2.window(gs, ge, READBACK))["reads"] == []
+
+
+def test_pipeline_chrom_scan_end_to_end(tmp_path):
+    """Forcing POMFRET_CHROM_SCAN=1 through the batched jax pipeline gives
+    identical decisions/tags to the per-window loads."""
+    import jax
+    from pomfret_tpu.pipeline import CliOpt, main_blockjoin
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    outs = []
+    for tag, env in (("scan", "1"), ("win", None)):
+        if env:
+            os.environ["POMFRET_CHROM_SCAN"] = env
+        else:
+            os.environ.pop("POMFRET_CHROM_SCAN", None)
+            os.environ["POMFRET_NO_CHROM_SCAN"] = "1"
+        try:
+            opt = CliOpt(fn_vcf=vcf, fn_bam=bam, cov=50,
+                         output_prefix=str(tmp_path / f"o_{tag}"),
+                         engine="jax")
+            main_blockjoin(opt)
+        finally:
+            os.environ.pop("POMFRET_CHROM_SCAN", None)
+            os.environ.pop("POMFRET_NO_CHROM_SCAN", None)
+        outs.append((open(str(tmp_path / f"o_{tag}") + ".mp.gtf").read(),
+                     open(str(tmp_path / f"o_{tag}") + ".mp.vcf").read()))
+    assert outs[0] == outs[1]

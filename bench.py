@@ -208,6 +208,49 @@ def bench_e2e():
     return reads / best, reads, best, n_gaps, stages
 
 
+def bench_cram(bam_wall: float):
+    """CRAM-input leg (BENCH_CRAM=1): transcode the scale dataset to CRAM
+    once, then time (a) the native spool and (b) a warm methphase run from
+    the CRAM input. VERDICT r2 item 3's bar: the CRAM e2e run lands within
+    ~1.5x of the BAM run (the reference reads CRAM at htslib stream speed,
+    blockjoin.c:4609)."""
+    from pomfret_tpu.io import cram as C
+    from pomfret_tpu.pipeline import CliOpt, main_blockjoin
+
+    bam, vcf, n_gaps = build_scale_dataset()
+    cram = bam[:-4] + ".cram"
+    if not os.path.exists(cram):
+        from pomfret_tpu.io.cram_writer import bam_to_cram
+        t0 = time.time()
+        bam_to_cram(bam, cram, embed_ref=True)
+        sys.stderr.write(f"[bench] bam->cram encode {time.time()-t0:.1f}s "
+                         f"(cached)\n")
+    C._SPOOL_CACHE.clear()
+    spool = C.spool_path(cram)
+    for p in (spool, spool + ".bai"):
+        if os.path.exists(p):
+            os.remove(p)
+    C._SPOOL_CACHE.clear()
+    t0 = time.time()
+    C.spool_path(cram)
+    spool_s = time.time() - t0
+    with tempfile.TemporaryDirectory() as od:
+        opt = CliOpt(fn_vcf=vcf, fn_bam=cram,
+                     output_prefix=os.path.join(od, "outc"), engine="jax")
+        wall = float("inf")
+        for _ in range(2):  # warm methodology, same as the BAM leg
+            t0 = time.time()
+            main_blockjoin(opt)
+            wall = min(wall, time.time() - t0)
+    sys.stderr.write(f"[bench] cram: spool {spool_s:.1f}s, "
+                     f"e2e {wall:.1f}s (bam best {bam_wall:.1f}s)\n")
+    return {
+        "cram_spool_s": round(spool_s, 2),
+        "cram_e2e_wall_s": round(wall, 2),
+        "cram_vs_bam_e2e": round(wall / max(bam_wall, 1e-9), 2),
+    }
+
+
 def main():
     import jax
     try:
@@ -239,6 +282,11 @@ def main():
             out["device_loop_reads_per_s"] = round(dev_rps, 1)
             out["device_loop_vs_baseline"] = round(
                 dev_rps / BASELINE_READS_PER_S, 2)
+        if os.environ.get("BENCH_CRAM"):
+            try:
+                out.update(bench_cram(e2e_wall))
+            except Exception as e:  # the CRAM leg must not sink the JSON
+                out["cram_error"] = f"{type(e).__name__}: {e}"
     else:
         out = {
             "metric": "gap_window_reads_haplotag_join_per_s_per_chip",

@@ -109,6 +109,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, i64p, i32p, ctypes.c_int64, i32, i32,
             i64p, i64p, i64p, i64p, i32p, i32,
             i32p, i64p, ctypes.c_int64, i64p, i64p]
+        lib.mer_grid_fill.restype = ctypes.c_int64
+        lib.mer_grid_fill.argtypes = [
+            i64p, i64p, i64p, i64p, ctypes.c_int64,
+            u32p, ctypes.c_int64,
+            i64p, ctypes.c_int64,
+            i8p, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.cram_decode_slice.restype = ctypes.c_int64
         lib.cram_decode_slice.argtypes = [
             u8p, i32p, i64p, i64p, i32,               # ext blocks
@@ -676,3 +682,32 @@ def cram_decode_slice(ch, sl, core_data: bytes, ext_blocks: dict,
             return None  # unsupported/corrupt -> Python fallback
         return out[:r].tobytes(), metas.reshape(n_rec, 6)
     return None
+
+
+def mer_grid_fill(rows: np.ndarray, lens: np.ndarray, starts: np.ndarray,
+                  offs: np.ndarray, mers: np.ndarray, inv_perm: np.ndarray,
+                  R: int, SP: int) -> Optional[tuple]:
+    """Native dense per-site mer-id grid (see mer_grid_fill in
+    pomfret_native.cpp). Returns (ids int8 (R,SP), has_mmr bool (R,), max_d)
+    or None when the lib is absent / a site needs >127 ids (the numpy int32
+    path handles that case)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    mers = np.ascontiguousarray(mers, dtype=np.uint32)
+    inv_perm = np.ascontiguousarray(inv_perm, dtype=np.int64)
+    grid = np.full((R, SP), -1, dtype=np.int8)
+    has = np.zeros(R, dtype=np.uint8)
+    r = lib.mer_grid_fill(
+        _p(rows, ctypes.c_int64), _p(lens, ctypes.c_int64),
+        _p(starts, ctypes.c_int64), _p(offs, ctypes.c_int64), len(rows),
+        _p(mers, ctypes.c_uint32), len(mers),
+        _p(inv_perm, ctypes.c_int64), max(len(inv_perm), 1),
+        _p(grid, ctypes.c_int8), R, SP, _p(has, ctypes.c_uint8))
+    if r < 0:
+        return None
+    return grid, has.astype(bool), int(r)

@@ -2501,3 +2501,83 @@ extern "C" int64_t cram_decode_slice(
     }
     return op;
 }
+
+// ---------------------------------------------------------------------------
+// dense per-site mer-id grid fill (device packing hot loop)
+// ---------------------------------------------------------------------------
+// Replaces the two numpy lexsorts of _grid_from_arrays: a (site, key) pair's
+// dense id is its first-appearance rank within the site, scanning reads in
+// storage order and mers left to right — the insertion order of the
+// reference's per-site linear dictionaries (mmr_t insert,
+// blockjoin.c:3453-3486). Writes ranks into a caller-allocated (R, S) int8
+// grid pre-filled with -1. Returns max_d (dictionary capacity actually
+// used), or -2 when a site needs >127 ids (caller falls back to the numpy
+// int32 path), or -1 on bad input.
+extern "C" int64_t mer_grid_fill(
+    const int64_t* rows, const int64_t* lens, const int64_t* starts,
+    const int64_t* offs, int64_t n_runs,
+    const uint32_t* mers, int64_t n_mers,
+    const int64_t* inv_perm, int64_t n_reads,
+    int8_t* grid, int64_t R, int64_t S,
+    uint8_t* has_mmr) {
+    // entry k of run j: site = starts[j]+k, key = mers[offs[j] + k]
+    int64_t total = 0;
+    for (int64_t j = 0; j < n_runs; j++) {
+        total += lens[j];
+        if (offs[j] < 0 || offs[j] + lens[j] > n_mers) return -1;
+    }
+
+    // bucket entries by site, stable in read-major order
+    std::vector<int32_t> site_cnt((size_t)S + 1, 0);
+    for (int64_t j = 0; j < n_runs; j++) {
+        int64_t s0 = starts[j];
+        for (int64_t k = 0; k < lens[j]; k++) {
+            int64_t s = s0 + k;
+            if (s < 0 || s >= S) return -1;
+            site_cnt[s + 1]++;
+        }
+    }
+    for (int64_t s = 0; s < S; s++) site_cnt[s + 1] += site_cnt[s];
+    std::vector<int32_t> ent_row(total);
+    std::vector<uint32_t> ent_key(total);
+    {
+        std::vector<int32_t> cur(site_cnt.begin(), site_cnt.end() - 1);
+        for (int64_t j = 0; j < n_runs; j++) {
+            int64_t row = rows[j];
+            if (row < 0 || row >= n_reads) return -1;
+            int64_t prow = inv_perm[row];
+            if (prow < 0 || prow >= R) return -1;
+            has_mmr[prow] = 1;
+            int64_t s0 = starts[j];
+            const uint32_t* mj = mers + offs[j];
+            for (int64_t k = 0; k < lens[j]; k++) {
+                int32_t slot = cur[s0 + k]++;
+                ent_row[slot] = (int32_t)prow;
+                ent_key[slot] = mj[k];
+            }
+        }
+    }
+    // per site: linear dictionary in first-appearance order
+    int64_t max_d = 1;
+    std::vector<uint32_t> dict;
+    dict.reserve(64);
+    for (int64_t s = 0; s < S; s++) {
+        int32_t lo = site_cnt[s], hi = site_cnt[s + 1];
+        if (lo == hi) continue;
+        dict.clear();
+        for (int32_t e = lo; e < hi; e++) {
+            uint32_t key = ent_key[e];
+            int32_t id = -1;
+            for (size_t d = 0; d < dict.size(); d++)
+                if (dict[d] == key) { id = (int32_t)d; break; }
+            if (id < 0) {
+                id = (int32_t)dict.size();
+                if (id > 127) return -2;
+                dict.push_back(key);
+            }
+            grid[(int64_t)ent_row[e] * S + s] = (int8_t)id;
+        }
+        if ((int64_t)dict.size() > max_d) max_d = (int64_t)dict.size();
+    }
+    return max_d;
+}

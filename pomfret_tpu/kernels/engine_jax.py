@@ -22,6 +22,7 @@ Batch over gaps with jax.vmap; shard the gap axis over a Mesh (parallel/).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -167,15 +168,24 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     if mmr_arrays is not None:
         sel = np.flatnonzero(mmr_arrays["n"] > 0)
         lens = mmr_arrays["n"][sel].astype(np.int64)
-        total = int(lens.sum())
-        offs = mmr_arrays["off"][sel]
-        gidx = (np.repeat(offs, lens)
-                + np.arange(total, dtype=np.int64)
-                - np.repeat(np.cumsum(lens) - lens, lens))
-        ids, has_mmr, max_d = _grid_from_arrays(
-            sel.astype(np.int64), lens,
-            mmr_arrays["start_i"][sel].astype(np.int64),
-            mmr_arrays["mers"][gidx], inv_perm, R, SP)
+        offs = mmr_arrays["off"][sel].astype(np.int64)
+        starts = mmr_arrays["start_i"][sel].astype(np.int64)
+        from ..io import native as _native
+        res = _native.mer_grid_fill(sel.astype(np.int64), lens, starts,
+                                    offs, mmr_arrays["mers"], inv_perm,
+                                    R, SP) \
+            if not os.environ.get("POMFRET_NO_NATIVE_GRID") else None
+        if res is not None:
+            ids, has_mmr, max_d = res
+        else:
+            # numpy oracle (also the >127-ids-per-site int32 path)
+            total = int(lens.sum())
+            gidx = (np.repeat(offs, lens)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(lens) - lens, lens))
+            ids, has_mmr, max_d = _grid_from_arrays(
+                sel.astype(np.int64), lens, starts,
+                mmr_arrays["mers"][gidx], inv_perm, R, SP)
     else:
         reads_with = [r for r in rs.reads if r.mmr_n]
         ids, has_mmr, max_d = _grid_from_arrays(

@@ -430,3 +430,49 @@ def test_pipeline_chrom_scan_end_to_end(tmp_path):
         outs.append((open(str(tmp_path / f"o_{tag}") + ".mp.gtf").read(),
                      open(str(tmp_path / f"o_{tag}") + ".mp.vcf").read()))
     assert outs[0] == outs[1]
+
+
+def test_mer_grid_fill_matches_numpy_fuzz():
+    """The C++ dense mer-id grid (per-site linear dictionary in
+    first-appearance order) must equal the numpy lexsort construction,
+    including duplicate (row, site) writes and the int8/overflow gate."""
+    import random
+    from pomfret_tpu.kernels.engine_jax import _grid_from_arrays
+    rng = random.Random(99)
+    for trial in range(40):
+        n_reads = rng.randint(1, 40)
+        S = rng.randint(1, 60)
+        R = n_reads + rng.randint(0, 8)
+        SP = S + rng.randint(0, 16)
+        perm = list(range(n_reads))
+        rng.shuffle(perm)
+        inv_perm = np.empty(n_reads, dtype=np.int64)
+        for dev_row, orig in enumerate(perm):
+            inv_perm[orig] = dev_row
+        rows, lens, starts, mers = [], [], [], []
+        for r in range(n_reads):
+            if rng.random() < 0.3:
+                continue
+            ln = rng.randint(1, min(S, 12))
+            st = rng.randint(0, S - ln)
+            rows.append(r)
+            lens.append(ln)
+            starts.append(st)
+            mers.extend(rng.randint(0, 6) for _ in range(ln))
+        rows = np.asarray(rows, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        starts = np.asarray(starts, dtype=np.int64)
+        mers_a = np.asarray(mers, dtype=np.uint32)
+        offs = np.zeros(len(rows), dtype=np.int64)
+        if len(rows) > 1:
+            np.cumsum(lens[:-1], out=offs[1:])
+        ids_np, has_np, d_np = _grid_from_arrays(
+            rows, lens, starts, mers_a, inv_perm, R, SP)
+        res = native.mer_grid_fill(rows, lens, starts, offs, mers_a,
+                                   inv_perm, R, SP)
+        assert res is not None
+        ids_c, has_c, d_c = res
+        assert d_c == d_np, trial
+        assert np.array_equal(has_c, has_np), trial
+        assert np.array_equal(ids_c.astype(np.int32),
+                              ids_np.astype(np.int32)), trial

@@ -275,9 +275,18 @@ class ChromReadSource:
     """
 
     def __init__(self, bam: BamReader, chrom: str, config: MmrConfig,
-                 seg_len: int = 8_000_000):
+                 seg_len: int = 0):
         self.ok = False
         self.chrom = chrom
+        if seg_len <= 0:
+            # Small genomic tiles keep each plain-BAM span (and the native
+            # call's scratch) to tens of MB, so consecutive tiles recycle
+            # the same heap pages (utils/malloc_tune.py) instead of first-
+            # touching a whole-chromosome span — on the virtualized hosts
+            # new-page faults cost ~100x warm ones, so peak footprint, not
+            # inflate throughput, dominated this scan at seg_len=8M.
+            seg_len = int(os.environ.get("POMFRET_CHROM_SEG_LEN",
+                                         1_000_000))
         fwc = getattr(bam, "fetch_window_columnar", None)
         if fwc is None or os.environ.get("POMFRET_NO_NATIVE_WINDOW") \
                 or os.environ.get("POMFRET_NO_CHROM_SCAN"):

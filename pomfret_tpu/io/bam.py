@@ -416,8 +416,13 @@ class BamReader:
                     p_hi = int(c_isize[:k1].sum())
                     return (c_plain[p_lo:p_hi], c_offs[k0:k1],
                             c_isize[k0:k1])
-            if c0 <= b0 < c1 and slice_end > c1:
-                # overlap: inflate only the tail beyond the cache
+            if c0 <= b0 < c1 and slice_end > c1 \
+                    and (c1 - b0) * 2 >= slice_end - b0:
+                # overlap: inflate only the tail beyond the cache. Only
+                # worth it when the cache covers >=half the request — the
+                # merge memcpys the retained prefix into a fresh buffer,
+                # so taking it for a boundary-block sliver (sequential
+                # chrom-scan tiles) would copy ~the whole span per tile.
                 k0 = int(_np.searchsorted(c_offs, b0))
                 if k0 < len(c_offs) and c_offs[k0] == b0:
                     tail = inflate(c1, slice_end)

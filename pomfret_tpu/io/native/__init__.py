@@ -12,6 +12,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ...utils.malloc_tune import keep_memory_resident
+
+# Every native hot path allocates large scratch buffers; keeping them
+# guest-resident across alloc/free cycles is worth seconds per chromosome
+# on the virtualized hosts (see utils/malloc_tune.py).
+keep_memory_resident()
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "pomfret_native.cpp")
 _SO = os.path.join(_HERE, "libpomfret_native.so")
@@ -328,10 +335,13 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
     c_stops = np.asarray([c[1] for c in chunk_ranges], dtype=np.int64)
     n_cap = max(256, len(buf) // 512)
     qn_cap = n_cap * 64
-    # pass-2 provisional layout needs sum(l_seq + 4) <= calls_cap; record
-    # bytes per read exceed l_seq (packed seq + quals + aux), so buf_len is
-    # a safe first guess, with doubling retries below
-    calls_cap = max(4096, len(buf))
+    # pass 2 stores only ACTUAL lifted calls (per-thread arenas in C++), so
+    # calls_cap needs ~#CpG-calls, not the lseq-proportional worst case a
+    # buf_len-sized buffer covered (that 4x-buf_len allocation per call was
+    # the window-load bottleneck: fresh multi-GB mmaps + scattered
+    # first-touch faults). len(buf)//64 is ~2.5x the observed density, with
+    # doubling retries below.
+    calls_cap = max(65536, len(buf) // 64)
     for _ in range(8):  # retry with doubled caps on overflow
         rec_off = np.empty(n_cap, dtype=np.int64)
         pos = np.empty(n_cap, dtype=np.int32)

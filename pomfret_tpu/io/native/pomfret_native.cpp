@@ -524,8 +524,19 @@ struct WinCand {
     bool ml_bad, has_hp;
     int64_t hpv;
     // pass-2 results
-    int64_t slice_off;      // provisional slot in calls_buf/quals_buf
+    int64_t slice_off;      // offset of this read's calls within its arena
+    int32_t arena_id;       // which per-thread arena holds the calls
     int32_t rc;             // meth_decode_read return
+};
+
+// per-thread pass-2 output: only ACTUAL lifted calls are stored (~200/read),
+// never the lseq-proportional worst case. Keeping the working set at a few
+// MB per thread avoids the fault storm a shared buf_len-sized provisional
+// buffer caused (fresh multi-GB mmap + scattered first-touch writes from
+// several threads ran 7-13x slower than the decode itself).
+struct CallArena {
+    std::vector<uint32_t> calls;
+    std::vector<uint8_t> quals;
 };
 
 }  // namespace
@@ -699,45 +710,53 @@ extern "C" int64_t bam_window_load(
             cands.push_back(c);
         }
     }
-    // ---- pass 2: parallel meth decode into provisional slices ----
-    // per-read output bound: every emission is either a listed trigger
-    // (<= #CpG <= lseq/2 after the CpG filter) or an implicit CpG call
-    // (<= lseq/2), so lseq + 4 is safe.
-    {
-        int64_t acc = 0;
-        for (auto& c : cands) {
-            c.slice_off = acc;
-            acc += (int64_t)c.lseq + 4;
-        }
-        if (acc > calls_cap) return -5;
-    }
+    // ---- pass 2: parallel meth decode into per-thread arenas ----
+    // per-read output bound for the scratch buffer: every emission is
+    // either a listed trigger (<= #CpG <= lseq/2 after the CpG filter) or
+    // an implicit CpG call (<= lseq/2), so lseq + 4 is safe.
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)cands.size()) nt = (int)cands.size();
+    if (nt < 1) nt = 1;
+    std::vector<CallArena> arenas(nt);
     std::atomic<int64_t> next(0);
     std::atomic<int32_t> any_implicit(0);
-    auto worker = [&]() {
+    auto worker = [&](int t) {
+        CallArena& ar = arenas[t];
+        std::vector<uint32_t> tmp_pos;
+        std::vector<uint8_t> tmp_q;
         for (;;) {
             int64_t i = next.fetch_add(1);
             if (i >= (int64_t)cands.size()) return;
             WinCand& c = cands[i];
             if (c.ml_bad) { c.rc = -2; continue; }
+            if ((int64_t)tmp_pos.size() < (int64_t)c.lseq + 4) {
+                tmp_pos.resize((size_t)c.lseq + 4);
+                tmp_q.resize((size_t)c.lseq + 4);
+            }
             const uint8_t* cg = c.p + 32 + c.l_read_name;
             const uint8_t* seqp = cg + 4 * (int64_t)c.n_cigar;
             int32_t imp = 0;
             c.rc = meth_decode_read(
                 seqp, c.lseq, (c.fl & 16) ? 1 : 0, c.mm, c.ml, c.n_ml,
                 (const uint32_t*)(const void*)cg, c.n_cigar, c.ps, lo, hi,
-                calls_buf + c.slice_off, quals_buf + c.slice_off,
-                c.lseq + 4, &imp);
+                tmp_pos.data(), tmp_q.data(), c.lseq + 4, &imp);
             if (c.rc == -1) c.rc = -2;  // bound exceeded: Python oracle
             if (imp) any_implicit.store(1);
+            if (c.rc > 0) {
+                c.arena_id = t;
+                c.slice_off = (int64_t)ar.calls.size();
+                ar.calls.insert(ar.calls.end(), tmp_pos.begin(),
+                                tmp_pos.begin() + c.rc);
+                ar.quals.insert(ar.quals.end(), tmp_q.begin(),
+                                tmp_q.begin() + c.rc);
+            }
         }
     };
-    int nt = n_threads < 1 ? 1 : n_threads;
-    if (nt > (int)cands.size()) nt = (int)cands.size();
     if (nt <= 1) {
-        worker();
+        worker(0);
     } else {
         std::vector<std::thread> ts;
-        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker, t);
         for (auto& t : ts) t.join();
     }
     if (any_implicit.load()) *out_has_implicit = 1;
@@ -762,12 +781,12 @@ extern "C" int64_t bam_window_load(
         o_call_off[n] = calls_used;
         o_call_n[n] = fb ? 0 : c.rc;
         if (!fb && c.rc > 0) {
-            if (calls_used != c.slice_off) {
-                memmove(calls_buf + calls_used, calls_buf + c.slice_off,
-                        (size_t)c.rc * 4);
-                memmove(quals_buf + calls_used, quals_buf + c.slice_off,
-                        (size_t)c.rc);
-            }
+            if (calls_used + c.rc > calls_cap) return -5;
+            const CallArena& ar = arenas[c.arena_id];
+            memcpy(calls_buf + calls_used, ar.calls.data() + c.slice_off,
+                   (size_t)c.rc * 4);
+            memcpy(quals_buf + calls_used, ar.quals.data() + c.slice_off,
+                   (size_t)c.rc);
             calls_used += c.rc;
         }
         n++;

@@ -1195,11 +1195,21 @@ inline bool buf_lt(const BufEnt& a, const BufEnt& b) {
 }
 
 // one read's walk; appends mers, returns start_i (UINT32_MAX when none)
+struct MmrScratch {
+    std::vector<BufEnt> buf;
+    std::vector<uint8_t> slot_val;
+    std::vector<uint32_t> slot_site;
+    std::vector<uint32_t> slot_buf_i;
+};
+
 uint32_t mmr_walk_one(const uint32_t* sites, const uint8_t* mmr_lens,
                       int64_t sites_n, const uint32_t* calls,
                       const uint8_t* quals, int64_t n_calls,
-                      std::vector<uint32_t>& out,
-                      std::vector<BufEnt>& buf) {
+                      std::vector<uint32_t>& out, MmrScratch& scr) {
+    std::vector<BufEnt>& buf = scr.buf;
+    std::vector<uint8_t>& slot_val = scr.slot_val;
+    std::vector<uint32_t>& slot_site = scr.slot_site;
+    std::vector<uint32_t>& slot_buf_i = scr.slot_buf_i;
     const uint32_t NONE = 0xFFFFFFFFu;
     if (n_calls == 0 || sites_n == 0) return NONE;
     uint32_t first_call = calls[0], last_call = calls[n_calls - 1];
@@ -1215,41 +1225,69 @@ uint32_t mmr_walk_one(const uint32_t* sites, const uint8_t* mmr_lens,
     int64_t x_i_right = last_call > sites[sites_n - 1] ? sites_n
                                                        : (hi_it - sites);
 
+    // sites[] and calls[] are each sorted ascending, so a linear merge
+    // replaces the per-read std::sort (the former hot spot). Order matches
+    // buf_lt exactly: ties on pos put sites before calls (is_call 0 < 1);
+    // equal-pos sites keep ascending site index and equal-pos calls cannot
+    // occur (meth_decode_read emits strictly increasing positions).
     buf.clear();
-    for (int64_t i = x_i_left; i < x_i_right; i++) {
-        if (i > 1 && sites[i] == sites[i - 1]) continue;  // i>1 quirk
-        buf.push_back({sites[i], 0, (uint32_t)i});
+    buf.reserve((size_t)(x_i_right - x_i_left) + (size_t)n_calls);
+    int64_t si = x_i_left, ci = 0;
+    while (si < x_i_right || ci < n_calls) {
+        if (ci >= n_calls || (si < x_i_right && sites[si] <= calls[ci])) {
+            if (!(si > 1 && sites[si] == sites[si - 1]))  // i>1 quirk
+                buf.push_back({sites[si], 0, (uint32_t)si});
+            si++;
+        } else {
+            buf.push_back({calls[ci], 1, (uint32_t)quals[ci]});
+            ci++;
+        }
     }
-    for (int64_t c = 0; c < n_calls; c++)
-        buf.push_back({calls[c], 1, (uint32_t)quals[c]});
-    std::sort(buf.begin(), buf.end(), buf_lt);
 
     uint32_t start_pos_i = NONE;
     const int64_t nbuf = (int64_t)buf.size();
-    uint8_t mer[256];  // mmr_len is uint8 (k<=15 in practice, cli.c:243)
+    // The original walk (mirroring blockjoin.c:3357-3451) rescans the buf
+    // from every site entry; successive mers overlap by mmr_len-1 slots, so
+    // precompute each site entry's slot value ONCE (matched call qual, or
+    // MER_MISSING when the next entry is not a same-pos call) and emit each
+    // mer as mmr_len lookups. Quirk M6 (the final buf entry is never read
+    // as a slot start, `while (j < nbuf-1)`) becomes the last-slot index
+    // bound: a mer is complete iff its last slot's buf index < nbuf-1 —
+    // intermediate call skips sit strictly before that index, and a pair's
+    // second entry MAY be the final buf entry (j+1 == nbuf-1 is readable).
+    slot_val.clear();
+    slot_site.clear();
+    slot_buf_i.clear();
     for (int64_t bi = 0; bi < nbuf; bi++) {
         if (buf[bi].is_call) continue;
-        int64_t pos_i = buf[bi].tb;
+        bool pair = bi + 1 < nbuf && buf[bi + 1].is_call
+                    && buf[bi + 1].pos == buf[bi].pos;
+        slot_val.push_back(pair ? (uint8_t)buf[bi + 1].tb : (uint8_t)2);
+        slot_site.push_back(buf[bi].tb);
+        slot_buf_i.push_back((uint32_t)bi);
+    }
+    const int64_t n_slots = (int64_t)slot_val.size();
+    for (int64_t e = 0; e < n_slots; e++) {
+        int64_t pos_i = slot_site[e];
         for (int64_t sj = pos_i; sj < sites_n; sj++) {
             if (sites[sj] != sites[pos_i]) break;
-            int mmr_len = mmr_lens[sj];
-            int ml = 0;
-            int64_t j = bi;
-            while (j < nbuf - 1) {  // final entry never read (quirk M6)
-                if (buf[j].is_call) { j++; continue; }
-                if (buf[j].pos == buf[j + 1].pos && buf[j + 1].is_call) {
-                    mer[ml++] = (uint8_t)buf[j + 1].tb;
-                    j += 2;
-                } else {
-                    mer[ml++] = 2;  // MER_MISSING
-                    j += 1;
+            const int mmr_len = mmr_lens[sj];
+            if (mmr_len == 0) {
+                // len==0: the walk consumes one slot then fails (ml=1 != 0)
+                // UNLESS this site is the final buf entry, where the loop
+                // never runs and the empty mer (v=0) is emitted
+                if (slot_buf_i[e] == (uint32_t)(nbuf - 1)) {
+                    if (start_pos_i == NONE) start_pos_i = (uint32_t)sj;
+                    out.push_back(0);
                 }
-                if (ml >= mmr_len) break;
+                continue;
             }
-            if (ml != mmr_len) continue;  // truncated at read end: drop
+            const int64_t last = e + mmr_len - 1;
+            if (last >= n_slots || slot_buf_i[last] >= (uint32_t)(nbuf - 1))
+                continue;  // truncated at read end: drop
             if (start_pos_i == NONE) start_pos_i = (uint32_t)sj;
             uint32_t v = 0;
-            for (int m = 0; m < ml; m++) v = ((v << 2) | mer[m]);
+            for (int64_t m = e; m <= last; m++) v = ((v << 2) | slot_val[m]);
             out.push_back(v);
         }
     }
@@ -1269,17 +1307,20 @@ extern "C" int64_t mmr_extract_reads(
     std::vector<uint32_t> starts((size_t)n_reads, 0xFFFFFFFFu);
     std::atomic<int64_t> next(0);
     auto worker = [&]() {
-        std::vector<BufEnt> buf;
+        MmrScratch scr;
         for (;;) {
             int64_t i = next.fetch_add(1);
             if (i >= n_reads) return;
             starts[i] = mmr_walk_one(sites, mmr_lens, sites_n,
                                      calls + call_off[i], quals + call_off[i],
-                                     call_n[i], per_read[i], buf);
+                                     call_n[i], per_read[i], scr);
         }
     };
     int nt = n_threads < 1 ? 1 : n_threads;
     if (nt > (int)n_reads) nt = (int)(n_reads > 0 ? n_reads : 1);
+    // typical gap windows are a few hundred reads x a few us each — thread
+    // spawn+join (~100 us) would eat the win, so stay serial below ~1k
+    if (n_reads < 1024) nt = 1;
     if (nt <= 1) {
         worker();
     } else {

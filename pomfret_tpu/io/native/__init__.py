@@ -34,14 +34,18 @@ def _build() -> bool:
     if os.environ.get("POMFRET_NATIVE_SANITIZE"):
         flags = ["-O1", "-g", "-fsanitize=address,undefined",
                  "-fno-omit-frame-pointer"]
-    try:
-        subprocess.run(
-            ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC,
-             "-lz", "-lpthread"],
-            check=True, capture_output=True, timeout=300)
-        return True
-    except Exception:
-        return False
+    # prefer libdeflate for BGZF payload decode (htslib does the same,
+    # ~2-3x zlib inflate); fall back to plain zlib when it is absent
+    for extra in (["-DUSE_LIBDEFLATE", "-ldeflate"], []):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC,
+                 *extra, "-lz", "-lpthread"],
+                check=True, capture_output=True, timeout=300)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

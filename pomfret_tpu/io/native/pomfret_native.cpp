@@ -14,6 +14,14 @@
 #include <thread>
 #include <atomic>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+// htslib's own speedup: libdeflate decodes raw-DEFLATE BGZF payloads
+// ~2-3x faster than zlib inflate and reuses one decompressor per thread
+// (no per-block inflateInit2/inflateEnd). Compression stays zlib so
+// written BGZF bytes are unchanged. The loader falls back to -lz only
+// when libdeflate is absent at build time (io/native/__init__.py).
+#include <libdeflate.h>
+#endif
 
 extern "C" {
 
@@ -65,9 +73,13 @@ int32_t bgzf_inflate_blocks(const uint8_t* comp, int64_t comp_len,
     std::atomic<int64_t> next(0);
     std::atomic<int32_t> err(0);
     auto worker = [&]() {
+#ifdef USE_LIBDEFLATE
+        struct libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+        if (!dec) { err.store(2); return; }
+#endif
         for (;;) {
             int64_t i = next.fetch_add(1);
-            if (i >= n_blocks || err.load()) return;
+            if (i >= n_blocks || err.load()) break;
             int64_t off = offs[i];
             uint16_t xlen;
             memcpy(&xlen, comp + off + 10, 2);
@@ -85,22 +97,41 @@ int32_t bgzf_inflate_blocks(const uint8_t* comp, int64_t comp_len,
                 }
                 xoff += 4 + slen;
             }
-            if (bsize < 0) { err.store(1); return; }
+            if (bsize < 0) { err.store(1); break; }
+            const uint8_t* data = comp + data_start;
+            size_t data_len = (size_t)(off + bsize - 8 - data_start);
+#ifdef USE_LIBDEFLATE
+            size_t actual = 0;
+            enum libdeflate_result r = libdeflate_deflate_decompress(
+                dec, data, data_len, out + out_offs[i], (size_t)isize[i],
+                &actual);
+            if (!((r == LIBDEFLATE_SUCCESS && actual == (size_t)isize[i]) ||
+                  (isize[i] == 0 &&
+                   (r == LIBDEFLATE_SUCCESS ||
+                    r == LIBDEFLATE_INSUFFICIENT_SPACE)))) {
+                err.store(3);
+                break;
+            }
+#else
             z_stream zs;
             memset(&zs, 0, sizeof(zs));
-            zs.next_in = const_cast<uint8_t*>(comp + data_start);
-            zs.avail_in = (uInt)(off + bsize - 8 - data_start);
+            zs.next_in = const_cast<uint8_t*>(data);
+            zs.avail_in = (uInt)data_len;
             zs.next_out = out + out_offs[i];
             zs.avail_out = (uInt)isize[i];
-            if (inflateInit2(&zs, -15) != Z_OK) { err.store(2); return; }
+            if (inflateInit2(&zs, -15) != Z_OK) { err.store(2); break; }
             int r = inflate(&zs, Z_FINISH);
             inflateEnd(&zs);
             if (r != Z_STREAM_END && !(r == Z_OK && isize[i] == 0) &&
                 !(r == Z_BUF_ERROR && isize[i] == 0)) {
                 err.store(3);
-                return;
+                break;
             }
+#endif
         }
+#ifdef USE_LIBDEFLATE
+        libdeflate_free_decompressor(dec);
+#endif
     };
     if (n_threads <= 1) {
         worker();

@@ -126,6 +126,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u32p, ctypes.c_int64,
             i64p, ctypes.c_int64,
             i8p, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.mer_runs_fill.restype = ctypes.c_int64
+        lib.mer_runs_fill.argtypes = [
+            i64p, i64p, i64p, i64p, ctypes.c_int64,
+            u32p, ctypes.c_int64,
+            i64p, ctypes.c_int64,
+            u8p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.cram_decode_slice.restype = ctypes.c_int64
         lib.cram_decode_slice.argtypes = [
             u8p, i32p, i64p, i64p, i32,               # ext blocks
@@ -725,3 +731,36 @@ def mer_grid_fill(rows: np.ndarray, lens: np.ndarray, starts: np.ndarray,
     if r < 0:
         return None
     return grid, has.astype(bool), int(r)
+
+
+def mer_runs_fill(rows: np.ndarray, lens: np.ndarray, starts: np.ndarray,
+                  offs: np.ndarray, mers: np.ndarray, inv_perm: np.ndarray,
+                  R: int, SP: int, CB: int) -> Optional[tuple]:
+    """Compact runs layout of the mer-id grid (see mer_runs_fill in
+    pomfret_native.cpp): blk (R, CB) uint8 of id+1 (0 = absent) at offset
+    (start&127)+k, b0 (R,) int32 first 128-site block (-1 = no mers).
+    Returns (blk, b0, has_mmr, max_d) or None when the lib is absent, a
+    site needs >127 ids, or CB is too small (callers size CB as
+    round_up(max(start%128 + len), 128))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    mers = np.ascontiguousarray(mers, dtype=np.uint32)
+    inv_perm = np.ascontiguousarray(inv_perm, dtype=np.int64)
+    blk = np.zeros((R, CB), dtype=np.uint8)
+    b0 = np.empty(R, dtype=np.int32)
+    has = np.zeros(R, dtype=np.uint8)
+    r = lib.mer_runs_fill(
+        _p(rows, ctypes.c_int64), _p(lens, ctypes.c_int64),
+        _p(starts, ctypes.c_int64), _p(offs, ctypes.c_int64), len(rows),
+        _p(mers, ctypes.c_uint32), len(mers),
+        _p(inv_perm, ctypes.c_int64), max(len(inv_perm), 1),
+        _p(blk, ctypes.c_uint8), _p(b0, ctypes.c_int32), R, SP, CB,
+        _p(has, ctypes.c_uint8))
+    if r < 0:
+        return None
+    return blk, b0, has.astype(bool), int(r)

@@ -2604,13 +2604,18 @@ extern "C" int64_t cram_decode_slice(
 // grid pre-filled with -1. Returns max_d (dictionary capacity actually
 // used), or -2 when a site needs >127 ids (caller falls back to the numpy
 // int32 path), or -1 on bad input.
-extern "C" int64_t mer_grid_fill(
+static int64_t mer_fill_common(
     const int64_t* rows, const int64_t* lens, const int64_t* starts,
     const int64_t* offs, int64_t n_runs,
     const uint32_t* mers, int64_t n_mers,
     const int64_t* inv_perm, int64_t n_reads,
     int8_t* grid, int64_t R, int64_t S,
-    uint8_t* has_mmr) {
+    uint8_t* has_mmr,
+    // runs layout (may be null): blk[prow*CB + (start&127) + k] = id+1,
+    // b0[prow] = start >> 7 (-1 when the read has no mers). Stores id+1 so
+    // 0 = absent and the device densify can subtract 1 after its one-hot
+    // block matmul (parallel/batch.py _densify_runs).
+    uint8_t* blk, int32_t* b0, int64_t CB) {
     // entry k of run j: site = starts[j]+k, key = mers[offs[j] + k]
     int64_t total = 0;
     for (int64_t j = 0; j < n_runs; j++) {
@@ -2631,6 +2636,11 @@ extern "C" int64_t mer_grid_fill(
     for (int64_t s = 0; s < S; s++) site_cnt[s + 1] += site_cnt[s];
     std::vector<int32_t> ent_row(total);
     std::vector<uint32_t> ent_key(total);
+    std::vector<int64_t> row_base;
+    if (blk) {
+        row_base.assign((size_t)R, 0);
+        for (int64_t r = 0; r < R; r++) b0[r] = -1;
+    }
     {
         std::vector<int32_t> cur(site_cnt.begin(), site_cnt.end() - 1);
         for (int64_t j = 0; j < n_runs; j++) {
@@ -2640,6 +2650,11 @@ extern "C" int64_t mer_grid_fill(
             if (prow < 0 || prow >= R) return -1;
             has_mmr[prow] = 1;
             int64_t s0 = starts[j];
+            if (blk) {
+                if ((s0 & 127) + lens[j] > CB) return -3;  // caller regrows
+                row_base[prow] = s0 & ~(int64_t)127;
+                b0[prow] = (int32_t)(s0 >> 7);
+            }
             const uint32_t* mj = mers + offs[j];
             for (int64_t k = 0; k < lens[j]; k++) {
                 int32_t slot = cur[s0 + k]++;
@@ -2666,9 +2681,44 @@ extern "C" int64_t mer_grid_fill(
                 if (id > 127) return -2;
                 dict.push_back(key);
             }
-            grid[(int64_t)ent_row[e] * S + s] = (int8_t)id;
+            if (grid) grid[(int64_t)ent_row[e] * S + s] = (int8_t)id;
+            if (blk)
+                blk[(int64_t)ent_row[e] * CB + (s - row_base[ent_row[e]])] =
+                    (uint8_t)(id + 1);
         }
         if ((int64_t)dict.size() > max_d) max_d = (int64_t)dict.size();
     }
     return max_d;
+}
+
+extern "C" int64_t mer_grid_fill(
+    const int64_t* rows, const int64_t* lens, const int64_t* starts,
+    const int64_t* offs, int64_t n_runs,
+    const uint32_t* mers, int64_t n_mers,
+    const int64_t* inv_perm, int64_t n_reads,
+    int8_t* grid, int64_t R, int64_t S,
+    uint8_t* has_mmr) {
+    return mer_fill_common(rows, lens, starts, offs, n_runs, mers, n_mers,
+                           inv_perm, n_reads, grid, R, S, has_mmr,
+                           nullptr, nullptr, 0);
+}
+
+// Runs layout for the compact device upload: instead of a dense (R, S)
+// grid (~85% padding at production shapes), emit per-read 128-aligned id
+// blocks — blk (R, CB) holds id+1 at offset (start&127)+k, b0 (R) the
+// first 128-site block index (-1 = no mers). The device reconstructs the
+// dense grid with a one-hot block einsum (parallel/batch.py
+// _densify_runs), cutting host->device bytes ~5x. Returns max_d, or
+// -2 (>127 ids/site: dense int32 fallback), -3 (CB too small), -1 bad
+// input.
+extern "C" int64_t mer_runs_fill(
+    const int64_t* rows, const int64_t* lens, const int64_t* starts,
+    const int64_t* offs, int64_t n_runs,
+    const uint32_t* mers, int64_t n_mers,
+    const int64_t* inv_perm, int64_t n_reads,
+    uint8_t* blk, int32_t* b0, int64_t R, int64_t S, int64_t CB,
+    uint8_t* has_mmr) {
+    return mer_fill_common(rows, lens, starts, offs, n_runs, mers, n_mers,
+                           inv_perm, n_reads, nullptr, R, S, has_mmr,
+                           blk, b0, CB);
 }

@@ -63,13 +63,22 @@ _enable_compile_cache()
 
 @dataclass
 class GapDeviceData:
-    """Per-(gap, direction) dense arrays for the device loop.
+    """Per-(gap, direction) arrays for the device loop.
 
     Reads are stored PERMUTED into candidate-scan order (fwd: BAM order;
     bwd: descending end-position order) so the device loop needs no
     per-iteration indirection; `perm` maps device row -> original read id.
+
+    The mer-id grid ships in ONE of two layouts:
+    - dense: `ids` (R, S), -1 = absent (the original layout; also the
+      int32 fallback when a site needs >127 dictionary entries);
+    - runs: `blk` (R, CB) uint8 of id+1 (0 = absent) covering 128-site
+      blocks [b0, b0 + CB/128), with `ids` None. A read's mers occupy one
+      contiguous site run (~15% of S at production shapes), so this cuts
+      host->device upload ~5x; the device rebuilds the dense grid with a
+      one-hot block einsum (parallel/batch.py _densify_runs).
     """
-    ids: np.ndarray        # (R, S) int8 (int32 if max_d>127), -1 = absent
+    ids: Optional[np.ndarray]  # (R, S) int8/int32, -1 = absent; or None
     has_mmr: np.ndarray    # (R,) bool
     hp_init: np.ndarray    # (R,) int32 — post-wipe tags (step 1.5)
     seed_ok: np.ndarray    # (R,) bool — RAW haptag was 0/1 (may seed counts)
@@ -80,6 +89,30 @@ class GapDeviceData:
     q_break: int
     min0: int
     max0: int
+    R: int = 0             # padded row count (== ids.shape[0] when dense)
+    S: int = 0             # padded site count (== ids.shape[1] when dense)
+    blk: Optional[np.ndarray] = None   # (R, CB) uint8, id+1, 0 = absent
+    b0: Optional[np.ndarray] = None    # (R,) int32 first block, -1 = none
+
+    def __post_init__(self):
+        if self.ids is not None and not self.R:
+            self.R, self.S = self.ids.shape
+
+    def dense_ids(self) -> np.ndarray:
+        """Dense (R, S) grid from either layout (host-side; used by the
+        dense pack path when a group mixes layouts, and by tests)."""
+        if self.ids is not None:
+            return self.ids
+        ids = np.full((self.R, self.S), -1, dtype=np.int8)
+        cb = self.blk.shape[1]
+        for r in np.flatnonzero(self.b0 >= 0):
+            s0 = int(self.b0[r]) * 128
+            hi = min(s0 + cb, self.S)
+            if hi > s0:
+                # via int16: id+1 may be 128, which overflows int8
+                ids[r, s0:hi] = (self.blk[r, : hi - s0].astype(np.int16)
+                                 - 1).astype(np.int8)
+        return ids
 
 
 def _grid_from_arrays(read_rows: np.ndarray, lens: np.ndarray,
@@ -154,28 +187,50 @@ def _scan_perm(rs: ReadSet, direction: int, R: int):
 def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
                           pad_r: Optional[int] = None,
                           pad_s: Optional[int] = None,
-                          mmr_arrays=None) -> GapDeviceData:
+                          mmr_arrays=None,
+                          want_runs: bool = False) -> GapDeviceData:
     """Pack one direction of one gap. Either store_mmr_of_reads(rs, ms) ran,
     or `mmr_arrays` carries the native batch-extraction result
     (core.methmer.extract_mmr_arrays) — the fast path skips the
-    store/concat/wipe round-trip through the Read objects."""
+    store/concat/wipe round-trip through the Read objects.
+
+    want_runs: prefer the compact runs layout (blk/b0 set, ids None) for
+    the batched device path; falls back to dense when the native lib is
+    absent or a site needs >127 dictionary ids."""
     n = rs.n
     S = ms.n
     R = pad_r or max(n, 1)
     SP = pad_s or max(S, 1)
     perm, inv_perm, q_break = _scan_perm(rs, direction, R)
 
+    blk = b0 = ids = None
     if mmr_arrays is not None:
         sel = np.flatnonzero(mmr_arrays["n"] > 0)
         lens = mmr_arrays["n"][sel].astype(np.int64)
         offs = mmr_arrays["off"][sel].astype(np.int64)
         starts = mmr_arrays["start_i"][sel].astype(np.int64)
         from ..io import native as _native
-        res = _native.mer_grid_fill(sel.astype(np.int64), lens, starts,
-                                    offs, mmr_arrays["mers"], inv_perm,
-                                    R, SP) \
-            if not os.environ.get("POMFRET_NO_NATIVE_GRID") else None
-        if res is not None:
+        res = None
+        if not os.environ.get("POMFRET_NO_NATIVE_GRID"):
+            if want_runs and not os.environ.get("POMFRET_NO_RUNS_UPLOAD"):
+                cb = 128
+                if len(sel):
+                    cb = int(_round_up(int(((starts & 127) + lens).max()),
+                                       128))
+                rr = _native.mer_runs_fill(sel.astype(np.int64), lens,
+                                           starts, offs,
+                                           mmr_arrays["mers"], inv_perm,
+                                           R, SP, cb)
+                if rr is not None:
+                    blk, b0, has_mmr, max_d = rr
+            if blk is None:
+                res = _native.mer_grid_fill(sel.astype(np.int64), lens,
+                                            starts, offs,
+                                            mmr_arrays["mers"], inv_perm,
+                                            R, SP)
+        if blk is not None:
+            pass
+        elif res is not None:
             ids, has_mmr, max_d = res
         else:
             # numpy oracle (also the >127-ids-per-site int32 path)
@@ -226,7 +281,7 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
     return GapDeviceData(ids=ids, has_mmr=has_mmr, hp_init=hp_p,
                          seed_ok=seed_p, perm=perm,
                          n_reads=n, n_sites=S, max_d=max_d, q_break=q_break,
-                         min0=min0, max0=max0)
+                         min0=min0, max0=max0, R=R, S=SP, blk=blk, b0=b0)
 
 
 # ---------------------------------------------------------------------------
@@ -757,8 +812,8 @@ def _reseeded(dd: GapDeviceData, rs: ReadSet, direction: int,
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[dd.perm[:n]] = np.arange(n)
     ref_ids = rs.ids_left if direction == 0 else rs.ids_right
-    hp_p = np.full(dd.ids.shape[0], 2, dtype=np.int32)
-    seed_p = np.zeros(dd.ids.shape[0], dtype=bool)
+    hp_p = np.full(dd.R, 2, dtype=np.int32)
+    seed_p = np.zeros(dd.R, dtype=bool)
     for rid in ref_ids:
         t = int(seed_tags[rid])
         hp_p[inv_perm[rid]] = t & 3
@@ -806,7 +861,7 @@ def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1,
             res = extract_mmr_arrays(rs, ms)
             if res is not None:
                 dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s,
-                                           mmr_arrays=res)
+                                           mmr_arrays=res, want_runs=True)
             else:
                 store_mmr_of_reads(rs, ms)
                 dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)

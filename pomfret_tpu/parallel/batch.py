@@ -27,8 +27,12 @@ from ..kernels.engine_fused import (BG, fused_enabled, pick_bg,
 
 @dataclass
 class GapBatch:
-    """Stacked per-(gap,direction) arrays, padded to common (R, S, D)."""
-    ids: np.ndarray        # (G, R, S) int32
+    """Stacked per-(gap,direction) arrays, padded to common (R, S, D).
+
+    The mer-id grid ships dense (`ids` (G,R,S)) or as 128-aligned runs
+    (`blk` (G,R,CB) uint8 of id+1 + `b0` (G,R) int32, ids None) — the
+    compact upload the device densifies in-program (_densify_runs)."""
+    ids: Optional[np.ndarray]  # (G, R, S) int8/int32, or None (runs mode)
     has_mmr: np.ndarray    # (G, R) bool
     hp_init: np.ndarray    # (G, R) int32
     seed_ok: np.ndarray    # (G, R) bool
@@ -43,6 +47,19 @@ class GapBatch:
     D: int
     nc_cap: int
     bg: int = BG           # fused-kernel lane block; G is a multiple of it
+    S: int = 0             # padded site count (== ids.shape[2] when dense)
+    blk: Optional[np.ndarray] = None  # (G, R, CB) uint8, id+1, 0 = absent
+    b0: Optional[np.ndarray] = None   # (G, R) int32 first block, -1 = none
+
+    def __post_init__(self):
+        if self.ids is not None and not self.S:
+            self.S = self.ids.shape[2]
+
+    @property
+    def shape3(self):
+        """(G, R, S) independent of layout."""
+        g, r = self.has_mmr.shape
+        return g, r, self.S
 
 
 def _round_up(x: int, m: int) -> int:
@@ -52,8 +69,8 @@ def _round_up(x: int, m: int) -> int:
 def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
                    n_cand: int,
                    pad_g: Optional[int] = None) -> GapBatch:
-    R = max(d.ids.shape[0] for d in datas)
-    S = max(d.ids.shape[1] for d in datas)
+    R = max(d.R for d in datas)
+    S = max(d.S for d in datas)
     # bucket the dictionary capacity to powers of two (>=4): few compile
     # signatures, and the scoring one-hot scales linearly with D
     need = max(d.max_d for d in datas)
@@ -73,15 +90,30 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     # (VPU sub-word repack doubled the v1 kernel's iteration time,
     # tools/bench_fused.py 2026-08-18) — hence the engines upcast to i32
     # before the while_loop.
-    ids = np.full((G, R, S), -1, dtype=np.int8 if D <= 127 else np.int32)
     has_mmr = np.zeros((G, R), dtype=bool)
     hp_init = np.full((G, R), 2, dtype=np.int32)
     seed_ok = np.zeros((G, R), dtype=bool)
     perm = np.full((G, R), -1, dtype=np.int32)
     sc = np.zeros((6, G), dtype=np.int32)
+    # runs mode when every real lane carries the compact layout (native
+    # mer_runs_fill succeeded: D<=127); CB pads to the group max so one
+    # (G,R,CB) uint8 block array + (G,R) b0 replace the (G,R,S) grid
+    runs = D <= 127 and all(d.blk is not None for d in datas)
+    ids = blk = b0 = None
+    if runs:
+        CB = max(128, max(d.blk.shape[1] for d in datas))
+        blk = np.zeros((G, R, CB), dtype=np.uint8)
+        b0 = np.full((G, R), -1, dtype=np.int32)
+    else:
+        ids = np.full((G, R, S), -1,
+                      dtype=np.int8 if D <= 127 else np.int32)
     for g, d in enumerate(datas):
-        r, s = d.ids.shape
-        ids[g, :r, :s] = d.ids
+        r, s = d.R, d.S
+        if runs:
+            blk[g, :r, : d.blk.shape[1]] = d.blk
+            b0[g, :r] = d.b0
+        else:
+            ids[g, :r, :s] = d.dense_ids()
         has_mmr[g, :r] = d.has_mmr
         hp_init[g, :r] = d.hp_init
         seed_ok[g, :r] = d.seed_ok
@@ -92,7 +124,7 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
                     n_reads=sc[0], n_sites=sc[1], q_break=sc[2],
                     min0=sc[3], max0=sc[4], cov=sc[5],
                     n_cand=np.full(G, n_cand, dtype=np.int32),
-                    D=D, nc_cap=nc_cap, bg=bg)
+                    D=D, nc_cap=nc_cap, bg=bg, S=S, blk=blk, b0=b0)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "nc_cap"))
@@ -105,6 +137,52 @@ def _run_batch_jit(ids, has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break,
                        q_break, min0, max0, cov, n_cand, max_iters)
 
 
+def _densify_runs(blk, b0, S: int):
+    """Rebuild the dense (G, R, S) int32 mer-id grid from the compact runs
+    upload inside the device program.
+
+    blk (G, R, C*128) uint8 carries id+1 (0 = absent) for 128-site blocks
+    [b0, b0 + C); b0 (G, R) int32 is -1 for rows without mers. The
+    reconstruction is a one-hot einsum over the block axis — a batched
+    (C,128)x(C,B) matmul, NOT an elementwise gather (TPU gathers lower to
+    serialized loops; one-hot contractions ride the MXU/VPU). Subtracting 1
+    afterwards turns empty (0) back into -1."""
+    G, R, CB = blk.shape
+    C = CB // 128
+    B = S // 128
+    assert S % 128 == 0 and CB % 128 == 0, (S, CB)
+    v = blk.reshape(G, R, C, 128).astype(jnp.int32)
+    tgt = b0[:, :, None] + jnp.arange(C, dtype=jnp.int32)  # (G,R,C)
+    oh = ((tgt[..., None] == jnp.arange(B, dtype=jnp.int32))
+          & (b0[:, :, None, None] >= 0)).astype(jnp.int32)  # (G,R,C,B)
+    dense = jnp.einsum("grck,grcb->grbk", v, oh)
+    return dense.reshape(G, R, B * 128)[:, :, :S] - 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "D", "nc_cap", "bg", "gen",
+                                    "interpret"))
+def _run_batch_runs(blk, b0, has_mmr, hp_init, seed_ok, n_reads, n_sites,
+                    q_break, min0, max0, cov, n_cand, max_iters,
+                    S: int, D: int, nc_cap: int, bg: int, gen: str,
+                    interpret: bool = False):
+    """Runs-mode engine entry: densify in-program, then run the selected
+    engine generation. One module-level jit so the (shape, statics) cache
+    behaves exactly like the dense entries'."""
+    ids = _densify_runs(blk, b0, S)
+    rest = (has_mmr, hp_init, seed_ok, n_reads, n_sites, q_break, min0,
+            max0, cov, n_cand, max_iters)
+    if gen == "3":
+        from ..kernels.engine_fused3 import run_batch_fused3_core
+        return run_batch_fused3_core(ids, *rest, D=D, nc_cap=nc_cap, bg=bg,
+                                     interpret=interpret)
+    if gen in ("1", "2"):
+        fn = run_batch_fused if gen == "1" else run_batch_fused2
+        return fn(ids, *rest, D=D, nc_cap=nc_cap, bg=bg)
+    f = functools.partial(run_direction_core, D=D, nc_cap=nc_cap)
+    return jax.vmap(f)(ids, *rest)
+
+
 def _engine_for(batch: GapBatch):
     """Single-device engine dispatch on TPU, vmapped XLA body elsewhere.
 
@@ -114,18 +192,29 @@ def _engine_for(batch: GapBatch):
     POMFRET_FUSED_GEN=2|1 selects the older per-iteration kernels (v2:
     score+commit+range megakernel; v1: scoring-only kernel + XLA commit).
     All engines are tag-identical (tools/bench_fused.py)."""
-    G = batch.ids.shape[0]
-    gen = _fused_gen()
+    G, R, S = batch.shape3
+    runs = batch.blk is not None
+    gen = "x"
     if fused_enabled() and G % batch.bg == 0:
-        if gen == "3":
-            from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3
-            G_, R, S = batch.ids.shape
-            bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
-            if G % bg3 != 0:  # production G is pow2*32, divisible by any bg
-                bg3 = min(bg3, batch.bg)
-            if G % bg3 == 0:
-                return functools.partial(run_batch_fused3, D=batch.D,
-                                         nc_cap=batch.nc_cap, bg=bg3)
+        gen = _fused_gen()
+    bg = batch.bg
+    if gen == "3":
+        from ..kernels.engine_fused3 import pick_bg3
+        bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
+        if G % bg3 != 0:  # production G is pow2*32, divisible by any bg
+            bg3 = min(bg3, batch.bg)
+        if G % bg3 == 0:
+            bg = bg3
+        else:
+            gen = "2"  # v3 lane block does not divide G: v2 kernel
+    if runs:
+        return functools.partial(_run_batch_runs, S=S, D=batch.D,
+                                 nc_cap=batch.nc_cap, bg=bg, gen=gen)
+    if gen == "3":
+        from ..kernels.engine_fused3 import run_batch_fused3
+        return functools.partial(run_batch_fused3, D=batch.D,
+                                 nc_cap=batch.nc_cap, bg=bg)
+    if gen in ("1", "2"):
         fn = run_batch_fused if gen == "1" else run_batch_fused2
         return functools.partial(fn, D=batch.D, nc_cap=batch.nc_cap,
                                  bg=batch.bg)
@@ -153,11 +242,12 @@ def _fused_gen() -> str:
 
 
 def batch_args(batch: GapBatch, max_iters: int):
-    G = batch.ids.shape[0]
-    return (batch.ids, batch.has_mmr, batch.hp_init, batch.seed_ok,
-            batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
-            batch.max0, batch.cov, batch.n_cand,
-            np.full(G, max_iters, dtype=np.int32))
+    G = batch.shape3[0]
+    grid = (batch.ids,) if batch.blk is None else (batch.blk, batch.b0)
+    return grid + (batch.has_mmr, batch.hp_init, batch.seed_ok,
+                   batch.n_reads, batch.n_sites, batch.q_break, batch.min0,
+                   batch.max0, batch.cov, batch.n_cand,
+                   np.full(G, max_iters, dtype=np.int32))
 
 
 def upload_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
@@ -165,7 +255,7 @@ def upload_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
     """device_put the batch once (sharded over the mesh's first axis if
     given); returns the device-resident arg tuple."""
     if max_iters is None:
-        max_iters = 2 * batch.ids.shape[1] + 64
+        max_iters = 2 * batch.shape3[1] + 64
     args = batch_args(batch, max_iters)
     if mesh is None:
         return tuple(jax.device_put(a) for a in args)
@@ -182,7 +272,7 @@ def run_gap_batch(batch: GapBatch, mesh: Optional[Mesh] = None,
     compiles one SPMD program per device; without, single-device vmap.
     Pass dev_args (from upload_gap_batch) to reuse device-resident inputs.
     """
-    R = batch.ids.shape[1]
+    R = batch.shape3[1]
     if max_iters is None:
         max_iters = 2 * R + 64
     if dev_args is None:
@@ -196,7 +286,8 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
     computation is embarrassingly gap-parallel — no collectives). Falls back
     to the vmapped XLA body when the fused engine is off (CPU meshes, tests)
     or the per-device shard is not lane-block aligned."""
-    G = batch.ids.shape[0]
+    G, R, S = batch.shape3
+    runs = batch.blk is not None
     n_dev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
     sh = NamedSharding(mesh, P(axis))
@@ -205,20 +296,30 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
         from ..kernels.engine_fused import _want_interpret
         from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3_core
         shard = G // n_dev
-        bg3 = pick_bg3(batch.D, batch.ids.shape[2], batch.nc_cap,
-                       R=batch.ids.shape[1])
+        bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
         if shard % bg3 != 0:
             bg3 = min(bg3, batch.bg)
         if shard > 0 and shard % bg3 == 0:
-            core = functools.partial(run_batch_fused3_core, D=batch.D,
-                                     nc_cap=batch.nc_cap, bg=bg3,
-                                     interpret=_want_interpret())
+            if runs:
+                core = functools.partial(_run_batch_runs, S=S, D=batch.D,
+                                         nc_cap=batch.nc_cap, bg=bg3,
+                                         gen="3",
+                                         interpret=_want_interpret())
+            else:
+                core = functools.partial(run_batch_fused3_core, D=batch.D,
+                                         nc_cap=batch.nc_cap, bg=bg3,
+                                         interpret=_want_interpret())
             p = P(axis)
             # check_vma off: pallas_call out_shapes carry no vma metadata
             return jax.jit(jax.shard_map(core, mesh=mesh,
                                          in_specs=(p,) * n_args,
                                          out_specs=p, check_vma=False))
-    f = functools.partial(_run_batch_jit, D=batch.D, nc_cap=batch.nc_cap)
+    if runs:
+        f = functools.partial(_run_batch_runs, S=S, D=batch.D,
+                              nc_cap=batch.nc_cap, bg=batch.bg, gen="x")
+    else:
+        f = functools.partial(_run_batch_jit, D=batch.D,
+                              nc_cap=batch.nc_cap)
     return jax.jit(f, in_shardings=(sh,) * n_args, out_shardings=sh)
 
 
@@ -250,7 +351,7 @@ def _dispatch_with_vmem_fallback(batch: GapBatch, dev_args,
             return f(*dev_args)
         except Exception as e:
             from ..kernels.engine_fused3 import lower_bg_cap
-            G, R, S = batch.ids.shape
+            G, R, S = batch.shape3
             if _is_vmem_error(e) and lower_bg_cap(batch.D, S, batch.nc_cap,
                                                   R):
                 from ..utils.log import log_warn
@@ -271,14 +372,14 @@ def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None,
     With a mesh, the lane axis is sharded over the mesh's first axis and the
     engine runs as one SPMD program across its devices (shard_map for the
     fused kernel, jit-with-shardings for the XLA body)."""
-    R = batch.ids.shape[1]
+    R = batch.shape3[1]
     if max_iters is None:
         max_iters = 2 * R + 64
     dev_args = upload_gap_batch(batch, mesh, max_iters)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     DISPATCH_STATS["n_dispatches"] += 1
     DISPATCH_STATS["n_devices_last"] = n_dev
-    DISPATCH_STATS["lanes_last"] = batch.ids.shape[0]
+    DISPATCH_STATS["lanes_last"] = batch.shape3[0]
     return _dispatch_with_vmem_fallback(batch, dev_args, mesh)
 
 

@@ -183,7 +183,9 @@ def bench_e2e():
     from pomfret_tpu.utils.stats import reset_stages, stage_report
 
     bam, vcf, n_gaps = build_scale_dataset()
-    rounds = int(os.environ.get("BENCH_E2E_ROUNDS", "2"))
+    # the host's page-fault service rate swings 2-3x over minutes (shared
+    # VM); 3 rounds + best-of rejects most of it (CLAUDE.md methodology)
+    rounds = int(os.environ.get("BENCH_E2E_ROUNDS", "3"))
     with tempfile.TemporaryDirectory() as od:
         opt = CliOpt(fn_vcf=vcf, fn_bam=bam,
                      output_prefix=os.path.join(od, "out"),

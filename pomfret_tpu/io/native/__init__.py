@@ -326,6 +326,24 @@ def bgzf_inflate_index(comp) -> Optional[Tuple[bytes, np.ndarray, np.ndarray]]:
 
 _N_CPU = os.cpu_count() or 2
 
+_TLS = threading.local()
+
+
+def _arena(name: str, size: int, dtype) -> np.ndarray:
+    """Thread-local grow-only scratch buffer. The window loader's output
+    capacities scale with the decompressed span (tens of MB); fresh
+    np.empty per call meant first-touch page faults dominating the native
+    decode on the virtualized hosts. Buffers persist per thread and per
+    name; returned arrays are valid until the SAME thread's next call
+    using the same name."""
+    store = getattr(_TLS, "bufs", None)
+    if store is None:
+        store = _TLS.bufs = {}
+    a = store.get(name)
+    if a is None or len(a) < size or a.dtype != np.dtype(dtype):
+        a = store[name] = np.empty(size, dtype=dtype)
+    return a
+
 
 def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
                     min_mapq: int, readlen_threshold: int, de_max: float,
@@ -355,19 +373,24 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
     # doubling retries below.
     calls_cap = max(65536, len(buf) // 64)
     for _ in range(8):  # retry with doubled caps on overflow
-        rec_off = np.empty(n_cap, dtype=np.int64)
-        pos = np.empty(n_cap, dtype=np.int32)
-        endpos = np.empty(n_cap, dtype=np.int32)
-        strand = np.empty(n_cap, dtype=np.int8)
-        hp = np.empty(n_cap, dtype=np.int32)
-        lseq = np.empty(n_cap, dtype=np.int32)
-        fallback = np.empty(n_cap, dtype=np.int8)
-        qname_off = np.empty(n_cap + 1, dtype=np.int64)
-        qname_buf = np.empty(qn_cap, dtype=np.uint8)
-        call_off = np.empty(n_cap + 1, dtype=np.int64)
-        call_n = np.empty(n_cap, dtype=np.int32)
-        calls = np.empty(calls_cap, dtype=np.uint32)
-        quals = np.empty(calls_cap, dtype=np.uint8)
+        # thread-local reusable scratch: see _arena. The small per-record
+        # outputs are COPIED into the return dict; calls/quals (the big
+        # slabs) are returned as the arena itself and stay valid until
+        # this thread's next bam_window_load — both callers (the window
+        # loader and ChromReadSource) consume them before that.
+        rec_off = _arena("wl_rec_off", n_cap, np.int64)
+        pos = _arena("wl_pos", n_cap, np.int32)
+        endpos = _arena("wl_endpos", n_cap, np.int32)
+        strand = _arena("wl_strand", n_cap, np.int8)
+        hp = _arena("wl_hp", n_cap, np.int32)
+        lseq = _arena("wl_lseq", n_cap, np.int32)
+        fallback = _arena("wl_fallback", n_cap, np.int8)
+        qname_off = _arena("wl_qname_off", n_cap + 1, np.int64)
+        qname_buf = _arena("wl_qname_buf", qn_cap, np.uint8)
+        call_off = _arena("wl_call_off", n_cap + 1, np.int64)
+        call_n = _arena("wl_call_n", n_cap, np.int32)
+        calls = _arena("wl_calls", calls_cap, np.uint32)
+        quals = _arena("wl_quals", calls_cap, np.uint8)
         has_implicit = ctypes.c_int32(0)
         n = lib.bam_window_load(
             _p(b, ctypes.c_uint8), len(buf),
@@ -400,12 +423,15 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
         qb = qname_buf[: int(qname_off[n])].tobytes() if n else b""
         return {
             "n": n,
-            "rec_off": rec_off[:n], "pos": pos[:n], "endpos": endpos[:n],
-            "strand": strand[:n], "hp": hp[:n], "l_seq": lseq[:n],
-            "fallback": fallback[:n],
+            # per-record columns are copied out of the arenas (tiny);
+            # calls/quals stay arena-backed (see note above)
+            "rec_off": rec_off[:n].copy(), "pos": pos[:n].copy(),
+            "endpos": endpos[:n].copy(), "strand": strand[:n].copy(),
+            "hp": hp[:n].copy(), "l_seq": lseq[:n].copy(),
+            "fallback": fallback[:n].copy(),
             "qnames": [qb[qname_off[i]: qname_off[i + 1]].decode()
                        for i in range(n)],
-            "call_off": call_off[: n + 1], "call_n": call_n[:n],
+            "call_off": call_off[: n + 1].copy(), "call_n": call_n[:n].copy(),
             "calls": calls, "quals": quals,
             "has_implicit": bool(has_implicit.value),
         }

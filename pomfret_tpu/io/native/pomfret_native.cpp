@@ -310,14 +310,90 @@ namespace {
 
 const char NT16_CHARS[17] = "=ACMGRSVTWYHKDBN";
 
-inline char compl_base(char c) {
-    switch (c) {
-        case 'A': return 'T';
-        case 'T': return 'A';
-        case 'C': return 'G';
-        case 'G': return 'C';
-        default: return c;  // matches Python revcomp table (N etc. unchanged)
+// SWAR scans over the packed 4-bit sequence: collect base indices whose
+// nibble code equals `want` (ascending as-sequenced rank), stopping once
+// `need` ranks are found. 16 bases per uint64 word with the classic
+// zero-nibble detect; most words have no hit (CpG cytosines are ~1-2% of
+// bases), so the common case is ~4 ops per 16 bases. Byte k holds base 2k
+// in the HIGH nibble and base 2k+1 in the LOW nibble (BAM 4.2 packing).
+
+inline void scan_code_fwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
+                          int64_t need, std::vector<int32_t>& occ) {
+    const uint64_t ones = 0x1111111111111111ULL;
+    const uint64_t tops = 0x8888888888888888ULL;
+    const uint64_t pat = ones * (uint64_t)want;
+    const int64_t nbytes = (l_seq + 1) >> 1;
+    int64_t B = 0;
+    auto take_word = [&](int64_t W) {
+        uint64_t v;
+        memcpy(&v, sp + W, 8);
+        uint64_t x = v ^ pat;
+        uint64_t hit = (x - ones) & ~x & tops;
+        while (hit) {
+            int64_t k = W + (__builtin_ctzll(hit) >> 3);
+            uint8_t b = sp[k];
+            int64_t base = 2 * k;
+            if ((b >> 4) == want) occ.push_back((int32_t)base);
+            if ((b & 0xF) == want && base + 1 < l_seq)
+                occ.push_back((int32_t)(base + 1));
+            hit &= ~(0x88ULL << (8 * (k - W)));  // clear this byte's nibbles
+        }
+    };
+    // 4-word stride with a single OR'd hit test; the size check runs only
+    // after a push (hits are ~1-2% of bases), keeping the no-hit path at
+    // ~2 ops/byte
+    for (; B + 32 <= nbytes; B += 32) {
+        // the virtualized bench hosts do no useful hardware prefetch
+        // (measured: 24 us per cold 10 KB without this, ~memory latency
+        // per 64 B line); explicit prefetch ~8 lines ahead restores
+        // streaming throughput
+        __builtin_prefetch(sp + B + 512, 0, 0);
+        uint64_t v0, v1, v2, v3;
+        memcpy(&v0, sp + B, 8);
+        memcpy(&v1, sp + B + 8, 8);
+        memcpy(&v2, sp + B + 16, 8);
+        memcpy(&v3, sp + B + 24, 8);
+        uint64_t x0 = v0 ^ pat, x1 = v1 ^ pat, x2 = v2 ^ pat, x3 = v3 ^ pat;
+        uint64_t any = ((x0 - ones) & ~x0 & tops)
+                     | ((x1 - ones) & ~x1 & tops)
+                     | ((x2 - ones) & ~x2 & tops)
+                     | ((x3 - ones) & ~x3 & tops);
+        if (any) {
+            take_word(B);
+            take_word(B + 8);
+            take_word(B + 16);
+            take_word(B + 24);
+            if ((int64_t)occ.size() >= need) return;
+        }
     }
+    for (; B + 8 <= nbytes; B += 8) {
+        take_word(B);
+        if ((int64_t)occ.size() >= need) return;
+    }
+    for (; B < nbytes && (int64_t)occ.size() < need; B++) {
+        uint8_t b = sp[B];
+        int64_t base = 2 * B;
+        if ((b >> 4) == want) occ.push_back((int32_t)base);
+        if ((b & 0xF) == want && base + 1 < l_seq)
+            occ.push_back((int32_t)(base + 1));
+    }
+}
+
+// reverse-strand variant: ranks count from the END of the stored sequence
+// (original orientation). Implemented as a FORWARD full scan collecting all
+// matches, then emitted back-to-front: a descending memory walk through a
+// cold multi-MB record buffer ran ~20x slower than the ascending one on the
+// virtualized bench hosts (no prefetch for descending streams), dwarfing
+// the saved work of an early stop.
+inline void scan_code_bwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
+                          int64_t need, std::vector<int32_t>& occ) {
+    thread_local std::vector<int32_t> asc;
+    asc.clear();
+    scan_code_fwd(sp, l_seq, want, l_seq, asc);
+    int64_t m = (int64_t)asc.size();
+    int64_t take = m < need ? m : need;
+    for (int64_t r = 0; r < take; r++)
+        occ.push_back((int32_t)(l_seq - 1 - asc[m - 1 - r]));
 }
 
 }  // namespace
@@ -334,42 +410,58 @@ extern "C" int32_t meth_decode_read(
     if (!mm || l_seq < 2) return -2;
 
     // --- strict single-item 'C+m' MM parse (anything else -> fallback)
+    // scratch vectors are thread_local: the window-load worker decodes
+    // thousands of 10-30 kb reads per call, and per-read allocations of
+    // the lseq-proportional buffers were a measured ~30% of decode time
     const char* p = mm;
     if (!(p[0] == 'C' && p[1] == '+' && p[2] == 'm')) return -2;
     p += 3;
     if (*p == '.' || *p == '?') p++;
     if (*p != ',' && *p != ';' && *p != '\0') return -2;  // multi-code item
-    std::vector<int64_t> deltas;
+    thread_local std::vector<int64_t> deltas;
+    deltas.clear();
+    int64_t delta_sum = 0;
     while (*p == ',') {
         p++;
         int64_t v = 0;
         if (*p < '0' || *p > '9') return -2;
         while (*p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
         deltas.push_back(v);
+        delta_sum += v;
     }
     if (*p == ';') p++;
     if (*p != '\0') return -2;  // a second MM item follows
     if (deltas.empty()) return 0;
 
-    // --- unpack stored sequence
-    std::vector<char> stored(l_seq);
-    for (int32_t i = 0; i < l_seq; i++) {
+    // nibble access into the packed 4-bit sequence (no unpacked copy: the
+    // only random accesses are the ~#calls CpG probes and, in implicit
+    // mode, the M-op scans)
+    auto base_at = [&](int64_t i) -> char {
         uint8_t b = seq_packed[i >> 1];
-        stored[i] = NT16_CHARS[(i & 1) ? (b & 0xF) : (b >> 4)];
-    }
+        return NT16_CHARS[(i & 1) ? (b & 0xF) : (b >> 4)];
+    };
 
-    // --- occurrences of 'C' in the original (as-sequenced) orientation
-    // original[i] = strand ? compl(stored[L-1-i]) : stored[i]
-    std::vector<int32_t> occ;
-    occ.reserve(l_seq / 4);
-    for (int32_t i = 0; i < l_seq; i++) {
-        char c = strand ? compl_base(stored[l_seq - 1 - i]) : stored[i];
-        if (c == 'C') occ.push_back(i);
-    }
+    // --- occurrences of 'C' in the original (as-sequenced) orientation:
+    // original[i] = strand ? compl(stored[L-1-i]) : stored[i], so the
+    // occurrence ranks are 'C' nibbles scanned forward (strand 0) or 'G'
+    // nibbles scanned backward (strand 1). The delta walk only consumes
+    // ranks up to deltas.size()-1 + sum(deltas), so the scan STOPS there
+    // instead of always walking all l_seq bases (MM lists CpG cytosines
+    // only — the full scan was the hottest loop of the window load).
+    int64_t need = (int64_t)deltas.size() + delta_sum;  // ranks consumed
+    if (need > l_seq) need = l_seq;
+    thread_local std::vector<int32_t> occ;
+    occ.clear();
+    // 'C' is NT16 code 2, 'G' code 4
+    if (!strand)
+        scan_code_fwd(seq_packed, l_seq, 2, need, occ);
+    else
+        scan_code_bwd(seq_packed, l_seq, 4, need, occ);
 
     // --- delta walk -> stored positions + quals (ascending stored order)
     struct Call { int32_t pos; uint8_t q; };
-    std::vector<Call> raw;
+    thread_local std::vector<Call> raw;
+    raw.clear();
     raw.reserve(deltas.size());
     int64_t idx = -1;
     for (size_t k = 0; k < deltas.size(); k++) {
@@ -382,13 +474,15 @@ extern "C" int32_t meth_decode_read(
     if (strand) std::reverse(raw.begin(), raw.end());
 
     // --- interior + CpG filter, implicit detection, qual classes
-    std::vector<int32_t> mod_poss;
-    std::vector<uint8_t> mod_quals;
+    thread_local std::vector<int32_t> mod_poss;
+    thread_local std::vector<uint8_t> mod_quals;
+    mod_poss.clear();
+    mod_quals.clear();
     mod_poss.reserve(raw.size());
     for (auto& c : raw) {
         if (c.pos <= 0 || c.pos >= l_seq - 1) continue;
-        bool cpg_ok = stored[c.pos] == 'C' ? stored[c.pos + 1] == 'G'
-                                           : stored[c.pos - 1] == 'C';
+        bool cpg_ok = base_at(c.pos) == 'C' ? base_at(c.pos + 1) == 'G'
+                                            : base_at(c.pos - 1) == 'C';
         if (!cpg_ok) {
             *out_has_implicit = 1;
             continue;
@@ -417,7 +511,7 @@ extern "C" int32_t meth_decode_read(
     uint32_t next_trigger = (uint32_t)mod_poss[0];
     uint8_t next_qual = mod_quals[0];
     auto is_cpg = [&](int64_t i) {
-        return i < l_seq - 1 && stored[i] == 'C' && stored[i + 1] == 'G';
+        return i < l_seq - 1 && base_at(i) == 'C' && base_at(i + 1) == 'G';
     };
 
     int32_t i_cigar = 0;

@@ -476,3 +476,35 @@ def test_mer_grid_fill_matches_numpy_fuzz():
         assert np.array_equal(has_c, has_np), trial
         assert np.array_equal(ids_c.astype(np.int32),
                               ids_np.astype(np.int32)), trial
+
+
+def test_chrom_source_regions_union(tmp_path):
+    """regions= (window-union) mode: a source limited to the merged halos
+    of a SPARSE window set (the WGS shape the round-3 50%-of-chromosome
+    gate never served) yields windows identical to per-window loads, and
+    duplicate decode across touching regions is suppressed."""
+    from pomfret_tpu.core.readset import ChromReadSource
+    bam, vcf, truth = make_two_block_scenario(str(tmp_path))
+    cfg = MmrConfig(cov_for_selection=5, cov_for_runtime=10)
+    bamr = BamReader(bam)
+    gs, ge = truth["gap"]
+    windows = [(gs, ge), (10_000, 15_000), (170_000, 176_000)]
+    halos = sorted((max(s - READBACK - 1, 0), e + READBACK)
+                   for s, e in windows)
+    regions = []
+    for lo, hi in halos:
+        if regions and lo <= regions[-1][1]:
+            regions[-1][1] = max(regions[-1][1], hi)
+        else:
+            regions.append([lo, hi])
+    src = ChromReadSource(bamr, "chr1", cfg, seg_len=13_000,
+                          regions=regions)
+    assert src.ok
+    # no record decoded twice
+    assert len(set(zip(src.pos.tolist(), src.qnames))) == len(src.pos)
+    assert np.all(np.diff(src.pos) >= 0)
+    for s, e in windows:
+        direct = _snap(load_reads_given_interval(bamr, "chr1", s, e,
+                                                 READBACK, cfg))
+        sliced = _snap(src.window(s, e, READBACK))
+        assert direct == sliced, f"window {s}-{e} differs (regions mode)"

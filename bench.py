@@ -220,11 +220,11 @@ def bench_e2e():
 
 def bench_cram(bam_wall: float):
     """CRAM-input leg (BENCH_CRAM=1): transcode the scale dataset to CRAM
-    once, then time (a) the native spool and (b) a warm methphase run from
-    the CRAM input. VERDICT r2 item 3's bar: the CRAM e2e run lands within
-    ~1.5x of the BAM run (the reference reads CRAM at htslib stream speed,
-    blockjoin.c:4609)."""
-    from pomfret_tpu.io import cram as C
+    once, then time a warm methphase run from the CRAM input. Since round 4
+    the hot paths decode slices DIRECTLY (native cram_decode_slice feeding
+    bam_window_load/bam_scan — no spool, no disk duplicate; VERDICT r3 #3),
+    so this measures the real streaming path. Bar: cram_vs_bam_e2e <= 1.5
+    (the reference reads CRAM at htslib stream speed, blockjoin.c:4609)."""
     from pomfret_tpu.pipeline import CliOpt, main_blockjoin
 
     bam, vcf, n_gaps = build_scale_dataset()
@@ -235,28 +235,23 @@ def bench_cram(bam_wall: float):
         bam_to_cram(bam, cram, embed_ref=True)
         sys.stderr.write(f"[bench] bam->cram encode {time.time()-t0:.1f}s "
                          f"(cached)\n")
-    C._SPOOL_CACHE.clear()
-    spool = C.spool_path(cram)
-    for p in (spool, spool + ".bai"):
-        if os.path.exists(p):
-            os.remove(p)
-    C._SPOOL_CACHE.clear()
-    t0 = time.time()
-    C.spool_path(cram)
-    spool_s = time.time() - t0
     with tempfile.TemporaryDirectory() as od:
         opt = CliOpt(fn_vcf=vcf, fn_bam=cram,
                      output_prefix=os.path.join(od, "outc"), engine="jax")
         wall = float("inf")
-        for _ in range(2):  # warm methodology, same as the BAM leg
+        cold = None
+        for _ in range(3):  # warm methodology, same as the BAM leg
             t0 = time.time()
             main_blockjoin(opt)
-            wall = min(wall, time.time() - t0)
-    sys.stderr.write(f"[bench] cram: spool {spool_s:.1f}s, "
-                     f"e2e {wall:.1f}s (bam best {bam_wall:.1f}s)\n")
+            dt = time.time() - t0
+            cold = cold if cold is not None else dt
+            wall = min(wall, dt)
+    sys.stderr.write(f"[bench] cram: e2e {wall:.1f}s first {cold:.1f}s "
+                     f"(bam best {bam_wall:.1f}s; direct slice decode, "
+                     f"no spool)\n")
     return {
-        "cram_spool_s": round(spool_s, 2),
         "cram_e2e_wall_s": round(wall, 2),
+        "cram_first_run_wall_s": round(cold, 2),
         "cram_vs_bam_e2e": round(wall / max(bam_wall, 1e-9), 2),
     }
 

@@ -6,6 +6,7 @@ configurations are drop-in, plus TPU-specific extras (--engine).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import VERSION
@@ -190,7 +191,6 @@ def main(argv=None) -> int:
     ret = 1
     if getattr(a, "ref_fasta", None) and a.cmd != "bam2cram":
         # CramReader resolves POMFRET_REF_FASTA at every internal open site
-        import os
         os.environ["POMFRET_REF_FASTA"] = a.ref_fasta
     if a.cmd in ("methphase", "report", "methstat", "warmup"):
         set_verbose(a.verbose)
@@ -224,6 +224,21 @@ def main(argv=None) -> int:
         parser.print_help(sys.stderr)
         ret = 1
 
+    stats_out = os.environ.get("POMFRET_STATS_OUT")
+    if stats_out:
+        # per-process observability dump for the scaling harness
+        # (tools/bench_scaling.py) and any external profiler: dispatch
+        # stats + cumulative per-stage seconds + wall
+        import json as _json
+        from .parallel.batch import DISPATCH_STATS
+        from .utils.stats import stage_report
+        with open(stats_out, "w") as f:
+            _json.dump({
+                "proc_id": int(os.environ.get("POMFRET_PROC_ID", "0")),
+                "wall_s": round(Get_T() - T, 3),
+                "dispatch": dict(DISPATCH_STATS),
+                "stages": stage_report(3),
+            }, f)
     sys.stderr.write("\n[M::main] CMD: pomfret-tpu " + " ".join(argv) + "\n")
     sys.stderr.write(f"[M::main] used: {Get_T() - T:.1f}s, peak RSS {Get_U():.1f}GiB\n")
     from .utils.log import data_has_implicit

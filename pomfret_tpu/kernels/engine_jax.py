@@ -704,7 +704,12 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
     # each in-flight group holds its windows' read arrays in RAM.
     # POMFRET_PREFETCH=0 restores the serial order (identical results
     # either way: the plan order, and per-group contents, are unchanged).
-    depth = int(_os.environ.get("POMFRET_PREFETCH", "2"))
+    # Default OFF below 4 cores: after the round-4 loader rewrite the
+    # load stage is mostly numpy (GIL-holding), so on a 2-core host the
+    # producer thread just time-slices against pack/decide — interleaved
+    # medians 3.8 s serial vs 5.2 s threaded on the bench dataset.
+    default_depth = "2" if (_os.cpu_count() or 2) >= 4 else "0"
+    depth = int(_os.environ.get("POMFRET_PREFETCH", default_depth))
     if depth > 0 and len(plan) > 1:
         import queue as _queue
         import threading as _threading
@@ -934,9 +939,16 @@ def _drain_group(entry, decisions, tag_maps, n_permutations: int = 1) -> None:
     from ..core.engine_host import vote_permutations
     from ..utils.stats import stage
 
+    from ..parallel.batch import DISPATCH_STATS
+
     loaded, datas, errs, fut = entry
+    import time as _t
+    _w0 = _t.perf_counter()
     with stage("device_wait"):
         out = np.asarray(fut)  # blocks until the device batch finishes
+    DISPATCH_STATS["device_wait_s"] += _t.perf_counter() - _w0
+    DISPATCH_STATS["gaps_decided"] += len(loaded)
+    DISPATCH_STATS["real_lanes"] += len(datas)
     n_loaded = len(loaded)
     N = n_permutations
     import time as _time

@@ -332,7 +332,13 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
 # pipeline actually sharded over >1 device (VERDICT r1: the round-1 pipeline
 # only ever drove one chip per process)
 DISPATCH_STATS = {"n_dispatches": 0, "n_devices_last": 1, "lanes_last": 0,
-                  "window_reads": 0}
+                  "window_reads": 0,
+                  # scaling observability (SURVEY §5.8 / BASELINE's >=80%-
+                  # at-4-hosts target, measured by tools/bench_scaling.py):
+                  # gaps this process decided, cumulative seconds the host
+                  # spent blocked on device results, and real (non-pad)
+                  # lanes dispatched
+                  "gaps_decided": 0, "device_wait_s": 0.0, "real_lanes": 0}
 
 
 def _is_vmem_error(e: BaseException) -> bool:

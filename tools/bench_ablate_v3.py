@@ -54,10 +54,12 @@ def main():
     runs = {
         "v2": mk2(),
         "v3_bg32": mk3(32),
-        "v3_bg64": mk3(64),
-        "v3_bg64i8": mk3(64, cid8=True),
+        "v3_bg32i8": mk3(32, cid8=True),
         "noexit32": mk3(32, "noexit"),
     }
+    if os.environ.get("ABLATE_BG64"):
+        runs["v3_bg64"] = mk3(64)
+        runs["v3_bg64i8"] = mk3(64, cid8=True)
     for k in list(runs):
         try:
             runs[k](4)
@@ -80,7 +82,8 @@ def main():
             f"{k}={slopes[k][-1]:.1f}us" for k in runs), file=sys.stderr)
     for k in runs:
         med = sorted(slopes[k])[len(slopes[k]) // 2]
-        print(f"{k}: median slope {med:.1f} us/iter", file=sys.stderr)
+        print(f"{k}: median slope {med:.1f} us/iter "
+              f"(min {min(slopes[k]):.1f})", file=sys.stderr)
 
 
 if __name__ == "__main__":

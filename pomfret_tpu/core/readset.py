@@ -37,7 +37,7 @@ class MmrConfig:
     min_mapq: int = 10
 
 
-@dataclass
+@dataclass(slots=True)
 class Read:
     i: int
     qname: str

@@ -1444,8 +1444,11 @@ extern "C" int64_t mmr_extract_reads(
     int nt = n_threads < 1 ? 1 : n_threads;
     if (nt > (int)n_reads) nt = (int)(n_reads > 0 ? n_reads : 1);
     // typical gap windows are a few hundred reads x a few us each — thread
-    // spawn+join (~100 us) would eat the win, so stay serial below ~1k
-    if (n_reads < 1024) nt = 1;
+    // spawn+join (~100 us) eats the win below ~200 reads; mid-size windows
+    // (the bench's ~300-read windows, ~1 ms serial) still profit from ONE
+    // extra thread
+    if (n_reads < 192) nt = 1;
+    else if (n_reads < 1024 && nt > 2) nt = 2;
     if (nt <= 1) {
         worker();
     } else {

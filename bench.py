@@ -290,7 +290,14 @@ def main():
             out["device_loop_reads_per_s"] = round(dev_rps, 1)
             out["device_loop_vs_baseline"] = round(
                 dev_rps / BASELINE_READS_PER_S, 2)
-        if os.environ.get("BENCH_CRAM"):
+        # CRAM leg default-on since the direct (spool-free) path landed:
+        # the driver-captured artifact should carry cram_vs_bam_e2e
+        # (VERDICT r3 #3). BENCH_CRAM=0 skips it; at BENCH_SCALE>1 it
+        # stays opt-in (the bam->cram transcode of the GB-scale dataset
+        # would dominate the run).
+        scale_default = "1" if os.environ.get("BENCH_SCALE", "1") == "1" \
+            else "0"
+        if os.environ.get("BENCH_CRAM", scale_default) != "0":
             try:
                 out.update(bench_cram(e2e_wall))
             except Exception as e:  # the CRAM leg must not sink the JSON

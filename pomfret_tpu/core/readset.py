@@ -310,7 +310,7 @@ class ChromReadSource:
 
         if regions is None:
             regions = [(0, ref_len)]
-        parts = []  # per-segment dicts of columnar arrays
+        segs = []  # (g0, g1, first-of-region)
         for r_lo, r_hi in regions:
             r_lo = max(0, int(r_lo))
             r_hi = min(ref_len, int(r_hi))
@@ -318,17 +318,49 @@ class ChromReadSource:
             g0 = r_lo
             while g0 < r_hi:
                 g1 = min(g0 + seg_len, r_hi)
-                cols, buf = fwc(chrom, g0, g1, config.min_mapq,
-                                config.readlen_threshold, MIN_ALN_DE,
-                                config.lo, config.hi)
+                segs.append((g0, g1, first))
+                first = False
+                g0 = g1
+
+        def _fetch(seg):
+            g0, g1, _first = seg
+            return fwc(chrom, g0, g1, config.min_mapq,
+                       config.readlen_threshold, MIN_ALN_DE,
+                       config.lo, config.hi)
+
+        # one-deep segment pipeline: the native decode of segment k+1
+        # (inflate + bam_window_load, GIL-releasing) runs on a single
+        # worker thread while the main thread does segment k's numpy
+        # assembly — the wl arenas double-buffer per call so k's slabs
+        # survive k+1's fetch. POMFRET_NO_SEG_PIPE=1 restores serial.
+        parts = []  # per-segment dicts of columnar arrays
+        pipe = len(segs) > 1 and not os.environ.get("POMFRET_NO_SEG_PIPE")
+        if pipe:
+            import concurrent.futures as _fut
+            ex = _fut.ThreadPoolExecutor(1)
+            try:
+                nxt = ex.submit(_fetch, segs[0])
+                for k, seg in enumerate(segs):
+                    cols, buf = nxt.result()
+                    if k + 1 < len(segs):
+                        nxt = ex.submit(_fetch, segs[k + 1])
+                    if cols is None:
+                        return  # native path unavailable: stay not-ok
+                    part = self._segment_part(cols, buf, config,
+                                              None if seg[2] else seg[0])
+                    if part is not None:
+                        parts.append(part)
+            finally:
+                ex.shutdown(wait=True)
+        else:
+            for g0, g1, first in segs:
+                cols, buf = _fetch((g0, g1, first))
                 if cols is None:
-                    return  # native path unavailable mid-way: stay not-ok
+                    return
                 part = self._segment_part(cols, buf, config,
                                           None if first else g0)
                 if part is not None:
                     parts.append(part)
-                first = False
-                g0 = g1
 
         if not parts:
             self._empty_init()

@@ -372,25 +372,30 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
     # first-touch faults). len(buf)//64 is ~2.5x the observed density, with
     # doubling retries below.
     calls_cap = max(65536, len(buf) // 64)
+    # two arena generations alternate per call, so a caller may hold one
+    # call's calls/quals slabs while the NEXT call (the segment-pipelined
+    # ChromReadSource prefetches fwc for segment k+1 while assembling k)
+    # runs on the same thread; slabs stay valid until the next-but-one
+    # call on this thread
+    g = getattr(_TLS, "wl_gen", 0)
+    _TLS.wl_gen = g ^ 1
     for _ in range(8):  # retry with doubled caps on overflow
         # thread-local reusable scratch: see _arena. The small per-record
         # outputs are COPIED into the return dict; calls/quals (the big
-        # slabs) are returned as the arena itself and stay valid until
-        # this thread's next bam_window_load — both callers (the window
-        # loader and ChromReadSource) consume them before that.
-        rec_off = _arena("wl_rec_off", n_cap, np.int64)
-        pos = _arena("wl_pos", n_cap, np.int32)
-        endpos = _arena("wl_endpos", n_cap, np.int32)
-        strand = _arena("wl_strand", n_cap, np.int8)
-        hp = _arena("wl_hp", n_cap, np.int32)
-        lseq = _arena("wl_lseq", n_cap, np.int32)
-        fallback = _arena("wl_fallback", n_cap, np.int8)
-        qname_off = _arena("wl_qname_off", n_cap + 1, np.int64)
-        qname_buf = _arena("wl_qname_buf", qn_cap, np.uint8)
-        call_off = _arena("wl_call_off", n_cap + 1, np.int64)
-        call_n = _arena("wl_call_n", n_cap, np.int32)
-        calls = _arena("wl_calls", calls_cap, np.uint32)
-        quals = _arena("wl_quals", calls_cap, np.uint8)
+        # slabs) are returned as the arena itself (lifetime above).
+        rec_off = _arena(f"wl_rec_off{g}", n_cap, np.int64)
+        pos = _arena(f"wl_pos{g}", n_cap, np.int32)
+        endpos = _arena(f"wl_endpos{g}", n_cap, np.int32)
+        strand = _arena(f"wl_strand{g}", n_cap, np.int8)
+        hp = _arena(f"wl_hp{g}", n_cap, np.int32)
+        lseq = _arena(f"wl_lseq{g}", n_cap, np.int32)
+        fallback = _arena(f"wl_fallback{g}", n_cap, np.int8)
+        qname_off = _arena(f"wl_qname_off{g}", n_cap + 1, np.int64)
+        qname_buf = _arena(f"wl_qname_buf{g}", qn_cap, np.uint8)
+        call_off = _arena(f"wl_call_off{g}", n_cap + 1, np.int64)
+        call_n = _arena(f"wl_call_n{g}", n_cap, np.int32)
+        calls = _arena(f"wl_calls{g}", calls_cap, np.uint32)
+        quals = _arena(f"wl_quals{g}", calls_cap, np.uint8)
         has_implicit = ctypes.c_int32(0)
         n = lib.bam_window_load(
             _p(b, ctypes.c_uint8), len(buf),

@@ -80,11 +80,17 @@ def _cap_key(D: int, S: int, nc_cap: int, R: int):
 
 def lower_bg_cap(D: int, S: int, nc_cap: int, R: int) -> bool:
     """Halve the learned lane-block cap for this shape after a VMEM
-    compile failure. Returns False when already at the 8-lane floor."""
+    compile failure. At the 8-lane floor (Pallas requires the sublane
+    block dim be a multiple of 8), the next step DISABLES v3 for this
+    shape (cap 0 -> engines use the vmapped XLA body): BENCH_SCALE=5's
+    dense chromosome produces (R=1792, D=8, NC=64) windows where even
+    bg=8 overflows the 16M scoped-VMEM limit. Returns False only when
+    already disabled."""
     cur = pick_bg3(D, S, nc_cap, R=R)
-    if cur <= 8:
+    if cur == 0:
         return False
-    _BG_CAP[_cap_key(D, S, nc_cap, R)] = cur // 2
+    key = _cap_key(D, S, nc_cap, R)
+    _BG_CAP[key] = 0 if cur <= 8 else cur // 2
     return True
 
 
@@ -102,13 +108,18 @@ def pick_bg3(D: int, S: int, nc_cap: int, R: int = 0) -> int:
     per_lane = (2 * (2 * D * S * 4)      # cnt block + scratch
                 + nc_cap * S * 4         # cids
                 + 2 * nc_cap * S * 4     # live scoring temps
+                # the unrolled per-d select chain holds more live
+                # (bg,NC,S) temps as D grows: measured 17.63M scoped at
+                # (bg=16, D=8, S=1536, NC=16, R=1792) vs the D=4-anchored
+                # model's 8.4M -> ~1.5 extra temps per d beyond 4
+                + max(0, D - 4) * nc_cap * S * 6
                 + 5 * R * 4)             # hp in/out, hm, (bg,R) temps
     bg = BG3
     while bg > 8 and bg * per_lane > _VMEM_BUDGET:
         bg //= 2
     cap = _BG_CAP.get(_cap_key(D, S, nc_cap, R))
     if cap is not None:
-        bg = min(bg, cap)
+        bg = min(bg, cap)  # 0 = v3 disabled for this shape (see above)
     return bg
 
 

@@ -773,7 +773,7 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
             _host_fallback_group(e, loaded, job, *results[ji],
                                  n_permutations=n_permutations)
             continue
-        pending.append((ji, loaded, datas, errs, fut))
+        pending.append((ji, loaded, datas, errs, fut, parts))
         if len(pending) > 1:
             _drain_or_fallback(pending.pop(0), results, jobs,
                                n_permutations)
@@ -783,12 +783,43 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
 
 
 def _drain_or_fallback(entry, results, jobs, n_permutations: int) -> None:
-    ji = entry[0]
-    try:
-        _drain_group(entry[1:], *results[ji], n_permutations)
-    except Exception as e:
-        _host_fallback_group(e, entry[1], jobs[ji], *results[ji],
-                             n_permutations=n_permutations)
+    """Drain one group; on failure, recover.
+
+    Async dispatch means a Mosaic scoped-VMEM compile failure surfaces
+    HERE (at the blocking download), not at dispatch — so the VMEM
+    retry (halve the v3 lane-block cap for the offending shape and
+    re-dispatch, parallel.batch._dispatch_with_vmem_fallback's job for
+    synchronous errors) must also run here. Anything else falls back to
+    the host oracle. Found at BENCH_SCALE=5: the dense 110x chromosome's
+    (R=1792, D=8) groups overflowed scoped VMEM at drain time and
+    silently recomputed 128-gap groups on the host."""
+    ji, loaded, datas, errs, fut, parts = entry
+    for _ in range(4):
+        try:
+            _drain_group((loaded, datas, errs, fut), *results[ji],
+                         n_permutations)
+            return
+        except Exception as e:
+            from ..parallel.batch import (_is_vmem_error, production_mesh,
+                                          run_gap_batch_group_async)
+            if _is_vmem_error(e):
+                from ..kernels.engine_fused3 import lower_bg_cap
+                lowered = False
+                for _idx, b in parts:
+                    _G, R, S = b.shape3
+                    lowered = lower_bg_cap(b.D, S, b.nc_cap, R) or lowered
+                if lowered:
+                    from ..utils.log import log_warn
+                    log_warn("run_jobs_batched",
+                             "v3 kernel exceeded scoped VMEM at drain; "
+                             "re-dispatching the group with a halved lane "
+                             "block")
+                    fut = run_gap_batch_group_async(
+                        parts, mesh=production_mesh(), n_lanes=len(datas))
+                    continue
+            _host_fallback_group(e, loaded, jobs[ji], *results[ji],
+                                 n_permutations=n_permutations)
+            return
 
 
 def _host_fallback_group(err: BaseException, loaded, job, decisions,

@@ -206,12 +206,15 @@ def _engine_for(batch: GapBatch):
     if gen == "3":
         from ..kernels.engine_fused3 import pick_bg3
         bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
-        if G % bg3 != 0:  # production G is pow2*32, divisible by any bg
-            bg3 = min(bg3, batch.bg)
-        if G % bg3 == 0:
-            bg = bg3
+        if bg3 == 0:
+            gen = "x"  # shape exceeds scoped VMEM even at bg=8: XLA body
         else:
-            gen = "2"  # v3 lane block does not divide G: v2 kernel
+            if G % bg3 != 0:  # production G is pow2*32, divisible by any bg
+                bg3 = min(bg3, batch.bg)
+            if G % bg3 == 0:
+                bg = bg3
+            else:
+                gen = "2"  # v3 lane block does not divide G: v2 kernel
     if runs:
         return functools.partial(_run_batch_runs, S=S, D=batch.D,
                                  nc_cap=batch.nc_cap, bg=bg, gen=gen)
@@ -302,9 +305,9 @@ def _sharded_engine_for(batch: GapBatch, mesh: Mesh, n_args: int):
         from ..kernels.engine_fused3 import pick_bg3, run_batch_fused3_core
         shard = G // n_dev
         bg3 = pick_bg3(batch.D, S, batch.nc_cap, R=R)
-        if shard % bg3 != 0:
+        if bg3 and shard % bg3 != 0:
             bg3 = min(bg3, batch.bg)
-        if shard > 0 and shard % bg3 == 0:
+        if bg3 and shard > 0 and shard % bg3 == 0:
             if runs:
                 core = functools.partial(_run_batch_runs, S=S, D=batch.D,
                                          nc_cap=batch.nc_cap, bg=bg3,

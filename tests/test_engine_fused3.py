@@ -119,7 +119,11 @@ def test_pick_bg3_vmem_compile_probe_fallback(monkeypatch):
         assert f3.pick_bg3(4, 256, 16, R=512) == 32
         while f3.lower_bg_cap(4, 1536, 16, 512):
             pass
-        assert f3.pick_bg3(4, 1536, 16, R=512) == 8
+        # round 4: exhausting the cap at the 8-lane Pallas floor
+        # DISABLES v3 for the shape (0 -> vmapped XLA body) instead of
+        # failing forever (BENCH_SCALE=5's dense (R=1792, D=8, NC=64)
+        # windows overflow even at bg=8)
+        assert f3.pick_bg3(4, 1536, 16, R=512) == 0
         assert not f3.lower_bg_cap(4, 1536, 16, 512)
     finally:
         f3._BG_CAP.clear()

@@ -74,16 +74,30 @@ def get_methmer_sites_and_ranges(
         all_pos, all_q, _, _ = rs.concat_calls()
         cand = np.zeros(0, dtype=np.uint64)
         if all_pos.size:
-            key = all_pos.astype(np.uint64) * 4 + all_q
-            uniq, cnts = np.unique(key, return_counts=True)
-            pos_u = (uniq // 4).astype(np.uint64)
-            cls_u = (uniq % 4).astype(np.uint8)
-            # per position: counts of class 0 (meth) and 1 (unmeth)
-            positions, inv = np.unique(pos_u, return_inverse=True)
-            cmat = np.zeros((len(positions), 3), dtype=np.int64)
-            np.add.at(cmat, (inv, np.minimum(cls_u, 2).astype(np.int64)), cnts)
-            sel = (cmat[:, 0] >= config.cov_for_selection) & (cmat[:, 1] >= config.cov_for_selection)
-            cand = positions[sel]
+            cand = None
+            if not os.environ.get("POMFRET_NO_NATIVE_SITES"):
+                from ..io import native
+                if native.native_available():
+                    # one C++ sort+run-walk instead of two np.uniques —
+                    # site selection was ~7% of the warm e2e wall
+                    res = native.site_select(all_pos, all_q,
+                                             config.cov_for_selection)
+                    if res is not None:
+                        cand = res.astype(np.uint64)
+            if cand is None:
+                key = all_pos.astype(np.uint64) * 4 + all_q
+                uniq, cnts = np.unique(key, return_counts=True)
+                pos_u = (uniq // 4).astype(np.uint64)
+                cls_u = (uniq % 4).astype(np.uint8)
+                # per position: counts of class 0 (meth) and 1 (unmeth)
+                positions, inv = np.unique(pos_u, return_inverse=True)
+                cmat = np.zeros((len(positions), 3), dtype=np.int64)
+                np.add.at(cmat,
+                          (inv, np.minimum(cls_u, 2).astype(np.int64)),
+                          cnts)
+                sel = ((cmat[:, 0] >= config.cov_for_selection)
+                       & (cmat[:, 1] >= config.cov_for_selection))
+                cand = positions[sel]
         rs._site_sel_cache = (config.cov_for_selection, cand)
     if masked_positions:
         cand = np.array([p for p in cand if int(p) not in masked_positions],

@@ -310,6 +310,31 @@ class ChromReadSource:
 
         if regions is None:
             regions = [(0, ref_len)]
+
+        ics = getattr(bam, "iter_columnar_segments", None)
+        if ics is not None:
+            # reader-provided segmentation (CRAM: one segment per slice,
+            # each decoded+parsed exactly once — genomic tiles re-parsed
+            # every overlapping multi-MB slice per tile). Records are
+            # unique across segments; rec_off gets a per-segment base so
+            # the cross-segment dedup never collides.
+            parts = []
+            base = 0
+            for item in ics(chrom, None if regions == [(0, ref_len)]
+                            else regions, config.min_mapq,
+                            config.readlen_threshold, MIN_ALN_DE,
+                            config.lo, config.hi):
+                if item is None:
+                    return  # reader bailed (spool mode/no native)
+                cols, buf = item
+                part = self._segment_part(cols, buf, config, None,
+                                          off_base=base)
+                base += len(buf) + 1
+                if part is not None:
+                    parts.append(part)
+            self._finish_init(parts)
+            return
+
         segs = []  # (g0, g1, first-of-region)
         for r_lo, r_hi in regions:
             r_lo = max(0, int(r_lo))
@@ -332,9 +357,17 @@ class ChromReadSource:
         # (inflate + bam_window_load, GIL-releasing) runs on a single
         # worker thread while the main thread does segment k's numpy
         # assembly — the wl arenas double-buffer per call so k's slabs
-        # survive k+1's fetch. POMFRET_NO_SEG_PIPE=1 restores serial.
+        # survive k+1's fetch. Default OFF below 4 host cores: the native
+        # calls already saturate a 2-core host with their internal
+        # threads, and the handoff overhead measured 1.78 s vs 1.16 s
+        # serial (interleaved medians, 4-chrom bench scan).
+        # POMFRET_SEG_PIPE=1 forces on, POMFRET_NO_SEG_PIPE=1 off.
         parts = []  # per-segment dicts of columnar arrays
-        pipe = len(segs) > 1 and not os.environ.get("POMFRET_NO_SEG_PIPE")
+        want_pipe = os.environ.get(
+            "POMFRET_SEG_PIPE",
+            "1" if (os.cpu_count() or 2) >= 4 else "")
+        pipe = (len(segs) > 1 and bool(want_pipe)
+                and not os.environ.get("POMFRET_NO_SEG_PIPE"))
         if pipe:
             import concurrent.futures as _fut
             ex = _fut.ThreadPoolExecutor(1)
@@ -362,6 +395,9 @@ class ChromReadSource:
                 if part is not None:
                     parts.append(part)
 
+        self._finish_init(parts)
+
+    def _finish_init(self, parts):
         if not parts:
             self._empty_init()
             return
@@ -420,11 +456,14 @@ class ChromReadSource:
         self._has_dups = len(set(self.qnames)) != n
         self.ok = True
 
-    def _segment_part(self, cols, buf, config: MmrConfig, skip_below):
+    def _segment_part(self, cols, buf, config: MmrConfig, skip_below,
+                      off_base: int = 0):
         """Columnar arrays for one decoded segment: vectorized selection of
         the kept records (skip pos < skip_below: decoded by an earlier
         segment of the same region); rare fallback records re-decode
-        through the Python oracle, spliced in record order."""
+        through the Python oracle, spliced in record order. off_base
+        shifts rec_off into a per-segment range (reader-segmented sources
+        reuse stream-local offsets)."""
         from ..io.bam import decode_record
         n = cols["n"]
         if not n:
@@ -453,7 +492,8 @@ class ChromReadSource:
             "strand": np.asarray(cols["strand"], dtype=np.int64)[idx],
             "hp": np.asarray(cols["hp"], dtype=np.int64)[idx],
             "lseq": np.asarray(cols["l_seq"], dtype=np.int64)[idx],
-            "rec_off": np.asarray(cols["rec_off"], dtype=np.int64)[idx],
+            "rec_off": np.asarray(cols["rec_off"], dtype=np.int64)[idx]
+            + off_base,
             "qnames": [cols["qnames"][int(j)] for j in idx],
             "calls": cols["calls"][gath],
             "quals": cols["quals"][gath],
@@ -487,7 +527,7 @@ class ChromReadSource:
                 add["strand"].append(int(cols["strand"][j]))
                 add["hp"].append(int(cols["hp"][j]))
                 add["lseq"].append(int(cols["l_seq"][j]))
-                add["rec_off"].append(off)
+                add["rec_off"].append(off + off_base)
                 add["qnames"].append(cols["qnames"][j])
                 add_calls.append(np.asarray(cl, dtype=np.uint32))
                 add_quals.append(np.asarray(ql, dtype=np.uint8))

@@ -877,8 +877,10 @@ class CramReader:
         self._slice_cache_cap = 16
         # direct (spool-free) fast-path caches: raw record streams per
         # slice, parsed compression headers per container
+        import threading as _threading
         self._raw_cache: "dict[tuple, bytes]" = {}
         self._cont_cache: "dict[int, tuple]" = {}
+        self._raw_lock = _threading.Lock()
 
     # -- reference resolution
     def _get_fastas(self) -> list:
@@ -942,17 +944,24 @@ class CramReader:
 
     # -- container / slice iteration
     def _iter_containers(self, offset: Optional[int] = None):
-        self._f.seek(offset if offset is not None else self._data_offset)
+        # tracks its own offset and re-seeks every iteration: consumers
+        # (scan_columns, the slice caches) move the shared file handle
+        # between yields, so relying on the post-yield position would read
+        # garbage
+        pos = offset if offset is not None else self._data_offset
         while True:
-            pos = self._f.tell()
-            h = read_container_header(self._f)
-            if h is None:
-                return
-            if h.ref_id == -1 and h.n_records == 0 and h.n_bases == 0 \
-                    and h.n_blocks == 1 and h.start == EOF_START_SENTINEL:
-                return  # EOF container
-            body = self._f.read(h.length)
+            with self._raw_lock:
+                self._f.seek(pos)
+                h = read_container_header(self._f)
+                if h is None:
+                    return
+                if h.ref_id == -1 and h.n_records == 0 and h.n_bases == 0 \
+                        and h.n_blocks == 1 and h.start == EOF_START_SENTINEL:
+                    return  # EOF container
+                body = self._f.read(h.length)
+                nxt = self._f.tell()
             yield pos, h, body
+            pos = nxt
 
     def _decode_container(self, h: ContainerHeader, body: bytes,
                           only_slice_offset: Optional[int] = None
@@ -1177,19 +1186,23 @@ class CramReader:
 
     def _container_at(self, coff: int):
         """(compression header, body) of the container at file offset coff,
-        cached (a container's slices are fetched one by one)."""
-        hit = self._cont_cache.get(coff)
-        if hit is not None:
-            self._cont_cache[coff] = self._cont_cache.pop(coff)
-            return hit
-        self._f.seek(coff)
-        h = read_container_header(self._f)
-        body = self._f.read(h.length)
+        cached (a container's slices are fetched one by one). Lock-guarded:
+        _slice_raw_many's workers hit this concurrently, and the file
+        handle seek/read must not interleave."""
+        with self._raw_lock:
+            hit = self._cont_cache.get(coff)
+            if hit is not None:
+                self._cont_cache[coff] = self._cont_cache.pop(coff)
+                return hit
+            self._f.seek(coff)
+            h = read_container_header(self._f)
+            body = self._f.read(h.length)
         blk, _ = read_block(body, 0)
         ch = parse_compression_header(blk.data)
-        if len(self._cont_cache) >= 4:
-            self._cont_cache.pop(next(iter(self._cont_cache)))
-        self._cont_cache[coff] = (ch, body)
+        with self._raw_lock:
+            if len(self._cont_cache) >= 4:
+                self._cont_cache.pop(next(iter(self._cont_cache)))
+            self._cont_cache[coff] = (ch, body)
         return ch, body
 
     def _slice_raw(self, coff: int, soff: int) -> bytes:
@@ -1197,12 +1210,16 @@ class CramReader:
         a decompressed BAM's record region) for one slice, LRU-cached.
         Native cram_decode_slice when the encodings are covered; the
         per-record Python oracle + encode_record otherwise — byte-layout
-        identical either way for the fields the scanners read."""
+        identical either way for the fields the scanners read.
+
+        Thread-compatible: cache reads/writes hold _raw_lock, the decode
+        itself runs outside it (a racing duplicate decode is benign)."""
         key = (coff, soff)
-        hit = self._raw_cache.get(key)
-        if hit is not None:
-            self._raw_cache[key] = self._raw_cache.pop(key)
-            return hit
+        with self._raw_lock:
+            hit = self._raw_cache.get(key)
+            if hit is not None:
+                self._raw_cache[key] = self._raw_cache.pop(key)
+                return hit
         ch, body = self._container_at(coff)
         res = self._decode_slice_raw(ch, body, soff)
         if res is not None:
@@ -1211,10 +1228,33 @@ class CramReader:
             from .bam_writer import encode_record
             raw = b"".join(encode_record(r)
                            for r in self._decode_slice(ch, body, soff))
-        if len(self._raw_cache) >= self._slice_cache_cap:
-            self._raw_cache.pop(next(iter(self._raw_cache)))
-        self._raw_cache[key] = raw
+        with self._raw_lock:
+            if len(self._raw_cache) >= self._slice_cache_cap:
+                self._raw_cache.pop(next(iter(self._raw_cache)))
+            self._raw_cache[key] = raw
         return raw
+
+    def _slice_raw_many(self, keys) -> list:
+        """Raw streams for several slices; uncached ones decode on a small
+        thread pool (cram_decode_slice is a GIL-releasing native call, and
+        slices are independent)."""
+        with self._raw_lock:
+            missing = [k for k in keys if k not in self._raw_cache]
+        # external-reference CRAMs decode serially: _ref_slice's FASTA
+        # reader shares a seekable handle (not thread-safe); embedded-ref
+        # CRAMs (our writer's default) have no such shared state.
+        # >=4 cores only (2-core hosts lose to serial, see
+        # iter_columnar_segments)
+        if len(missing) > 1 and (os.cpu_count() or 2) >= 4 \
+                and not self._get_fastas():
+            # containers parse once up-front (the container cache is not
+            # thread-safe to MUTATE concurrently)
+            for coff in {k[0] for k in missing}:
+                self._container_at(coff)
+            import concurrent.futures as _fut
+            with _fut.ThreadPoolExecutor(2) as ex:
+                list(ex.map(lambda k: self._slice_raw(*k), missing))
+        return [self._slice_raw(*k) for k in keys]
 
     def scan_columns(self):
         """Columnar whole-file scan (BamReader.scan_columns contract):
@@ -1233,7 +1273,10 @@ class CramReader:
         import numpy as _np
         parts = []
         for pos, h, body in self._iter_containers():
-            chunks = [self._slice_raw(pos, lm) for lm in h.landmarks]
+            self._slice_cache_cap = max(self._slice_cache_cap,
+                                        len(h.landmarks) + 4)
+            chunks = self._slice_raw_many([(pos, lm)
+                                           for lm in h.landmarks])
             if not chunks:
                 continue
             cols = native.bam_scan(b"".join(chunks), 0)
@@ -1246,6 +1289,74 @@ class CramReader:
         merged = {k: _np.concatenate([p[k] for p in parts])
                   for k in parts[0]}
         return merged, None
+
+    def iter_columnar_segments(self, chrom: str, regions, min_mapq: int,
+                               readlen_threshold: int, de_max: float,
+                               lo: int, hi: int):
+        """SLICE-aligned columnar segments for ChromReadSource: each slice
+        whose span overlaps a region decodes EXACTLY once and parses
+        exactly once (genomic tiling over a CRAM re-joined and re-parsed
+        every overlapping multi-MB slice per tile — measured ~3x record
+        redundancy). Yields (cols, buf) per slice with NO positional
+        subsetting (every record of the slice passes the quality filters
+        only); records are unique across segments by construction, and
+        window materialization subsets by binary search. Yields None on a
+        native/spool-mode bailout (caller falls back)."""
+        if self._want_spool() or os.environ.get("POMFRET_NO_NATIVE_CRAM"):
+            yield None
+            return
+        try:
+            from . import native
+        except ImportError:
+            yield None
+            return
+        if not native.native_available():
+            yield None
+            return
+        tid = self.ref_id(chrom)
+        if tid < 0:
+            return
+        seen = set()
+        keys = []
+        for (sid, s1, span, coff, soff, ssize) in self._slice_index():
+            if sid != tid or (coff, soff) in seen:
+                continue
+            s0 = s1 - 1
+            if regions is not None and not any(
+                    s0 < hi_ and s0 + span > lo_ for lo_, hi_ in regions):
+                continue
+            seen.add((coff, soff))
+            keys.append((coff, soff))
+        keys.sort()
+        # one-deep decode prefetch: slice k+1 decompresses+decodes (all
+        # GIL-releasing native work) while slice k parses/assembles.
+        # >=4 cores only — on the 2-core bench host the handoff lost to
+        # serial (5.6 vs 5.3 s CRAM e2e), like every other threading
+        # experiment there
+        pool = None
+        if len(keys) > 1 and (os.cpu_count() or 2) >= 4 \
+                and not self._get_fastas():
+            import concurrent.futures as _fut
+            pool = _fut.ThreadPoolExecutor(1)
+        try:
+            nxt = None
+            for i, (coff, soff) in enumerate(keys):
+                raw = nxt.result() if nxt is not None \
+                    else self._slice_raw(coff, soff)
+                if pool is not None and i + 1 < len(keys):
+                    nxt = pool.submit(self._slice_raw, *keys[i + 1])
+                else:
+                    nxt = None
+                cols = native.bam_window_load(
+                    raw, [(0, len(raw))] if raw else [], tid, 0, 1 << 62,
+                    min_mapq, readlen_threshold, de_max, lo, hi)
+                if cols is None:
+                    yield None
+                    return
+                yield cols, raw
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
 
     def fetch_window_columnar(self, chrom: str, beg: int, end: int,
                               min_mapq: int, readlen_threshold: int,
@@ -1271,7 +1382,7 @@ class CramReader:
         if tid < 0:
             return {"n": 0, "has_implicit": False, "qnames": []}, b""
         seen = set()
-        chunks = []
+        keys = []
         for (sid, s1, span, coff, soff, ssize) in self._slice_index():
             if sid != tid:
                 continue
@@ -1281,7 +1392,11 @@ class CramReader:
             if (coff, soff) in seen:
                 continue
             seen.add((coff, soff))
-            chunks.append(self._slice_raw(coff, soff))
+            keys.append((coff, soff))
+        # the LRU must hold the whole request or the re-collect pass
+        # would re-decode what the pool just evicted
+        self._slice_cache_cap = max(self._slice_cache_cap, len(keys) + 4)
+        chunks = self._slice_raw_many(keys)
         buf = b"".join(chunks)
         cols = native.bam_window_load(buf, [(0, len(buf))] if buf else [],
                                       tid, beg, end, min_mapq,

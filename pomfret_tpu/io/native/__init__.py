@@ -134,6 +134,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u32p, ctypes.c_int64,
             i64p, ctypes.c_int64,
             u8p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.site_select.restype = ctypes.c_int64
+        lib.site_select.argtypes = [
+            u32p, u8p, ctypes.c_int64, ctypes.c_int64,
+            u32p, ctypes.c_int64]
         lib.cram_decode_slice.restype = ctypes.c_int64
         lib.cram_decode_slice.argtypes = [
             u8p, i32p, i64p, i64p, i32,               # ext blocks
@@ -441,6 +445,27 @@ def bam_window_load(buf, chunk_ranges, tid: int, beg: int, end: int,
             "has_implicit": bool(has_implicit.value),
         }
     return None
+
+
+def site_select(calls: np.ndarray, quals: np.ndarray,
+                cov_sel: int) -> Optional[np.ndarray]:
+    """Methmer site selection over a window's concatenated calls (see
+    site_select in pomfret_native.cpp): ascending positions with >=
+    cov_sel meth AND unmeth calls, or None (native lib unavailable)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(calls)
+    calls = np.ascontiguousarray(calls, dtype=np.uint32)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    cap = max(256, n)
+    out = _arena("site_sel_out", cap, np.uint32)
+    m = lib.site_select(_p(calls, ctypes.c_uint32),
+                        _p(quals, ctypes.c_uint8), n, cov_sel,
+                        _p(out, ctypes.c_uint32), cap)
+    if m < 0:
+        return None
+    return out[: int(m)].copy()
 
 
 def varhaptag_reads(buf, chunk_ranges, tid: int, beg: int, end: int,

@@ -2282,7 +2282,8 @@ extern "C" int64_t cram_decode_slice(
         if (ap_delta) { ap = prev_ap + ap; prev_ap = ap; }
         int64_t rg = rint(S_RG);
         const uint8_t* name = nullptr; int64_t name_n = 0;
-        std::vector<uint8_t> name_store;
+        thread_local std::vector<uint8_t> name_store;
+        name_store.clear();
         if (rn_preserved) {
             if (!S[S_RN].read_bytes(core, exts.data(), ext_ids, n_ext, &name,
                                     &name_n, rs.scratch, err)) return S[S_RN].unsup ? CRAM_UNSUPPORTED : CRAM_CORRUPT;
@@ -2333,7 +2334,8 @@ extern "C" int64_t cram_decode_slice(
         rs.quals.clear();
         rs.seq.assign((size_t)rl, 'N');
         bool qs_stored = (cf & CF_QS_STORED) != 0;
-        std::vector<std::pair<int64_t, int64_t>> feat_byte_spans;
+        thread_local std::vector<std::pair<int64_t, int64_t>> feat_byte_spans;
+        feat_byte_spans.clear();
         if (!(bf & 4)) {
             int64_t fn = rint(S_FN);
             int64_t fpos = 0;
@@ -2449,8 +2451,16 @@ extern "C" int64_t cram_decode_slice(
             return 'N';
         };
         auto fill_match = [&](int64_t n) {
-            for (int64_t k = 0; k < n; k++)
-                rs.seq[rpos + k] = (uint8_t)ref_base_at(gpos + k);
+            // fast path: the whole span sits inside the reference slice
+            // (virtually always) — the per-base lambda walk was ~40% of
+            // slice decode on 20 kb reads
+            int64_t i0 = gpos - ref_offset;
+            if (ref_seq && i0 >= 0 && i0 + n <= ref_len) {
+                memcpy(rs.seq.data() + rpos, ref_seq + i0, (size_t)n);
+            } else {
+                for (int64_t k = 0; k < n; k++)
+                    rs.seq[rpos + k] = (uint8_t)ref_base_at(gpos + k);
+            }
             add_op(OP_M, n);
             rpos += n; gpos += n;
         };
@@ -2563,12 +2573,42 @@ extern "C" int64_t cram_decode_slice(
                 int opc = v & 0xF; int64_t ln = v >> 4;
                 if (opc == OP_M || opc == 7 || opc == 8) {
                     int64_t prev_end = 0;
-                    for (int64_t x = 0; x < ln; x++) {
-                        char rb = ref_base_at(gp + x);
-                        if ((char)rs.seq[rp + x] != rb) {
+                    int64_t i0 = gp - ref_offset;
+                    if (ref_seq && i0 >= 0 && i0 + ln <= ref_len) {
+                        // word-compare scan to the next mismatch instead
+                        // of a per-base lambda walk (the other ~40% of
+                        // slice decode on long reads)
+                        const uint8_t* a = rs.seq.data() + rp;
+                        const uint8_t* b = ref_seq + i0;
+                        int64_t x = 0;
+                        while (x < ln) {
+                            int64_t d = x;
+                            for (; d + 8 <= ln; d += 8) {
+                                uint64_t u, v2;
+                                memcpy(&u, a + d, 8);
+                                memcpy(&v2, b + d, 8);
+                                if (u != v2) {
+                                    d += __builtin_ctzll(u ^ v2) >> 3;
+                                    goto mism;
+                                }
+                            }
+                            for (; d < ln && a[d] == b[d]; d++) {}
+                        mism:
+                            x = d;
+                            if (x >= ln) break;
                             md_num(match_run + (x - prev_end));
-                            rs.md.push_back((uint8_t)rb);
+                            rs.md.push_back(b[x]);
                             match_run = 0; prev_end = x + 1; nm++;
+                            x++;
+                        }
+                    } else {
+                        for (int64_t x = 0; x < ln; x++) {
+                            char rb = ref_base_at(gp + x);
+                            if ((char)rs.seq[rp + x] != rb) {
+                                md_num(match_run + (x - prev_end));
+                                rs.md.push_back((uint8_t)rb);
+                                match_run = 0; prev_end = x + 1; nm++;
+                            }
                         }
                     }
                     match_run += ln - prev_end;
@@ -2627,10 +2667,23 @@ extern "C" int64_t cram_decode_slice(
         if (name_n) { memcpy(w, name_store.data(), name_n); w += name_n; }
         *w++ = 0;
         if (n_cig) { memcpy(w, rs.cigbuf.data(), 4 * n_cig); w += 4 * n_cig; }
-        for (int64_t k = 0; k < rl; k += 2) {
-            uint8_t hi = NT16[rs.seq[k]];
-            uint8_t lo = (k + 1 < rl) ? NT16[rs.seq[k + 1]] : 0;
-            *w++ = (uint8_t)((hi << 4) | lo);
+        {
+            // base-pair -> packed-nibble LUT: one lookup per 2 bases
+            // (the per-base NT16 loop was a measurable slice of decode
+            // on 20 kb reads)
+            static const uint8_t* PAIR = [] {
+                static uint8_t t[65536];
+                for (int a = 0; a < 256; a++)
+                    for (int b2 = 0; b2 < 256; b2++)
+                        t[(a << 8) | b2] =
+                            (uint8_t)((NT16[a] << 4) | NT16[b2]);
+                return t;
+            }();
+            const uint8_t* sq = rs.seq.data();
+            int64_t k = 0;
+            for (; k + 2 <= rl; k += 2)
+                *w++ = PAIR[((int)sq[k] << 8) | sq[k + 1]];
+            if (k < rl) *w++ = (uint8_t)(NT16[sq[k]] << 4);
         }
         if (rl) { memcpy(w, rs.quals.data(), rl); w += rl; }
         if (!rs.aux.empty()) {
@@ -2826,4 +2879,40 @@ extern "C" int64_t mer_runs_fill(
     return mer_fill_common(rows, lens, starts, offs, n_runs, mers, n_mers,
                            inv_perm, n_reads, nullptr, R, S, has_mmr,
                            blk, b0, CB);
+}
+
+// Methmer site selection (get_methmer_sites_and_ranges' counting pass,
+// blockjoin.c:3210-3287): count meth (class 0) and unmeth (class 1)
+// calls per reference position over a window's concatenated calls and
+// keep positions with >= cov_sel of BOTH. Equivalent to the numpy
+// unique-key path in core/methmer.py (kept as the oracle); one sort of
+// packed (pos<<2 | class) keys + a run walk. Returns the number of
+// selected sites written to out_sites (ascending), or -1 when out_cap is
+// too small (caller retries with a bigger buffer).
+extern "C" int64_t site_select(
+    const uint32_t* calls, const uint8_t* quals, int64_t n,
+    int64_t cov_sel, uint32_t* out_sites, int64_t out_cap) {
+    thread_local std::vector<uint64_t> keys;
+    keys.clear();
+    keys.reserve((size_t)n);
+    for (int64_t i = 0; i < n; i++)
+        keys.push_back(((uint64_t)calls[i] << 2) | (quals[i] & 3));
+    std::sort(keys.begin(), keys.end());
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint32_t pos = (uint32_t)(keys[i] >> 2);
+        int64_t c0 = 0, c1 = 0;
+        while (i < n && (uint32_t)(keys[i] >> 2) == pos) {
+            uint8_t cls = (uint8_t)(keys[i] & 3);
+            if (cls == 0) c0++;
+            else if (cls == 1) c1++;
+            i++;
+        }
+        if (c0 >= cov_sel && c1 >= cov_sel) {
+            if (m >= out_cap) return -1;
+            out_sites[m++] = pos;
+        }
+    }
+    return m;
 }

@@ -738,7 +738,13 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
             for ji, chunk in plan:
                 yield ji, _load_chunk(ji, chunk)
 
-    pending = []  # one-deep device pipeline across ALL jobs
+    # device pipeline across ALL jobs: up to POMFRET_PIPE_DEPTH groups
+    # in flight before the oldest is drained. 2 hides the tunnel's
+    # dispatch+download latency behind the next group's load+pack better
+    # than the original one-deep queue; each in-flight group holds its
+    # packed arrays in RAM.
+    pipe_depth = max(1, int(_os.environ.get("POMFRET_PIPE_DEPTH", "2")))
+    pending = []
     for ji, loads in _iter_groups():
         job = jobs[ji]
         decisions, tag_maps = results[ji]
@@ -774,7 +780,7 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
                                  n_permutations=n_permutations)
             continue
         pending.append((ji, loaded, datas, errs, fut, parts))
-        if len(pending) > 1:
+        if len(pending) > pipe_depth:
             _drain_or_fallback(pending.pop(0), results, jobs,
                                n_permutations)
     while pending:

@@ -147,3 +147,29 @@ def test_meth_decode_read_native_matches_python(tmp_path):
     rec2 = make_record("chebi", 0, 10, "ACGTACGTAC", [("M", 10)],
                        tags=[("MM", "Z", "C+27551,0;"), ("ML", "B:C", [9])])
     assert run_native(rec2, 100, 156) is None
+
+
+def test_site_select_native_matches_numpy():
+    """Native site_select == the numpy unique-key oracle on fuzzed calls."""
+    from pomfret_tpu.io import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(0, 5000))
+        pos = rng.integers(0, 2000, size=n).astype(np.uint32)
+        q = rng.integers(0, 3, size=n).astype(np.uint8)
+        cov = int(rng.integers(1, 8))
+        got = native.site_select(pos, q, cov)
+        assert got is not None
+        key = pos.astype(np.uint64) * 4 + q
+        uniq, cnts = np.unique(key, return_counts=True)
+        pos_u = (uniq // 4).astype(np.uint64)
+        cls_u = (uniq % 4).astype(np.uint8)
+        positions, inv = np.unique(pos_u, return_inverse=True)
+        cmat = np.zeros((len(positions), 3), dtype=np.int64)
+        np.add.at(cmat, (inv, np.minimum(cls_u, 2).astype(np.int64)), cnts)
+        want = positions[(cmat[:, 0] >= cov) & (cmat[:, 1] >= cov)]
+        np.testing.assert_array_equal(got.astype(np.uint64), want,
+                                      err_msg=f"trial {trial}")

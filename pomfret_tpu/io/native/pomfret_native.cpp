@@ -2892,6 +2892,49 @@ extern "C" int64_t mer_runs_fill(
 extern "C" int64_t site_select(
     const uint32_t* calls, const uint8_t* quals, int64_t n,
     int64_t cov_sel, uint32_t* out_sites, int64_t out_cap) {
+    if (n == 0) return 0;
+    uint32_t lo = calls[0], hi = calls[0];
+    for (int64_t i = 1; i < n; i++) {
+        if (calls[i] < lo) lo = calls[i];
+        if (calls[i] > hi) hi = calls[i];
+    }
+    int64_t range = (int64_t)hi - lo + 1;
+    // counting pass over the window's position range: windows span a few
+    // hundred kb, so two count arrays + a touched list beat sorting the
+    // 50k+ packed keys ~5x. Counts reset via the touched list (arrays are
+    // grow-only thread_local). Positions outside a sane range (merged
+    // super-windows, garbage input) take the sort path below.
+    if (range <= (int64_t)16 << 20) {
+        // one packed counter per position: c0 in bits 0-14, c1 in 15-29
+        // (coverage never nears 32k) — a single RMW per call instead of
+        // separate touch/c0/c1 accesses over a multi-MB working set
+        thread_local std::vector<uint32_t> cnt;
+        thread_local std::vector<uint32_t> touched;
+        if ((int64_t)cnt.size() < range)
+            cnt.assign((size_t)range, 0);
+        touched.clear();
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t cls = quals[i];
+            if (cls > 1) continue;  // nocall never counts
+            uint32_t p = calls[i] - lo;
+            uint32_t v = cnt[p];
+            if (!v) touched.push_back(p);
+            cnt[p] = v + (cls ? (1u << 15) : 1u);
+        }
+        std::sort(touched.begin(), touched.end());
+        int64_t m = 0;
+        for (uint32_t p : touched) {
+            uint32_t v = cnt[p];
+            if ((int64_t)(v & 0x7FFF) >= cov_sel
+                    && (int64_t)(v >> 15) >= cov_sel) {
+                if (m >= out_cap) m = -1;
+                if (m >= 0) out_sites[m++] = lo + p;
+            }
+            cnt[p] = 0;
+        }
+        if (m < 0) return -1;
+        return m;
+    }
     thread_local std::vector<uint64_t> keys;
     keys.clear();
     keys.reserve((size_t)n);

@@ -9,7 +9,10 @@
 // Build: g++ -O3 -march=native -shared -fPIC pomfret_native.cpp -lz -lpthread
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #include <thread>
 #include <atomic>
@@ -396,6 +399,158 @@ inline void scan_code_bwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
         occ.push_back((int32_t)(l_seq - 1 - asc[m - 1 - r]));
 }
 
+// Rank-targeted scans: the MM delta walk consumes only ~#calls SPECIFIC
+// occurrence ranks out of up to thousands of matching bases (e.g. 'C' at
+// ~25% of a real nanopore read; the complement-strand 'G's of this
+// generator). Enumerating every match cost ~3.4 ns/hit x thousands; these
+// walk the exact-equality nibble mask (no borrow false positives) and
+// POPCOUNT-skip whole 16-base words that contain no needed rank. ranks
+// must be strictly ascending; out_pos[k] = stored base index of rank
+// ranks[k] counting matches in scan order, or -1 when the sequence has
+// fewer matches.
+
+inline uint64_t nib_eq_mask(uint64_t v, uint64_t pat) {
+    const uint64_t ones = 0x1111111111111111ULL;
+    uint64_t x = v ^ pat;
+    uint64_t t = x | (x >> 1) | (x >> 2) | (x >> 3);
+    return ~t & ones;  // bit 4i set iff nibble i == want
+}
+
+inline void scan_ranks_fwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
+                           const int64_t* ranks, int64_t n_ranks,
+                           int32_t* out_pos) {
+    const uint64_t ones = 0x1111111111111111ULL;
+    const uint64_t pat = ones * (uint64_t)want;
+    const int64_t nbytes = (l_seq + 1) >> 1;
+    for (int64_t k = 0; k < n_ranks; k++) out_pos[k] = -1;
+    int64_t cnt = 0, ri = 0, B = 0;
+    // 4-word stride: skip 64 bases at a time while they contain nothing
+    // needed (one summed popcount; sparse data usually has eq4 == 0)
+    for (; B + 32 <= nbytes && ri < n_ranks; B += 32) {
+        __builtin_prefetch(sp + B + 512, 0, 0);
+        uint64_t v0, v1, v2, v3;
+        memcpy(&v0, sp + B, 8);
+        memcpy(&v1, sp + B + 8, 8);
+        memcpy(&v2, sp + B + 16, 8);
+        memcpy(&v3, sp + B + 24, 8);
+        uint64_t e0 = nib_eq_mask(v0, pat), e1 = nib_eq_mask(v1, pat);
+        uint64_t e2 = nib_eq_mask(v2, pat), e3 = nib_eq_mask(v3, pat);
+        uint64_t any = e0 | e1 | e2 | e3;
+        if (!any) continue;
+        int64_t pop4 = __builtin_popcountll(e0) + __builtin_popcountll(e1)
+                     + __builtin_popcountll(e2) + __builtin_popcountll(e3);
+        if (cnt + pop4 <= ranks[ri]) { cnt += pop4; continue; }
+        const uint64_t eqs[4] = {e0, e1, e2, e3};
+        for (int w = 0; w < 4 && ri < n_ranks; w++) {
+            uint64_t eq = eqs[w];
+            if (!eq) continue;
+            int64_t pop = __builtin_popcountll(eq);
+            if (cnt + pop <= ranks[ri]) { cnt += pop; continue; }
+            int64_t WB = B + 8 * w;
+            for (int k0 = 0; k0 < 8 && ri < n_ranks; k0++) {
+                uint64_t nib = (eq >> (8 * k0)) & 0x11;
+                if (nib & 0x10) {
+                    if (cnt == ranks[ri])
+                        out_pos[ri++] = (int32_t)(2 * (WB + k0));
+                    cnt++;
+                }
+                if ((nib & 0x01) && ri < n_ranks) {
+                    int64_t base = 2 * (WB + k0) + 1;
+                    if (base < l_seq) {
+                        if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)base;
+                        cnt++;
+                    }
+                }
+            }
+        }
+    }
+    for (; B + 8 <= nbytes && ri < n_ranks; B += 8) {
+        uint64_t v;
+        memcpy(&v, sp + B, 8);
+        uint64_t eq = nib_eq_mask(v, pat);
+        if (!eq) continue;
+        int64_t pop = __builtin_popcountll(eq);
+        if (cnt + pop <= ranks[ri]) { cnt += pop; continue; }
+        // ascending base order: byte k0 ascending; HIGH nibble (base 2k)
+        // before LOW (base 2k+1)
+        for (int k0 = 0; k0 < 8 && ri < n_ranks; k0++) {
+            uint64_t nib = (eq >> (8 * k0)) & 0x11;
+            if (nib & 0x10) {
+                if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)(2 * (B + k0));
+                cnt++;
+            }
+            if ((nib & 0x01) && ri < n_ranks) {
+                int64_t base = 2 * (B + k0) + 1;
+                if (base < l_seq) {
+                    if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)base;
+                    cnt++;
+                }
+            }
+        }
+    }
+    for (; B < nbytes && ri < n_ranks; B++) {
+        uint8_t b = sp[B];
+        if ((b >> 4) == want) {
+            if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)(2 * B);
+            cnt++;
+        }
+        if ((b & 0xF) == want && 2 * B + 1 < l_seq && ri < n_ranks) {
+            if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)(2 * B + 1);
+            cnt++;
+        }
+    }
+}
+
+inline void scan_ranks_bwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
+                           const int64_t* ranks, int64_t n_ranks,
+                           int32_t* out_pos) {
+    const uint64_t ones = 0x1111111111111111ULL;
+    const uint64_t pat = ones * (uint64_t)want;
+    const int64_t nbytes = (l_seq + 1) >> 1;
+    for (int64_t k = 0; k < n_ranks; k++) out_pos[k] = -1;
+    int64_t cnt = 0, ri = 0;
+    int64_t B = nbytes;
+    // ranks count matches from the END of the stored sequence; bases
+    // descend, so within a byte the LOW nibble (base 2k+1) precedes HIGH
+    while (B >= 8 && ri < n_ranks) {
+        B -= 8;
+        uint64_t v;
+        memcpy(&v, sp + B, 8);
+        uint64_t eq = nib_eq_mask(v, pat);
+        if (!eq) continue;
+        int64_t pop = __builtin_popcountll(eq);
+        // the odd-length pad nibble is 0 ('='), never equal to want (2/4)
+        if (cnt + pop <= ranks[ri]) { cnt += pop; continue; }
+        for (int k0 = 7; k0 >= 0 && ri < n_ranks; k0--) {
+            uint64_t nib = (eq >> (8 * k0)) & 0x11;
+            if (nib & 0x01) {
+                int64_t base = 2 * (B + k0) + 1;
+                if (base < l_seq) {
+                    if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)base;
+                    cnt++;
+                }
+            }
+            if ((nib & 0x10) && ri < n_ranks) {
+                if (cnt == ranks[ri])
+                    out_pos[ri++] = (int32_t)(2 * (B + k0));
+                cnt++;
+            }
+        }
+    }
+    while (B > 0 && ri < n_ranks) {
+        B--;
+        uint8_t b = sp[B];
+        if ((b & 0xF) == want && 2 * B + 1 < l_seq) {
+            if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)(2 * B + 1);
+            cnt++;
+        }
+        if ((b >> 4) == want && ri < n_ranks) {
+            if (cnt == ranks[ri]) out_pos[ri++] = (int32_t)(2 * B);
+            cnt++;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" int32_t meth_decode_read(
@@ -441,35 +596,41 @@ extern "C" int32_t meth_decode_read(
         return NT16_CHARS[(i & 1) ? (b & 0xF) : (b >> 4)];
     };
 
-    // --- occurrences of 'C' in the original (as-sequenced) orientation:
-    // original[i] = strand ? compl(stored[L-1-i]) : stored[i], so the
-    // occurrence ranks are 'C' nibbles scanned forward (strand 0) or 'G'
-    // nibbles scanned backward (strand 1). The delta walk only consumes
-    // ranks up to deltas.size()-1 + sum(deltas), so the scan STOPS there
-    // instead of always walking all l_seq bases (MM lists CpG cytosines
-    // only — the full scan was the hottest loop of the window load).
-    int64_t need = (int64_t)deltas.size() + delta_sum;  // ranks consumed
-    if (need > l_seq) need = l_seq;
-    thread_local std::vector<int32_t> occ;
-    occ.clear();
-    // 'C' is NT16 code 2, 'G' code 4
-    if (!strand)
-        scan_code_fwd(seq_packed, l_seq, 2, need, occ);
+    // --- delta walk over 'C' occurrences in the original (as-sequenced)
+    // orientation: original[i] = strand ? compl(stored[L-1-i]) : stored[i],
+    // so ranks are 'C' nibbles scanned forward (strand 0) or 'G' nibbles
+    // counted from the END (strand 1). Only the ~#calls cumulative ranks
+    // are resolved (rank-targeted scans above): whole 16-base words with
+    // no needed rank are popcount-skipped, which is what makes dense
+    // occurrence sets (C at ~25% of a real read; this data's reverse-
+    // strand 'G's) cost the same as sparse ones.
+    (void)delta_sum;
+    thread_local std::vector<int64_t> ranks;
+    ranks.clear();
+    ranks.reserve(deltas.size());
+    int64_t idx = -1;
+    for (size_t k = 0; k < deltas.size(); k++) {
+        idx += deltas[k] + 1;
+        ranks.push_back(idx);
+    }
+    thread_local std::vector<int32_t> rpos;
+    rpos.resize(deltas.size());
+    if (!strand)  // 'C' is NT16 code 2, 'G' code 4
+        scan_ranks_fwd(seq_packed, l_seq, 2, ranks.data(),
+                       (int64_t)ranks.size(), rpos.data());
     else
-        scan_code_bwd(seq_packed, l_seq, 4, need, occ);
+        scan_ranks_bwd(seq_packed, l_seq, 4, ranks.data(),
+                       (int64_t)ranks.size(), rpos.data());
 
-    // --- delta walk -> stored positions + quals (ascending stored order)
+    // --- resolved ranks -> stored positions + quals (ascending order)
     struct Call { int32_t pos; uint8_t q; };
     thread_local std::vector<Call> raw;
     raw.clear();
     raw.reserve(deltas.size());
-    int64_t idx = -1;
     for (size_t k = 0; k < deltas.size(); k++) {
-        idx += deltas[k] + 1;
-        if (idx >= (int64_t)occ.size()) continue;  // valid mask
+        if (rpos[k] < 0) continue;  // fewer occurrences than the rank
         uint8_t q = (ml && (int32_t)k < n_ml) ? ml[k] : 255;
-        int32_t sp = strand ? (l_seq - 1 - occ[idx]) : occ[idx];
-        raw.push_back({sp, q});
+        raw.push_back({rpos[k], q});
     }
     if (strand) std::reverse(raw.begin(), raw.end());
 
@@ -683,6 +844,14 @@ extern "C" int64_t bam_window_load(
     int64_t n = 0, qn_used = 0, calls_used = 0;
     const int32_t HP_ABSENT = INT32_MIN;
     std::vector<WinCand> cands;
+    // POMFRET_WL_PROF=1: per-pass wall breakdown to stderr
+    const bool wl_prof = getenv("POMFRET_WL_PROF") != nullptr;
+    auto wl_now = [] {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return (double)ts.tv_sec + ts.tv_nsec * 1e-9;
+    };
+    double wl_t0 = wl_prof ? wl_now() : 0.0, wl_t1 = 0.0, wl_t2 = 0.0;
     // ---- pass 1: serial record scan, filters, aux pointers ----
     for (int64_t ci = 0; ci < n_chunks; ci++) {
         int64_t off = c_starts[ci];
@@ -835,6 +1004,7 @@ extern "C" int64_t bam_window_load(
             cands.push_back(c);
         }
     }
+    if (wl_prof) wl_t1 = wl_now();
     // ---- pass 2: parallel meth decode into per-thread arenas ----
     // per-read output bound for the scratch buffer: every emission is
     // either a listed trigger (<= #CpG <= lseq/2 after the CpG filter) or
@@ -845,13 +1015,15 @@ extern "C" int64_t bam_window_load(
     std::vector<CallArena> arenas(nt);
     std::atomic<int64_t> next(0);
     std::atomic<int32_t> any_implicit(0);
+    std::atomic<int64_t> dec_ns(0);
     auto worker = [&](int t) {
         CallArena& ar = arenas[t];
         std::vector<uint32_t> tmp_pos;
         std::vector<uint8_t> tmp_q;
+        int64_t my_dec_ns = 0;
         for (;;) {
             int64_t i = next.fetch_add(1);
-            if (i >= (int64_t)cands.size()) return;
+            if (i >= (int64_t)cands.size()) break;
             WinCand& c = cands[i];
             if (c.ml_bad) { c.rc = -2; continue; }
             if ((int64_t)tmp_pos.size() < (int64_t)c.lseq + 4) {
@@ -861,10 +1033,17 @@ extern "C" int64_t bam_window_load(
             const uint8_t* cg = c.p + 32 + c.l_read_name;
             const uint8_t* seqp = cg + 4 * (int64_t)c.n_cigar;
             int32_t imp = 0;
+            struct timespec d0, d1;
+            if (wl_prof) clock_gettime(CLOCK_MONOTONIC, &d0);
             c.rc = meth_decode_read(
                 seqp, c.lseq, (c.fl & 16) ? 1 : 0, c.mm, c.ml, c.n_ml,
                 (const uint32_t*)(const void*)cg, c.n_cigar, c.ps, lo, hi,
                 tmp_pos.data(), tmp_q.data(), c.lseq + 4, &imp);
+            if (wl_prof) {
+                clock_gettime(CLOCK_MONOTONIC, &d1);
+                my_dec_ns += (d1.tv_sec - d0.tv_sec) * 1000000000ll
+                             + (d1.tv_nsec - d0.tv_nsec);
+            }
             if (c.rc == -1) c.rc = -2;  // bound exceeded: Python oracle
             if (imp) any_implicit.store(1);
             if (c.rc > 0) {
@@ -876,6 +1055,7 @@ extern "C" int64_t bam_window_load(
                                 tmp_q.begin() + c.rc);
             }
         }
+        if (wl_prof) dec_ns.fetch_add(my_dec_ns);
     };
     if (nt <= 1) {
         worker(0);
@@ -885,6 +1065,7 @@ extern "C" int64_t bam_window_load(
         for (auto& t : ts) t.join();
     }
     if (any_implicit.load()) *out_has_implicit = 1;
+    if (wl_prof) wl_t2 = wl_now();
     // ---- pass 3: serial compaction into the packed output layout ----
     for (auto& c : cands) {
         const bool fb = c.rc == -2;
@@ -918,6 +1099,15 @@ extern "C" int64_t bam_window_load(
     }
     o_qname_off[n] = qn_used;
     o_call_off[n] = calls_used;
+    if (wl_prof) {
+        double t3 = wl_now();
+        fprintf(stderr,
+                "[wl_prof] recs=%lld cands=%lld pass1=%.1fms pass2=%.1fms "
+                "(decode %.1fms cpu) pass3=%.1fms\n",
+                (long long)n, (long long)cands.size(),
+                (wl_t1 - wl_t0) * 1e3, (wl_t2 - wl_t1) * 1e3,
+                dec_ns.load() / 1e6, (t3 - wl_t2) * 1e3);
+    }
     return n;
 }
 

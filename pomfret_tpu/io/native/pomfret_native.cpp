@@ -313,92 +313,6 @@ namespace {
 
 const char NT16_CHARS[17] = "=ACMGRSVTWYHKDBN";
 
-// SWAR scans over the packed 4-bit sequence: collect base indices whose
-// nibble code equals `want` (ascending as-sequenced rank), stopping once
-// `need` ranks are found. 16 bases per uint64 word with the classic
-// zero-nibble detect; most words have no hit (CpG cytosines are ~1-2% of
-// bases), so the common case is ~4 ops per 16 bases. Byte k holds base 2k
-// in the HIGH nibble and base 2k+1 in the LOW nibble (BAM 4.2 packing).
-
-inline void scan_code_fwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
-                          int64_t need, std::vector<int32_t>& occ) {
-    const uint64_t ones = 0x1111111111111111ULL;
-    const uint64_t tops = 0x8888888888888888ULL;
-    const uint64_t pat = ones * (uint64_t)want;
-    const int64_t nbytes = (l_seq + 1) >> 1;
-    int64_t B = 0;
-    auto take_word = [&](int64_t W) {
-        uint64_t v;
-        memcpy(&v, sp + W, 8);
-        uint64_t x = v ^ pat;
-        uint64_t hit = (x - ones) & ~x & tops;
-        while (hit) {
-            int64_t k = W + (__builtin_ctzll(hit) >> 3);
-            uint8_t b = sp[k];
-            int64_t base = 2 * k;
-            if ((b >> 4) == want) occ.push_back((int32_t)base);
-            if ((b & 0xF) == want && base + 1 < l_seq)
-                occ.push_back((int32_t)(base + 1));
-            hit &= ~(0x88ULL << (8 * (k - W)));  // clear this byte's nibbles
-        }
-    };
-    // 4-word stride with a single OR'd hit test; the size check runs only
-    // after a push (hits are ~1-2% of bases), keeping the no-hit path at
-    // ~2 ops/byte
-    for (; B + 32 <= nbytes; B += 32) {
-        // the virtualized bench hosts do no useful hardware prefetch
-        // (measured: 24 us per cold 10 KB without this, ~memory latency
-        // per 64 B line); explicit prefetch ~8 lines ahead restores
-        // streaming throughput
-        __builtin_prefetch(sp + B + 512, 0, 0);
-        uint64_t v0, v1, v2, v3;
-        memcpy(&v0, sp + B, 8);
-        memcpy(&v1, sp + B + 8, 8);
-        memcpy(&v2, sp + B + 16, 8);
-        memcpy(&v3, sp + B + 24, 8);
-        uint64_t x0 = v0 ^ pat, x1 = v1 ^ pat, x2 = v2 ^ pat, x3 = v3 ^ pat;
-        uint64_t any = ((x0 - ones) & ~x0 & tops)
-                     | ((x1 - ones) & ~x1 & tops)
-                     | ((x2 - ones) & ~x2 & tops)
-                     | ((x3 - ones) & ~x3 & tops);
-        if (any) {
-            take_word(B);
-            take_word(B + 8);
-            take_word(B + 16);
-            take_word(B + 24);
-            if ((int64_t)occ.size() >= need) return;
-        }
-    }
-    for (; B + 8 <= nbytes; B += 8) {
-        take_word(B);
-        if ((int64_t)occ.size() >= need) return;
-    }
-    for (; B < nbytes && (int64_t)occ.size() < need; B++) {
-        uint8_t b = sp[B];
-        int64_t base = 2 * B;
-        if ((b >> 4) == want) occ.push_back((int32_t)base);
-        if ((b & 0xF) == want && base + 1 < l_seq)
-            occ.push_back((int32_t)(base + 1));
-    }
-}
-
-// reverse-strand variant: ranks count from the END of the stored sequence
-// (original orientation). Implemented as a FORWARD full scan collecting all
-// matches, then emitted back-to-front: a descending memory walk through a
-// cold multi-MB record buffer ran ~20x slower than the ascending one on the
-// virtualized bench hosts (no prefetch for descending streams), dwarfing
-// the saved work of an early stop.
-inline void scan_code_bwd(const uint8_t* sp, int64_t l_seq, uint8_t want,
-                          int64_t need, std::vector<int32_t>& occ) {
-    thread_local std::vector<int32_t> asc;
-    asc.clear();
-    scan_code_fwd(sp, l_seq, want, l_seq, asc);
-    int64_t m = (int64_t)asc.size();
-    int64_t take = m < need ? m : need;
-    for (int64_t r = 0; r < take; r++)
-        occ.push_back((int32_t)(l_seq - 1 - asc[m - 1 - r]));
-}
-
 // Rank-targeted scans: the MM delta walk consumes only ~#calls SPECIFIC
 // occurrence ranks out of up to thousands of matching bases (e.g. 'C' at
 // ~25% of a real nanopore read; the complement-strand 'G's of this

@@ -156,6 +156,15 @@ def decompress_block(method: int, data: bytes, raw_size: int) -> bytes:
     if method == M_RAW:
         return data
     if method == M_GZIP:
+        # libdeflate when available (~3x Python's gzip on the ~20 MB
+        # qual-series blocks); byte-identical output, Python fallback
+        try:
+            from . import native as _native
+            res = _native.gzip_decompress(data, raw_size)
+            if res is not None:
+                return res
+        except ImportError:
+            pass
         return gzip.decompress(data)
     if method == M_BZIP2:
         return bz2.decompress(data)

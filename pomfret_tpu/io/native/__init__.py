@@ -138,6 +138,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.site_select.argtypes = [
             u32p, u8p, ctypes.c_int64, ctypes.c_int64,
             u32p, ctypes.c_int64]
+        lib.gzip_decompress_buf.restype = ctypes.c_int64
+        lib.gzip_decompress_buf.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.cram_decode_slice.restype = ctypes.c_int64
         lib.cram_decode_slice.argtypes = [
             u8p, i32p, i64p, i64p, i32,               # ext blocks
@@ -466,6 +469,21 @@ def site_select(calls: np.ndarray, quals: np.ndarray,
     if m < 0:
         return None
     return out[: int(m)].copy()
+
+
+def gzip_decompress(data: bytes, raw_size: int) -> Optional[bytes]:
+    """Decompress one gzip member of known size via libdeflate (CRAM block
+    payloads); None -> caller uses Python's gzip."""
+    lib = get_lib()
+    if lib is None or raw_size < 0:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max(raw_size, 1), dtype=np.uint8)
+    n = lib.gzip_decompress_buf(_p(src, ctypes.c_uint8), len(src),
+                                _p(out, ctypes.c_uint8), raw_size)
+    if n != raw_size:
+        return None
+    return out[:raw_size].tobytes()
 
 
 def varhaptag_reads(buf, chunk_ranges, tid: int, beg: int, end: int,

@@ -3063,3 +3063,25 @@ extern "C" int64_t site_select(
     }
     return m;
 }
+
+// gzip-member decompression via libdeflate for CRAM block payloads
+// (io/cram.py decompress_block): the qual-series blocks are ~20 MB/slice
+// and Python's gzip.decompress ran at ~480 MB/s on them. Returns the
+// decompressed size, -1 on corrupt/overflow, -2 when built without
+// libdeflate (caller falls back to Python zlib).
+extern "C" int64_t gzip_decompress_buf(const uint8_t* in, int64_t in_len,
+                                       uint8_t* out, int64_t out_cap) {
+#ifdef USE_LIBDEFLATE
+    thread_local struct libdeflate_decompressor* d =
+        libdeflate_alloc_decompressor();
+    if (!d) return -2;
+    size_t actual = 0;
+    int r = libdeflate_gzip_decompress(d, in, (size_t)in_len, out,
+                                       (size_t)out_cap, &actual);
+    if (r != LIBDEFLATE_SUCCESS) return -1;
+    return (int64_t)actual;
+#else
+    (void)in; (void)in_len; (void)out; (void)out_cap;
+    return -2;
+#endif
+}

@@ -311,6 +311,9 @@ class ChromReadSource:
         if regions is None:
             regions = [(0, ref_len)]
 
+        from ..utils.stats import add_stage, stage
+        import time as _time
+
         ics = getattr(bam, "iter_columnar_segments", None)
         if ics is not None:
             # reader-provided segmentation (CRAM: one segment per slice,
@@ -320,19 +323,24 @@ class ChromReadSource:
             # the cross-segment dedup never collides.
             parts = []
             base = 0
+            _tf = _time.perf_counter()
             for item in ics(chrom, None if regions == [(0, ref_len)]
                             else regions, config.min_mapq,
                             config.readlen_threshold, MIN_ALN_DE,
                             config.lo, config.hi):
+                add_stage("wl_src_fetch", _time.perf_counter() - _tf)
                 if item is None:
                     return  # reader bailed (spool mode/no native)
                 cols, buf = item
-                part = self._segment_part(cols, buf, config, None,
-                                          off_base=base)
+                with stage("wl_src_assemble"):
+                    part = self._segment_part(cols, buf, config, None,
+                                              off_base=base)
                 base += len(buf) + 1
                 if part is not None:
                     parts.append(part)
-            self._finish_init(parts)
+                _tf = _time.perf_counter()
+            with stage("wl_src_finish"):
+                self._finish_init(parts)
             return
 
         segs = []  # (g0, g1, first-of-region)
@@ -379,23 +387,27 @@ class ChromReadSource:
                         nxt = ex.submit(_fetch, segs[k + 1])
                     if cols is None:
                         return  # native path unavailable: stay not-ok
-                    part = self._segment_part(cols, buf, config,
-                                              None if seg[2] else seg[0])
+                    with stage("wl_src_assemble"):
+                        part = self._segment_part(cols, buf, config,
+                                                  None if seg[2] else seg[0])
                     if part is not None:
                         parts.append(part)
             finally:
                 ex.shutdown(wait=True)
         else:
             for g0, g1, first in segs:
-                cols, buf = _fetch((g0, g1, first))
+                with stage("wl_src_fetch"):
+                    cols, buf = _fetch((g0, g1, first))
                 if cols is None:
                     return
-                part = self._segment_part(cols, buf, config,
-                                          None if first else g0)
+                with stage("wl_src_assemble"):
+                    part = self._segment_part(cols, buf, config,
+                                              None if first else g0)
                 if part is not None:
                     parts.append(part)
 
-        self._finish_init(parts)
+        with stage("wl_src_finish"):
+            self._finish_init(parts)
 
     def _finish_init(self, parts):
         if not parts:

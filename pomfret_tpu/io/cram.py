@@ -191,7 +191,7 @@ def compress_block(method: int, data: bytes) -> bytes:
     raise ValueError(f"unknown method {method}")
 
 
-def read_block(buf: bytes, p: int) -> Tuple[Block, int]:
+def read_block(buf: bytes, p: int, skip: bool = False) -> Tuple[Block, int]:
     method = buf[p]
     ctype = buf[p + 1]
     p += 2
@@ -201,6 +201,11 @@ def read_block(buf: bytes, p: int) -> Tuple[Block, int]:
     data = buf[p : p + comp_size]
     p += comp_size
     p += 4  # CRC32 (v3); not verified
+    if skip:
+        # caller will never read this block's bytes (QS skip): parse the
+        # header to advance past it, pay nothing for the decompression —
+        # the quality series is typically the largest block in a slice
+        return Block(method, ctype, cid, b"", raw_size), p
     plain = decompress_block(method, data, raw_size)
     if len(plain) != raw_size:
         raise ValueError(f"block raw size mismatch: {len(plain)} != {raw_size}")
@@ -985,19 +990,26 @@ class CramReader:
                 continue
             yield from self._decode_slice(ch, body, lm)
 
-    def _slice_parts(self, body: bytes, p: int
+    def _slice_parts(self, body: bytes, p: int, skip_cid: Optional[int] = None
                      ) -> Tuple[SliceHeader, bytes, Dict[int, bytes]]:
+        """skip_cid: external content id whose block should be parsed past
+        but NOT decompressed (and excluded from ext_blocks) — the QS-skip
+        fast path. Never applied to the core or embedded-reference block."""
         sblk, p = read_block(body, p)
         if sblk.content_type != CT_MAPPED_SLICE:
             raise ValueError("expected slice header block")
         sl = parse_slice_header(sblk.data)
+        if skip_cid is not None and skip_cid == sl.embedded_ref_id:
+            skip_cid = None
         core_data = b""
         ext_blocks: Dict[int, bytes] = {}
         for _ in range(sl.n_blocks):
-            b, p = read_block(body, p)
+            skip = skip_cid is not None and body[p + 1] == CT_EXTERNAL \
+                and read_itf8(body, p + 2)[0] == skip_cid
+            b, p = read_block(body, p, skip=skip)
             if b.content_type == CT_CORE:
                 core_data = b.data
-            else:
+            elif not skip:
                 ext_blocks[b.content_id] = b.data
         return sl, core_data, ext_blocks
 
@@ -1011,11 +1023,58 @@ class CramReader:
                                     sl.start - 1 + sl.span), sl.start - 1)
         return None, 0
 
-    def _decode_slice_raw(self, ch: CompressionHeader, body: bytes, p: int):
+    @staticmethod
+    def _qs_skip_cid(ch: CompressionHeader) -> Optional[int]:
+        """Content id of the QS series' external block IF no other series
+        or tag encoding reads from it (so skipping its decompression can't
+        desynchronize any other stream), else None. Cached on the header —
+        one compression header serves all slices of its container.
+
+        The window/scan consumers never read per-base quality scores
+        (meth decode needs flags/pos/CIGAR/seq/MM/ML only), and QS is
+        usually the largest series in a slice — this is our analog of
+        htslib's CRAM required-fields optimization, which the reference
+        gets implicitly through hts_open (blockjoin.c:4609)."""
+        cached = getattr(ch, "_qs_skip_cid_memo", False)
+        if cached is not False:
+            return cached
+
+        def _ext_ids(enc, out):
+            if enc.codec == E_EXTERNAL:
+                out.add(enc._parse())
+            elif enc.codec == E_BYTE_ARRAY_STOP:
+                out.add(enc._parse()[1])
+            elif enc.codec == E_BYTE_ARRAY_LEN:
+                lens_enc, vals_enc = enc._parse()
+                _ext_ids(lens_enc, out)
+                _ext_ids(vals_enc, out)
+
+        cid = None
+        qs = ch.series.get("QS")
+        if qs is not None and qs.codec == E_EXTERNAL:
+            qcid = qs._parse()
+            others = set()
+            for key, enc in ch.series.items():
+                if key != "QS":
+                    _ext_ids(enc, others)
+            for enc in ch.tags.values():
+                _ext_ids(enc, others)
+            if qcid not in others:
+                cid = qcid
+        ch._qs_skip_cid_memo = cid
+        return cid
+
+    def _decode_slice_raw(self, ch: CompressionHeader, body: bytes, p: int,
+                          want_quals: bool = True):
         """Native one-call slice decode -> (raw BAM record bytes, metas
         (n,6) int64 [refID,pos,endpos,off,len,unmapped]) or None when the
         native lib is absent / the slice uses an uncovered encoding (the
-        caller falls back to the per-record Python loop)."""
+        caller falls back to the per-record Python loop).
+
+        want_quals=False (window/scan consumers): the QS external block is
+        parsed past without decompression and the records carry 0xFF qual
+        bytes — byte-layout identical otherwise. POMFRET_CRAM_FULL_QS=1
+        forces the full decode."""
         if os.environ.get("POMFRET_NO_NATIVE_CRAM"):
             return None
         try:
@@ -1024,12 +1083,18 @@ class CramReader:
             return None
         if not native.native_available():
             return None
-        sl, core_data, ext_blocks = self._slice_parts(body, p)
+        skip_cid = None
+        if not want_quals and not os.environ.get("POMFRET_CRAM_FULL_QS"):
+            skip_cid = self._qs_skip_cid(ch)
+        sl, core_data, ext_blocks = self._slice_parts(body, p,
+                                                      skip_cid=skip_cid)
+        skipped = skip_cid is not None and skip_cid not in ext_blocks
         ref_seq, ref_offset = self._slice_ref(ch, sl, ext_blocks)
         if ref_seq is None and ch.rr and sl.ref_id >= 0:
             return None  # let the Python path produce its diagnostic
         return native.cram_decode_slice(ch, sl, core_data, ext_blocks,
-                                        ref_seq, ref_offset, self.rg_ids)
+                                        ref_seq, ref_offset, self.rg_ids,
+                                        skip_qs=skipped)
 
     def _decode_slice(self, ch: CompressionHeader, body: bytes, p: int
                       ) -> Iterator[BamRecord]:
@@ -1230,7 +1295,11 @@ class CramReader:
                 self._raw_cache[key] = self._raw_cache.pop(key)
                 return hit
         ch, body = self._container_at(coff)
-        res = self._decode_slice_raw(ch, body, soff)
+        # window/scan consumers only: per-base quals are never read
+        # downstream, so the QS block (the largest in a slice) stays
+        # compressed and the records carry 0xFF quals. The --write-bam
+        # spool path calls _decode_slice_raw directly with full quals.
+        res = self._decode_slice_raw(ch, body, soff, want_quals=False)
         if res is not None:
             raw = bytes(res[0])
         else:

@@ -681,13 +681,18 @@ _CRAM_SERIES = ("BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP",
 
 
 def cram_decode_slice(ch, sl, core_data: bytes, ext_blocks: dict,
-                      ref_seq, ref_offset: int, rg_ids) -> Optional[tuple]:
+                      ref_seq, ref_offset: int, rg_ids,
+                      skip_qs: bool = False) -> Optional[tuple]:
     """Native decode of one CRAM slice into a raw BAM record stream.
 
     ch: io.cram.CompressionHeader; sl: io.cram.SliceHeader.
     Returns (bam_bytes, metas int64 (n,6) [refID,pos,endpos,off,len,unmapped])
     or None when the native lib is unavailable or the slice uses an encoding
-    the C++ decoder does not cover (callers fall back to the Python loop)."""
+    the C++ decoder does not cover (callers fall back to the Python loop).
+
+    skip_qs: the caller dropped the QS series' dedicated external block
+    (window/scan consumers never read per-base quals) — the decoder emits
+    0xFF quals without touching the stream (E_SKIP sentinel)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -714,6 +719,8 @@ def cram_decode_slice(ch, sl, core_data: bytes, ext_blocks: dict,
             prm_parts.append(enc.params)
         se_off[k + 1] = se_off[k] + (len(enc.params) if enc is not None else 0)
     se_prm = np.frombuffer(b"".join(prm_parts) or b"\0", dtype=np.uint8)
+    if skip_qs:
+        se_codec[_CRAM_SERIES.index("QS")] = 100  # E_SKIP sentinel
 
     td_off = np.zeros(len(ch.tag_dict) + 1, dtype=np.int32)
     td_keys_l = []

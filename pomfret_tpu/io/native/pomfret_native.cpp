@@ -2081,6 +2081,11 @@ static int64_t rd_itf8(const uint8_t* b, int64_t len, int64_t& p, bool& err) {
 // codecs (CRAM 3.0 spec numbering, mirrored from io/cram.py)
 static const int E_EXTERNAL = 1, E_HUFFMAN = 3, E_BYTE_ARRAY_LEN = 4,
                  E_BYTE_ARRAY_STOP = 5, E_BETA = 6, E_GAMMA = 9;
+// host-side sentinel (not a CRAM codec): the caller dropped this series'
+// external block (quality scores on the window path — meth decode never
+// reads per-base quals, htslib's required-fields analog); reads return
+// 0xFF and consume nothing
+static const int E_SKIP = 100;
 
 struct Enc {
     int codec = 0;
@@ -2164,6 +2169,8 @@ void Enc::parse(const int32_t* ext_ids, int n_ext, bool& err) {
         beta_bits = (int)rd_itf8(prm, plen, p, err);
     } else if (codec == E_GAMMA) {
         // no params
+    } else if (codec == E_SKIP) {
+        // nothing to parse; reads are constant 0xFF
     } else {
         unsup = true;
     }
@@ -2202,6 +2209,7 @@ int64_t Enc::read_int(Core& core, ExtS* exts, const int32_t* ext_ids,
 
 int Enc::read_byte(Core& core, ExtS* exts, const int32_t* ext_ids, int n_ext,
                    bool& err) {
+    if (codec == E_SKIP) return 0xFF;
     parse(ext_ids, n_ext, err);
     if (unsup || err) { err = true; return 0; }
     if (codec == E_EXTERNAL) {
@@ -2489,7 +2497,9 @@ extern "C" int64_t cram_decode_slice(
             }
             mq = rint(S_MQ);
             if (qs_stored) {
-                if (S[S_QS].codec == E_EXTERNAL) {
+                if (S[S_QS].codec == E_SKIP) {
+                    rs.quals.assign((size_t)rl, 0xFF);
+                } else if (S[S_QS].codec == E_EXTERNAL) {
                     S[S_QS].parse(ext_ids, n_ext, err);
                     if (S[S_QS].unsup) return CRAM_UNSUPPORTED;
                     ExtS& s = exts[S[S_QS].ext];
@@ -2506,7 +2516,9 @@ extern "C" int64_t cram_decode_slice(
                 for (int64_t i = 0; i < rl; i++)
                     rs.seq[i] = (uint8_t)rbyte(S_BA);
             if (qs_stored) {
-                if (S[S_QS].codec == E_EXTERNAL) {
+                if (S[S_QS].codec == E_SKIP) {
+                    rs.quals.assign((size_t)rl, 0xFF);
+                } else if (S[S_QS].codec == E_EXTERNAL) {
                     S[S_QS].parse(ext_ids, n_ext, err);
                     if (S[S_QS].unsup) return CRAM_UNSUPPORTED;
                     ExtS& s = exts[S[S_QS].ext];

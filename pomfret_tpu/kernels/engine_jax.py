@@ -675,6 +675,8 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
         ref_name, rg, cfg = job["ref_name"], job["rg"], job["cfg"]
 
         def _load_one(i, src=None):
+            import time as _t
+            t0 = _t.perf_counter()
             if src is not None:
                 rs = src.window(rg.starts[i], rg.ends[i], READBACK,
                                 st.qname2haptag_raw if st.stores_raw_tag
@@ -683,14 +685,25 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
                 rs = load_reads_given_interval(
                     bam, ref_name, rg.starts[i], rg.ends[i], READBACK, cfg,
                     st.qname2haptag_raw if st.stores_raw_tag else None)
+            t1 = _t.perf_counter()
             ms_fwd = get_methmer_sites_and_ranges(rs, cfg, 0)
             ms_bwd = get_methmer_sites_and_ranges(rs, cfg, 1)
+            t2 = _t.perf_counter()
+            from ..utils.stats import add_stage
+            add_stage("wl_materialize", t1 - t0)
+            add_stage("wl_sites", t2 - t1)
             return i, rs, ms_fwd, ms_bwd
 
         with stage("window_load"):
-            src = _chrom_source(ji)
+            # sub-stage attribution (wl_*): source build vs per-window
+            # materialization vs methmer site selection — the at-scale
+            # breakdown VERDICT r4 asked for (cumulative, overlaps pack
+            # under the prefetch producer like every other stage)
+            with stage("wl_source"):
+                src = _chrom_source(ji)
             if src is not None:
-                return [_load_one(i, src) for i in chunk]
+                with stage("wl_window"):
+                    return [_load_one(i, src) for i in chunk]
             if n_load_threads > 1 and len(chunk) > 1:
                 import concurrent.futures as _fut
                 with _fut.ThreadPoolExecutor(n_load_threads) as ex:

@@ -669,3 +669,45 @@ def test_cram_direct_window_columnar_matches_bam(scenario, tmp_path):
                                           cc["calls"][oc:oc + n])
             np.testing.assert_array_equal(cb["quals"][ob:ob + n],
                                           cc["quals"][oc:oc + n])
+
+
+def test_cram_qs_skip_engages_and_matches_full_decode(scenario, tmp_path,
+                                                      monkeypatch):
+    """The window path skips decompressing the QS series block (quality
+    scores are never read by meth decode — htslib required-fields analog,
+    VERDICT r4 #3). Pin: (a) the skip actually engages on our writer's
+    output (QS has a dedicated external block), (b) window results are
+    identical with the skip ON vs forced-OFF (POMFRET_CRAM_FULL_QS=1)."""
+    import numpy as np
+    from pomfret_tpu.io.cram import CramReader, read_block, \
+        parse_compression_header, CT_COMPRESSION_HEADER
+    d, bam, vcf, truth = scenario
+    cram = str(tmp_path / "qs.cram")
+    bam_to_cram(bam, cram, embed_ref=True, records_per_slice=150)
+
+    cr = CramReader(cram)
+    # (a) the compression header must yield a skippable QS content id
+    pos, h, body = next(cr._iter_containers())
+    blk, _ = read_block(body, 0)
+    assert blk.content_type == CT_COMPRESSION_HEADER
+    ch = parse_compression_header(blk.data)
+    assert cr._qs_skip_cid(ch) is not None
+
+    def _win(reader):
+        return reader.fetch_window_columnar("chr1", 50_000, 130_000, 10,
+                                            15000, 0.1, 100, 156)
+
+    c_skip, _ = _win(cr)
+    monkeypatch.setenv("POMFRET_CRAM_FULL_QS", "1")
+    c_full, _ = _win(CramReader(cram))  # fresh reader: no warm slice cache
+    assert c_skip["n"] == c_full["n"] > 0
+    assert c_skip["qnames"] == c_full["qnames"]
+    for k in ("pos", "endpos", "strand", "hp", "l_seq", "call_n"):
+        np.testing.assert_array_equal(c_skip[k], c_full[k], err_msg=k)
+    for j in range(c_skip["n"]):
+        o1, o2 = int(c_skip["call_off"][j]), int(c_full["call_off"][j])
+        n = int(c_skip["call_n"][j])
+        np.testing.assert_array_equal(c_skip["calls"][o1:o1 + n],
+                                      c_full["calls"][o2:o2 + n])
+        np.testing.assert_array_equal(c_skip["quals"][o1:o1 + n],
+                                      c_full["quals"][o2:o2 + n])

@@ -302,30 +302,45 @@ def _loop_kernel(scal_ref, hm_ref, cnt_in, hp_in, ids_hbm,
         # --- scoring (values identical to v2's kernel; fewer VPU ops):
         # the per-(cand,site) count lookup is a nested select over D instead
         # of D masked multiply-adds (at most one d matches, so the selected
-        # value equals the masked sum bit-exactly), the range mask is
-        # (bg,S) per-lane instead of a (bg,nc,S) iota, and r>0 is folded to
-        # c>0 under the found mask (divisor>0, numerator>=0). ---
+        # value equals the masked sum bit-exactly), and the range mask is
+        # (bg,S) per-lane instead of a (bg,nc,S) iota.
+        #
+        # DIVIDE HOIST (VERDICT r4 #5): the quotient cnt[d,s]/sum[s] does
+        # not depend on the candidate axis, so the 2*(bg,NC,S) ratio
+        # volumes collapse to 2*D (bg,S) frequency planes computed ONCE
+        # per iteration — same operands, same f32 divide (counts are
+        # integer-valued f32, so max(sum,1) == sum whenever sum > 0),
+        # hence bit-identical quotients; the per-candidate lookup then
+        # SELECTS precomputed frequencies. Derived masks are equivalent:
+        # f[d]>0 <=> cnt[d]>0 (c>0 implies sum>0 implies quotient>0 in
+        # f32), and an uncovered cell (cvals<0) matches no d, so
+        #   r0   == where(found & sb0>0, c0/max(sb0,1), 0)
+        #   nz0  == (r0 > 0), found == (nz0|nz1 before the sb gates),
+        # exactly as before. ---
         cvals = cids[:, :, :].astype(jnp.int32)            # (bg, nc, S)
-        covered = cvals >= 0
         ir = ((idx >= min_i) & (idx < max_i)).astype(jnp.int32)  # (bg, S)
         in_range = ir[:, None, :] > 0                      # (bg, 1, S)
-        c0 = jnp.zeros((bg, nc, S), f32)
-        c1 = jnp.zeros((bg, nc, S), f32)
-        for d in range(D):
-            m = cvals == d
-            c0 = jnp.where(m, cnt[:, 2 * d + 0, :][:, None, :], c0)
-            c1 = jnp.where(m, cnt[:, 2 * d + 1, :][:, None, :], c1)
-        found = ((c0 + c1) > 0) & covered & in_range
         sb0 = s0[:, None, :]
         sb1 = s1[:, None, :]
-        fm0 = found & (sb0 > 0)
-        fm1 = found & (sb1 > 0)
-        r0 = jnp.where(fm0, c0 / jnp.maximum(sb0, 1.0), 0.0)
-        r1 = jnp.where(fm1, c1 / jnp.maximum(sb1, 1.0), 0.0)
+        inv0 = jnp.maximum(s0, 1.0)
+        inv1 = jnp.maximum(s1, 1.0)
+        fs0 = jnp.zeros((bg, nc, S), f32)
+        fs1 = jnp.zeros((bg, nc, S), f32)
+        for d in range(D):
+            m = cvals == d
+            fs0 = jnp.where(m, (cnt[:, 2 * d + 0, :] / inv0)[:, None, :],
+                            fs0)
+            fs1 = jnp.where(m, (cnt[:, 2 * d + 1, :] / inv1)[:, None, :],
+                            fs1)
+        r0 = jnp.where(in_range, fs0, 0.0)
+        r1 = jnp.where(in_range, fs1, 0.0)
         score0 = jnp.sum(r0, axis=2)                       # (bg, nc)
         score1 = jnp.sum(r1, axis=2)
-        nz0 = fm0 & (c0 > 0)                               # == (r0 > 0)
-        nz1 = fm1 & (c1 > 0)
+        nz0 = r0 > 0
+        nz1 = r1 > 0
+        found = nz0 | nz1
+        fm0 = found & (sb0 > 0)
+        fm1 = found & (sb1 > 0)
         l_total0 = (jnp.sum(fm0.astype(f32), axis=2)
                     + jnp.sum(nz0.astype(f32), axis=2)).astype(jnp.int32)
         l_total1 = (jnp.sum(fm1.astype(f32), axis=2)

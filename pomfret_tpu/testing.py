@@ -368,7 +368,8 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
                                       read_stagger: int = 700,
                                       per_chrom=None,
                                       bam_threads: int = 1,
-                                      bam_name: str = "multichrom.bam"):
+                                      bam_name: str = "multichrom.bam",
+                                      trans_alternate: bool = False):
     """n_chroms chromosomes x (n_blocks-1) joinable gaps each, ONE BAM/VCF.
 
     The multi-host e2e fixture (VERDICT r1 item 6b): under round-robin gap
@@ -379,7 +380,16 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
 
     per_chrom: optional list of SynthConfig-kwarg dicts (one per
     chromosome) to vary coverage / CpG density / read length across
-    chromosomes — the heterogeneity knob for the scale benchmark."""
+    chromosomes — the heterogeneity knob for the scale benchmark.
+
+    trans_alternate: odd-index blocks get hap-swapped GT labels and the
+    reads in their phase domain get swapped HP tags (the generalization of
+    make_two_block_scenario's trans=True to many blocks) — EVERY gap's
+    truth is then a trans join (simulated switch error at each gap,
+    blockjoin.c:5044-5084's 'swapped' verdict path). A block's phase
+    domain starts at the previous block's end, so reads starting inside a
+    gap carry the next block's labels, matching the two-block fixture's
+    `start >= gap[0]` rule. Truths gain "expected_decisions"."""
     import os
     if per_chrom is not None:
         n_chroms = len(per_chrom)
@@ -414,6 +424,9 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
             "blocks": blocks, "ps_ids": ps_ids, "region": sr,
             "gaps": [(block_snps[i][-1] + 1, ps_ids[i + 1])
                      for i in range(n_blocks - 1)],
+            # with alternating flips every adjacent block pair disagrees
+            "expected_decisions": [1 if trans_alternate else 0] *
+                                  (n_blocks - 1),
         })
         cfgs.append(c)
         regions.append(sr)
@@ -424,8 +437,23 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
                   [c.ref_len for c in cfgs],
                   header_text="@HD\tVN:1.6\tSO:coordinate\n",
                   threads=bam_threads, keep_index_info=True)
+    # phase-domain boundaries for trans_alternate: domain i+1 starts at
+    # block i's end (reads starting in a gap belong to the next block,
+    # matching the two-block fixture's start >= gap[0] rule). All
+    # chromosomes share one block layout, so one boundary list serves all.
+    blocks0 = truths[0]["blocks"]
+    domain_starts = [blocks0[i][1] for i in range(n_blocks - 1)] \
+        if trans_alternate else None
+
+    def _hp_label_fn(start, hap):
+        import bisect
+        bi = bisect.bisect_right(domain_starts, start)
+        return ((1 - hap) + 1) if bi % 2 else (hap + 1)
+
     for ci, sr in enumerate(regions):
-        recs = sr.make_reads(tagged=True)
+        recs = sr.make_reads(tagged=True,
+                             hp_label_fn=_hp_label_fn if trans_alternate
+                             else None)
         for r in recs:
             r.refID = ci
             r.qname = f"c{ci}_" + r.qname
@@ -441,13 +469,18 @@ def make_multichrom_multigap_scenario(tmpdir: str, n_chroms: int = 2,
     for ci, (sr, t) in enumerate(zip(regions, truths)):
         for pos, ref, alt, hap_alt in sr.snps:
             ps = None
-            for (lo, hi), pid in zip(t["blocks"], t["ps_ids"]):
+            flip = False
+            for bi, ((lo, hi), pid) in enumerate(zip(t["blocks"],
+                                                     t["ps_ids"])):
                 if lo <= pos < hi:
                     ps = pid
+                    flip = trans_alternate and bool(bi % 2)
                     break
             if ps is None:
                 continue
             a0, a1 = (1, 0) if hap_alt == 0 else (0, 1)
+            if flip:
+                a0, a1 = a1, a0
             lines.append(f"{cfgs[ci].chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t60"
                          f"\tPASS\t.\tGT:PS\t{a0}|{a1}:{ps}")
     with gzip.open(vcf, "wt") as f:

@@ -231,12 +231,15 @@ def main(argv=None) -> int:
         # stats + cumulative per-stage seconds + wall
         import json as _json
         from .parallel.batch import DISPATCH_STATS
+        from .parallel.distributed import DIST_STATS
         from .utils.stats import stage_report
         with open(stats_out, "w") as f:
             _json.dump({
                 "proc_id": int(os.environ.get("POMFRET_PROC_ID", "0")),
                 "wall_s": round(Get_T() - T, 3),
-                "dispatch": dict(DISPATCH_STATS),
+                "dispatch": {k: v for k, v in DISPATCH_STATS.items()
+                             if not isinstance(v, list)},
+                "dist": dict(DIST_STATS),
                 "stages": stage_report(3),
             }, f)
     sys.stderr.write("\n[M::main] CMD: pomfret-tpu " + " ".join(argv) + "\n")

@@ -726,12 +726,22 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
     if depth > 0 and len(plan) > 1:
         import queue as _queue
         import threading as _threading
+        import time as _time
         q: "_queue.Queue" = _queue.Queue(maxsize=depth)
 
         def _producer():
+            # producer-side stall accounting: put_wait ~= time the loader
+            # sat on a full queue (consumer is the bottleneck); the
+            # consumer's get_wait is the mirror (loader is the bottleneck).
+            # Both land in DISPATCH_STATS for the prefetch-path artifact
+            # (VERDICT r4 #8).
             try:
                 for ji, chunk in plan:
-                    q.put((ji, chunk, _load_chunk(ji, chunk), None))
+                    item = (ji, chunk, _load_chunk(ji, chunk), None)
+                    t0 = _time.perf_counter()
+                    q.put(item)
+                    DISPATCH_STATS["prefetch_put_wait_s"] += \
+                        _time.perf_counter() - t0
             except BaseException as e:  # surface in the consumer
                 q.put((None, None, None, e))
 
@@ -741,7 +751,12 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
 
         def _iter_groups():
             for _ in range(len(plan)):
+                t0 = _time.perf_counter()
                 ji, chunk, loads, err = q.get()
+                DISPATCH_STATS["prefetch_get_wait_s"] += \
+                    _time.perf_counter() - t0
+                DISPATCH_STATS["prefetch_groups"] += 1
+                DISPATCH_STATS["prefetch_queue_depth_sum"] += q.qsize()
                 if err is not None:
                     raise err
                 yield ji, loads
@@ -792,7 +807,11 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
             _host_fallback_group(e, loaded, job, *results[ji],
                                  n_permutations=n_permutations)
             continue
-        pending.append((ji, loaded, datas, errs, fut, parts))
+        import time as _time
+        DISPATCH_STATS.setdefault("group_intervals", []).append(
+            [_time.perf_counter(), None])  # drain time filled at drain
+        pending.append((ji, loaded, datas, errs, fut, parts,
+                        len(DISPATCH_STATS["group_intervals"]) - 1))
         if len(pending) > pipe_depth:
             _drain_or_fallback(pending.pop(0), results, jobs,
                                n_permutations)
@@ -812,11 +831,15 @@ def _drain_or_fallback(entry, results, jobs, n_permutations: int) -> None:
     the host oracle. Found at BENCH_SCALE=5: the dense 110x chromosome's
     (R=1792, D=8) groups overflowed scoped VMEM at drain time and
     silently recomputed 128-gap groups on the host."""
-    ji, loaded, datas, errs, fut, parts = entry
+    ji, loaded, datas, errs, fut, parts, iv_idx = entry
     for _ in range(4):
         try:
             _drain_group((loaded, datas, errs, fut), *results[ji],
                          n_permutations)
+            import time as _time
+            from ..parallel.batch import DISPATCH_STATS
+            DISPATCH_STATS["group_intervals"][iv_idx][1] = \
+                _time.perf_counter()
             return
         except Exception as e:
             from ..parallel.batch import (_is_vmem_error, production_mesh,

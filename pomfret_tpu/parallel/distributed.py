@@ -20,6 +20,12 @@ import numpy as np
 
 import jax
 
+# collective observability (SCALING.json v2, VERDICT r4 #4): cumulative
+# all-gather wall seconds and payload bytes THIS process contributed.
+# Dumped with POMFRET_STATS_OUT so the scaling harness can decompose
+# distribution overhead instead of publishing un-interpretable walls.
+DIST_STATS = {"allgather_s": 0.0, "allgather_bytes": 0, "n_allgathers": 0}
+
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
@@ -54,9 +60,14 @@ def allgather_decisions(local: Dict[int, int], n_gaps: int) -> np.ndarray:
     if jax.process_count() == 1:
         out = vec
     else:
+        import time as _t
         from jax.experimental import multihost_utils
+        _t0 = _t.perf_counter()
         gathered = multihost_utils.process_allgather(vec)  # (P, n_gaps)
         out = gathered.max(axis=0).astype(np.int32)
+        DIST_STATS["allgather_s"] += _t.perf_counter() - _t0
+        DIST_STATS["allgather_bytes"] += int(vec.nbytes)
+        DIST_STATS["n_allgathers"] += 1
     # unassigned -> no-join (should not happen when assignment covers all)
     out[out == -2] = -1
     return out
@@ -102,7 +113,9 @@ def allgather_tag_maps(local: Dict[str, int]) -> Dict[str, int]:
     the cross-host maximum, not a JSON blob."""
     if jax.process_count() == 1:
         return dict(local)
+    import time as _t
     from jax.experimental import multihost_utils
+    _t0 = _t.perf_counter()
     blob, tags = _pack_tag_map(local)
     # gather (blob_len, n_tags) first so each payload pads to the max
     lens = multihost_utils.process_allgather(
@@ -116,6 +129,9 @@ def allgather_tag_maps(local: Dict[str, int]) -> Dict[str, int]:
     all_blobs = multihost_utils.process_allgather(pb)   # (P, mxb)
     all_tags = multihost_utils.process_allgather(pt)    # (P, mxt)
     P = all_tags.shape[0]
+    DIST_STATS["allgather_s"] += _t.perf_counter() - _t0
+    DIST_STATS["allgather_bytes"] += int(pb.nbytes + pt.nbytes + 16)
+    DIST_STATS["n_allgathers"] += 1
     return _merge_packed_tag_maps(
         [np.asarray(all_blobs[p, : int(lens[p, 0])]) for p in range(P)],
         [np.asarray(all_tags[p, : int(lens[p, 1])]) for p in range(P)])

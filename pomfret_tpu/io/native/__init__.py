@@ -109,6 +109,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u32p, u8p, ctypes.c_int64,
             u32p, u8p, i64p, i32p, ctypes.c_int64, i32,
             u32p, ctypes.c_int64, i64p, i32p, u32p]
+        lib.mmr_extract_multi.restype = None
+        lib.mmr_extract_multi.argtypes = [
+            u32p, u8p, i64p,
+            i64p, i64p, i64p, i64p,
+            i64p, ctypes.c_int64, i32,
+            u32p, i64p, i64p,
+            i64p, i32p, u32p,
+            i64p, i64p]
+        lib.mer_runs_multi.restype = None
+        lib.mer_runs_multi.argtypes = [
+            i64p, i64p, i64p, i64p, i64p,
+            i64p, i64p, i64p, i64p,
+            ctypes.c_int64, i32,
+            u8p, i32p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p]
         lib.meth_decode_read.restype = i32
         lib.meth_decode_read.argtypes = [
             u8p, i32, i32, ctypes.c_char_p, u8p, i32,
@@ -579,6 +595,143 @@ def mmr_extract_reads(sites: np.ndarray, mmr_lens: np.ndarray,
         return {"mers": out_mers, "off": out_off, "n": out_n,
                 "start_i": out_start}
     return None
+
+
+def mer_runs_multi(tasks, R: int, SP: int, CB: int, n_threads: int = 0):
+    """Batched runs-layout fill: one native call builds every lane's
+    (R, CB) blk/b0 of a pack group (see mer_runs_multi in
+    pomfret_native.cpp). tasks: list of (rows, lens, starts, offs, mers,
+    inv_perm) per lane; shapes (R, SP, CB) are group-uniform. Returns
+    (blk (T,R,CB) u8, b0 (T,R) i32, has (T,R) bool, maxd (T) i64 — a
+    negative maxd means that lane needs the dense path) or None."""
+    lib = get_lib()
+    if lib is None or not tasks:
+        return None
+    if n_threads <= 0:
+        n_threads = max(2, min(8, _N_CPU + 1))
+    T = len(tasks)
+    ptrs = np.zeros((6, T), dtype=np.int64)   # rows/lens/starts/offs/mers/ip
+    n_runs = np.zeros(T, dtype=np.int64)
+    n_mers = np.zeros(T, dtype=np.int64)
+    n_reads = np.zeros(T, dtype=np.int64)
+    keep = []
+    for t, (rows, lens, starts, offs, mers, inv_perm) in enumerate(tasks):
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
+        mers = np.ascontiguousarray(mers, dtype=np.uint32)
+        inv_perm = np.ascontiguousarray(inv_perm, dtype=np.int64)
+        keep.append((rows, lens, starts, offs, mers, inv_perm))
+        for a, arr in enumerate((rows, lens, starts, offs, mers, inv_perm)):
+            ptrs[a, t] = arr.ctypes.data if len(arr) else 0
+        n_runs[t] = len(rows)
+        n_mers[t] = len(mers)
+        n_reads[t] = max(len(inv_perm), 1)
+    blk = np.zeros((T, R, CB), dtype=np.uint8)
+    b0 = np.zeros((T, R), dtype=np.int32)
+    has = np.zeros((T, R), dtype=np.uint8)
+    maxd = np.zeros(T, dtype=np.int64)
+    lib.mer_runs_multi(
+        _p(ptrs[0], ctypes.c_int64), _p(ptrs[1], ctypes.c_int64),
+        _p(ptrs[2], ctypes.c_int64), _p(ptrs[3], ctypes.c_int64),
+        _p(n_runs, ctypes.c_int64),
+        _p(ptrs[4], ctypes.c_int64), _p(n_mers, ctypes.c_int64),
+        _p(ptrs[5], ctypes.c_int64), _p(n_reads, ctypes.c_int64),
+        T, n_threads,
+        _p(blk, ctypes.c_uint8), _p(b0, ctypes.c_int32),
+        _p(has, ctypes.c_uint8),
+        R, SP, CB, _p(maxd, ctypes.c_int64))
+    return blk, b0, has.astype(bool), maxd
+
+
+def mmr_extract_multi(tasks, n_threads: int = 0):
+    """Batched methmer extraction: one native call for MANY (site grid,
+    read-call table) tasks — the whole pack group's (gap, direction)
+    extractions at once (see mmr_extract_multi in pomfret_native.cpp).
+
+    tasks: list of (sites u32, mmr_lens u8, calls u32, quals u8,
+    call_off i64, call_n i32). Returns a list of {mers, off, n, start_i}
+    dicts (mers is a view into one shared buffer) or None when the lib is
+    unavailable. Tasks whose conservative output capacity still overflows
+    re-run through the single-call path (handles its own growth)."""
+    lib = get_lib()
+    if lib is None or not tasks:
+        return None
+    if n_threads <= 0:
+        n_threads = max(2, min(8, _N_CPU + 1))
+    T = len(tasks)
+    keep = []  # contiguous arrays kept alive across the call
+    site_off = np.zeros(T + 1, dtype=np.int64)
+    read_base = np.zeros(T + 1, dtype=np.int64)
+    out_base = np.zeros(T, dtype=np.int64)
+    out_cap = np.zeros(T, dtype=np.int64)
+    calls_ptrs = np.zeros(T, dtype=np.int64)
+    quals_ptrs = np.zeros(T, dtype=np.int64)
+    calloff_ptrs = np.zeros(T, dtype=np.int64)
+    calln_ptrs = np.zeros(T, dtype=np.int64)
+    n_reads_per = np.zeros(T, dtype=np.int64)
+    sites_parts, lens_parts = [], []
+    base = 0
+    for t, (sites, lens, calls, quals, call_off, call_n) in enumerate(tasks):
+        sites = np.ascontiguousarray(sites, dtype=np.uint32)
+        lens = np.ascontiguousarray(lens, dtype=np.uint8)
+        calls = np.ascontiguousarray(calls, dtype=np.uint32)
+        quals = np.ascontiguousarray(quals, dtype=np.uint8)
+        call_off = np.ascontiguousarray(call_off, dtype=np.int64)
+        call_n = np.ascontiguousarray(call_n, dtype=np.int32)
+        keep.append((calls, quals, call_off, call_n))
+        sites_parts.append(sites)
+        lens_parts.append(lens)
+        site_off[t + 1] = site_off[t] + len(sites)
+        read_base[t + 1] = read_base[t] + len(call_n)
+        n_reads_per[t] = len(call_n)
+        calls_ptrs[t] = calls.ctypes.data if len(calls) else 0
+        quals_ptrs[t] = quals.ctypes.data if len(quals) else 0
+        calloff_ptrs[t] = call_off.ctypes.data if len(call_off) else 0
+        calln_ptrs[t] = call_n.ctypes.data if len(call_n) else 0
+        cap = max(4096, int(len(calls)) + 64 * max(1, len(call_n)))
+        out_base[t] = base
+        out_cap[t] = cap
+        base += cap
+    sites_all = np.concatenate(sites_parts) if sites_parts \
+        else np.zeros(0, dtype=np.uint32)
+    lens_all = np.concatenate(lens_parts) if lens_parts \
+        else np.zeros(0, dtype=np.uint8)
+    n_reads_tot = int(read_base[-1])
+    out_mers = np.empty(base, dtype=np.uint32)
+    out_off = np.empty(max(n_reads_tot, 1), dtype=np.int64)
+    out_n = np.empty(max(n_reads_tot, 1), dtype=np.int32)
+    out_start = np.empty(max(n_reads_tot, 1), dtype=np.uint32)
+    out_totals = np.empty(T, dtype=np.int64)
+    lib.mmr_extract_multi(
+        _p(sites_all, ctypes.c_uint32), _p(lens_all, ctypes.c_uint8),
+        _p(site_off, ctypes.c_int64),
+        _p(calls_ptrs, ctypes.c_int64), _p(quals_ptrs, ctypes.c_int64),
+        _p(calloff_ptrs, ctypes.c_int64), _p(calln_ptrs, ctypes.c_int64),
+        _p(n_reads_per, ctypes.c_int64), T, n_threads,
+        _p(out_mers, ctypes.c_uint32), _p(out_base, ctypes.c_int64),
+        _p(out_cap, ctypes.c_int64),
+        _p(out_off, ctypes.c_int64), _p(out_n, ctypes.c_int32),
+        _p(out_start, ctypes.c_uint32),
+        _p(read_base, ctypes.c_int64), _p(out_totals, ctypes.c_int64))
+    results = []
+    for t in range(T):
+        r0, r1 = int(read_base[t]), int(read_base[t + 1])
+        if out_totals[t] < 0:
+            # capacity overflow (i>1 dup double-emission blowups):
+            # single-call path grows its buffer until it fits
+            sites, lens, calls, quals, call_off, call_n = tasks[t]
+            results.append(mmr_extract_reads(sites, lens, calls, quals,
+                                             call_off, call_n))
+        else:
+            b = int(out_base[t])
+            results.append({
+                "mers": out_mers[b : b + int(out_totals[t])],
+                "off": out_off[r0:r1], "n": out_n[r0:r1],
+                "start_i": out_start[r0:r1],
+            })
+    return results
 
 
 _meth_tl = threading.local()

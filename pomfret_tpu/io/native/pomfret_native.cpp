@@ -1581,6 +1581,134 @@ extern "C" int64_t mmr_extract_reads(
     return total;
 }
 
+static int64_t mer_fill_common(
+    const int64_t* rows, const int64_t* lens, const int64_t* starts,
+    const int64_t* offs, int64_t n_runs,
+    const uint32_t* mers, int64_t n_mers,
+    const int64_t* inv_perm, int64_t n_reads,
+    int8_t* grid, int64_t R, int64_t S,
+    uint8_t* has_mmr,
+    uint8_t* blk, int32_t* b0, int64_t CB);  // defined below
+
+// Batched runs-layout fill: one call builds EVERY lane's (R, CB) blk/b0
+// arrays of a pack group over a worker pool (the per-lane mer_runs_fill
+// call + its fresh np.zeros allocation ran ~2G times per group). Shapes
+// (R, S, CB) are group-uniform (pack_gap_batch pads lanes to the group
+// max anyway). out_maxd[t] = the lane's dictionary width, or a negative
+// mer_fill_common error code (the caller reverts that lane to the dense
+// path). All output arrays are caller-zeroed.
+extern "C" void mer_runs_multi(
+    const int64_t* rows_ptrs, const int64_t* lens_ptrs,
+    const int64_t* starts_ptrs, const int64_t* offs_ptrs,
+    const int64_t* n_runs_per,
+    const int64_t* mers_ptrs, const int64_t* n_mers_per,
+    const int64_t* invperm_ptrs, const int64_t* n_reads_per,
+    int64_t n_tasks, int32_t n_threads,
+    uint8_t* blk_all, int32_t* b0_all, uint8_t* has_all,
+    int64_t R, int64_t S, int64_t CB,
+    int64_t* out_maxd) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t t = next.fetch_add(1);
+            if (t >= n_tasks) return;
+            out_maxd[t] = mer_fill_common(
+                (const int64_t*)(uintptr_t)rows_ptrs[t],
+                (const int64_t*)(uintptr_t)lens_ptrs[t],
+                (const int64_t*)(uintptr_t)starts_ptrs[t],
+                (const int64_t*)(uintptr_t)offs_ptrs[t],
+                n_runs_per[t],
+                (const uint32_t*)(uintptr_t)mers_ptrs[t], n_mers_per[t],
+                (const int64_t*)(uintptr_t)invperm_ptrs[t], n_reads_per[t],
+                nullptr, R, S, has_all + t * R,
+                blk_all + t * R * CB, b0_all + t * R, CB);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)n_tasks) nt = (int)(n_tasks > 0 ? n_tasks : 1);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+}
+
+// Batched variant: every (gap, direction) extraction of a whole device
+// group in ONE call — the per-call ctypes round trip and thread
+// spawn/join of mmr_extract_reads ran ~400x per group and dominated the
+// pack stage (VERDICT r4 #1: "parallelize/nativize pack"). Tasks carry
+// their own site grids and read-call tables (raw pointers shipped as
+// int64 addresses; the caller keeps the arrays alive); a worker pool
+// drains tasks whole (T >> cores at production group sizes). A task
+// whose output region overflows sets out_totals[t] = -1 and the caller
+// retries that task through the single-call path.
+extern "C" void mmr_extract_multi(
+    const uint32_t* sites_all, const uint8_t* lens_all,
+    const int64_t* site_off,                     // (T+1) into sites_all
+    const int64_t* calls_ptrs, const int64_t* quals_ptrs,    // (T) addrs
+    const int64_t* calloff_ptrs, const int64_t* calln_ptrs,  // (T) addrs
+    const int64_t* n_reads_per, int64_t n_tasks, int32_t n_threads,
+    uint32_t* out_mers, const int64_t* out_base, const int64_t* out_cap,
+    int64_t* out_off, int32_t* out_n, uint32_t* out_start,
+    const int64_t* read_base,                    // (T+1) prefix of reads
+    int64_t* out_totals) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        MmrScratch scr;
+        std::vector<uint32_t> mers;
+        for (;;) {
+            int64_t t = next.fetch_add(1);
+            if (t >= n_tasks) return;
+            const uint32_t* sites = sites_all + site_off[t];
+            const uint8_t* lens = lens_all + site_off[t];
+            const int64_t sites_n = site_off[t + 1] - site_off[t];
+            const uint32_t* calls = (const uint32_t*)(uintptr_t)calls_ptrs[t];
+            const uint8_t* quals = (const uint8_t*)(uintptr_t)quals_ptrs[t];
+            const int64_t* coff = (const int64_t*)(uintptr_t)calloff_ptrs[t];
+            const int32_t* cn = (const int32_t*)(uintptr_t)calln_ptrs[t];
+            const int64_t nr = n_reads_per[t];
+            uint32_t* omers = out_mers + out_base[t];
+            const int64_t cap = out_cap[t];
+            int64_t* ooff = out_off + read_base[t];
+            int32_t* on = out_n + read_base[t];
+            uint32_t* ost = out_start + read_base[t];
+            int64_t total = 0;
+            bool overflow = false;
+            for (int64_t i = 0; i < nr; i++) {
+                mers.clear();
+                uint32_t st = mmr_walk_one(sites, lens, sites_n,
+                                           calls + coff[i], quals + coff[i],
+                                           cn[i], mers, scr);
+                int64_t nm = (int64_t)mers.size();
+                if (st != 0xFFFFFFFFu && (int64_t)st + nm > sites_n) {
+                    // storage-overflow clamp (see mmr_extract_reads)
+                    nm = sites_n - (int64_t)st;
+                    if (nm <= 0) { nm = 0; st = 0xFFFFFFFFu; }
+                }
+                if (st == 0xFFFFFFFFu) nm = 0;
+                if (total + nm > cap) { overflow = true; break; }
+                memcpy(omers + total, mers.data(), (size_t)nm * 4);
+                ooff[i] = total;
+                on[i] = (int32_t)nm;
+                ost[i] = st;
+                total += nm;
+            }
+            out_totals[t] = overflow ? -1 : total;
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > (int)n_tasks) nt = (int)(n_tasks > 0 ? n_tasks : 1);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+}
+
 // ------------------------------------------------------------------ rANS4x8
 // CRAM 3.0 block codec (spec section 13): 12-bit frequencies, four
 // interleaved rANS states, byte renormalization at 2^23. Stream layout

@@ -191,7 +191,8 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
                           pad_r: Optional[int] = None,
                           pad_s: Optional[int] = None,
                           mmr_arrays=None,
-                          want_runs: bool = False) -> GapDeviceData:
+                          want_runs: bool = False,
+                          pre=None) -> GapDeviceData:
     """Pack one direction of one gap. Either store_mmr_of_reads(rs, ms) ran,
     or `mmr_arrays` carries the native batch-extraction result
     (core.methmer.extract_mmr_arrays) — the fast path skips the
@@ -199,15 +200,26 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
 
     want_runs: prefer the compact runs layout (blk/b0 set, ids None) for
     the batched device path; falls back to dense when the native lib is
-    absent or a site needs >127 dictionary ids."""
+    absent or a site needs >127 dictionary ids.
+
+    pre: pack_group's batched pre-pass results for this lane —
+    (perm, inv_perm, q_break, blk, b0, has_mmr, max_d) with blk/b0/has
+    views into the group-wide mer_runs_multi output (max_d < 0 means the
+    runs fill failed for this lane and the dense path below runs as
+    usual, reusing the perm triple)."""
     n = rs.n
     S = ms.n
     R = pad_r or max(n, 1)
     SP = pad_s or max(S, 1)
-    perm, inv_perm, q_break = _scan_perm(rs, direction, R)
+    if pre is not None:
+        perm, inv_perm, q_break = pre[0], pre[1], pre[2]
+    else:
+        perm, inv_perm, q_break = _scan_perm(rs, direction, R)
 
     blk = b0 = ids = None
-    if mmr_arrays is not None:
+    if pre is not None and pre[6] > 0:
+        blk, b0, has_mmr, max_d = pre[3], pre[4], pre[5], int(pre[6])
+    elif mmr_arrays is not None:
         sel = np.flatnonzero(mmr_arrays["n"] > 0)
         lens = mmr_arrays["n"][sel].astype(np.int64)
         offs = mmr_arrays["off"][sel].astype(np.int64)
@@ -955,14 +967,74 @@ def pack_group(loaded, cfg: MmrConfig, n_cand: int, lane_multiple: int = 1,
     pad_s = _bucket_dim(max(max(t[2].n, t[3].n) for t in loaded))
     datas = []
     errs = set()
+    # batch ALL (gap, direction) methmer extractions of the group into ONE
+    # native call (mmr_extract_multi): the per-lane call paid a ctypes
+    # round trip + thread spawn ~2G times per group and was the dominant
+    # pack cost; the batched call drains lanes over one worker pool
+    # (VERDICT r4 #1). Falls back to the per-lane path when unavailable.
+    multi = None
+    if not os.environ.get("POMFRET_NO_NATIVE_MMR"):
+        from ..io import native as _native
+        if _native.native_available():
+            tasks = []
+            for direction in (1, 0):
+                for _, rs, ms_fwd, ms_bwd in loaded:
+                    ms = ms_fwd if direction == 0 else ms_bwd
+                    calls, quals, call_off, call_n = rs.concat_calls()
+                    tasks.append((ms.sites_starts, ms.mmr_lens, calls,
+                                  quals, call_off, call_n))
+            multi = _native.mmr_extract_multi(tasks)
+    # second batched pre-pass: every lane's runs-layout fill in ONE native
+    # call (mer_runs_multi) writing one (T, R, CB) block array — replaces
+    # the per-lane mer_runs_fill call + fresh np.zeros. Lanes whose fill
+    # fails (>254 ids) keep pre[6] < 0 and take the dense path inside
+    # build_gap_device_data as before.
+    pres = None
+    if multi is not None and not os.environ.get("POMFRET_NO_RUNS_UPLOAD"):
+        from ..io import native as _native
+        z64 = np.zeros(0, dtype=np.int64)
+        fill_tasks, metas = [], []
+        cb_need = 128
+        for k, res in enumerate(multi):
+            direction = 1 if k < len(loaded) else 0
+            _, rs, _, _ = loaded[k % len(loaded)]
+            if res is None:
+                metas.append(None)
+                fill_tasks.append((z64, z64, z64, z64,
+                                   np.zeros(0, dtype=np.uint32), z64))
+                continue
+            perm, inv_perm, q_break = _scan_perm(rs, direction, pad_r)
+            sel = np.flatnonzero(res["n"] > 0).astype(np.int64)
+            lens = res["n"][sel].astype(np.int64)
+            offs = res["off"][sel].astype(np.int64)
+            starts = res["start_i"][sel].astype(np.int64)
+            if len(sel):
+                cb_need = max(cb_need, int(((starts & 127) + lens).max()))
+            metas.append((perm, inv_perm, q_break))
+            fill_tasks.append((sel, lens, starts, offs, res["mers"],
+                               inv_perm))
+        rr = _native.mer_runs_multi(fill_tasks, pad_r, pad_s,
+                                    _round_up(cb_need, 128))
+        if rr is not None:
+            blk_all, b0_all, has_all, maxd = rr
+            pres = [None if metas[k] is None else
+                    metas[k] + (blk_all[k], b0_all[k], has_all[k],
+                                int(maxd[k]))
+                    for k in range(len(multi))]
     for direction in (1, 0):
         for j, (i, rs, ms_fwd, ms_bwd) in enumerate(loaded):
             ms = ms_fwd if direction == 0 else ms_bwd
-            from ..core.methmer import extract_mmr_arrays
-            res = extract_mmr_arrays(rs, ms)
+            k = (0 if direction == 1 else len(loaded)) + j
+            if multi is not None:
+                res = multi[k]
+            else:
+                from ..core.methmer import extract_mmr_arrays
+                res = extract_mmr_arrays(rs, ms)
             if res is not None:
                 dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s,
-                                           mmr_arrays=res, want_runs=True)
+                                           mmr_arrays=res, want_runs=True,
+                                           pre=pres[k] if pres is not None
+                                           else None)
             else:
                 store_mmr_of_reads(rs, ms)
                 dd = build_gap_device_data(rs, ms, direction, pad_r, pad_s)

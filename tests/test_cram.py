@@ -711,3 +711,15 @@ def test_cram_qs_skip_engages_and_matches_full_decode(scenario, tmp_path,
                                       c_full["calls"][o2:o2 + n])
         np.testing.assert_array_equal(c_skip["quals"][o1:o1 + n],
                                       c_full["quals"][o2:o2 + n])
+
+
+def test_cram_31_codec_error_message():
+    """CRAM 3.1 stance (documented scope limit): a block compressed with a
+    3.1-only codec raises a loud, actionable error naming the codec and
+    the re-encode workaround — not a crash or a silent misparse."""
+    from pomfret_tpu.io.cram import decompress_block
+    with pytest.raises(ValueError, match=r"rANS Nx16.*3\.1-only.*"
+                                         r"version=3\.0"):
+        decompress_block(5, b"\x00\x01\x02", 16)
+    with pytest.raises(ValueError, match="name tokenizer"):
+        decompress_block(8, b"\x00", 4)

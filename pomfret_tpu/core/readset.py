@@ -343,6 +343,25 @@ class ChromReadSource:
                 self._finish_init(parts)
             return
 
+        # Adaptive segmentation: genomic seg_len is the UPPER bound, and a
+        # compressed-byte cap (BAI linear index, 16 kb granularity) splits
+        # dense spans further. A 222x chromosome at the 1 Mb genomic
+        # default inflated ~340 MB of plain bytes per segment into FRESH
+        # pages each time — fresh-page inflate runs at ~177 MB/s on these
+        # virtualized hosts vs ~1 GB/s into recycled pages (the round-4
+        # seg_len note, now bounded in BYTES so coverage cannot re-open
+        # it). POMFRET_SEG_COMP_MB overrides the cap (default 8 MB
+        # compressed ~= 60-90 MB plain).
+        comp = None
+        idx = bam._load_index() if hasattr(bam, "_load_index") else None
+        if idx is not None and tid < len(idx.intervals) \
+                and len(idx.intervals[tid]):
+            ivs = np.asarray(idx.intervals[tid], dtype=np.uint64)
+            comp = np.maximum.accumulate(ivs >> np.uint64(16)).astype(
+                np.int64)
+        comp_cap = int(float(os.environ.get("POMFRET_SEG_COMP_MB", "8"))
+                       * (1 << 20))
+
         segs = []  # (g0, g1, first-of-region)
         for r_lo, r_hi in regions:
             r_lo = max(0, int(r_lo))
@@ -351,6 +370,13 @@ class ChromReadSource:
             g0 = r_lo
             while g0 < r_hi:
                 g1 = min(g0 + seg_len, r_hi)
+                if comp is not None:
+                    w0 = min(g0 >> 14, len(comp) - 1)
+                    w1 = int(np.searchsorted(comp, comp[w0] + comp_cap,
+                                             side="right"))
+                    # always advance at least one 16 kb window
+                    g1 = min(g1, max((w1 << 14), g0 + (1 << 14)))
+                    g1 = min(g1, r_hi)
                 segs.append((g0, g1, first))
                 first = False
                 g0 = g1
@@ -498,14 +524,21 @@ class ChromReadSource:
                 + np.arange(total, dtype=np.int64)
                 - np.repeat(part_off[:-1], lens)) if total else \
             np.zeros(0, dtype=np.int64)
+        # record identity for the cross-segment/cross-region dedup: the
+        # ABSOLUTE virtual offset when the reader provides one (BAM —
+        # rec_off is relative to each fetch's plain buffer, so distinct
+        # records from different segments can coincidentally share it and
+        # true duplicates never do), else rec_off + the caller's
+        # per-segment base (CRAM slice streams, unique by construction)
+        rec_id = np.asarray(cols["voff"] if "voff" in cols
+                            else cols["rec_off"], dtype=np.int64)
         part = {
             "pos": pos[idx],
             "end": np.asarray(cols["endpos"], dtype=np.int64)[idx],
             "strand": np.asarray(cols["strand"], dtype=np.int64)[idx],
             "hp": np.asarray(cols["hp"], dtype=np.int64)[idx],
             "lseq": np.asarray(cols["l_seq"], dtype=np.int64)[idx],
-            "rec_off": np.asarray(cols["rec_off"], dtype=np.int64)[idx]
-            + off_base,
+            "rec_off": rec_id[idx] + off_base,
             "qnames": [cols["qnames"][int(j)] for j in idx],
             "calls": cols["calls"][gath],
             "quals": cols["quals"][gath],
@@ -539,7 +572,7 @@ class ChromReadSource:
                 add["strand"].append(int(cols["strand"][j]))
                 add["hp"].append(int(cols["hp"][j]))
                 add["lseq"].append(int(cols["l_seq"][j]))
-                add["rec_off"].append(off + off_base)
+                add["rec_off"].append(int(rec_id[j]) + off_base)
                 add["qnames"].append(cols["qnames"][j])
                 add_calls.append(np.asarray(cl, dtype=np.uint32))
                 add_quals.append(np.asarray(ql, dtype=np.uint8))

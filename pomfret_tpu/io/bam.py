@@ -498,6 +498,8 @@ class BamReader:
             buf = np.empty(0, dtype=np.uint8)
             cols = native.bam_window_load(buf, [], tid, beg, end, min_mapq,
                                           readlen_threshold, de_max, lo, hi)
+            if cols is not None:
+                cols["voff"] = np.zeros(0, dtype=np.int64)
             return (cols, buf) if cols is not None else (None, None)
         # inflate the UNION of the chunks' block ranges ONCE (a window's
         # chunks are genomically adjacent, so the union is barely larger
@@ -548,6 +550,18 @@ class BamReader:
                                       readlen_threshold, de_max, lo, hi)
         if cols is None:
             return None, None
+        if cols["n"]:
+            # absolute BAM virtual offsets: a STABLE per-record identity
+            # across different fetches (rec_off is relative to THIS plain
+            # buffer, so two fetches assign the same record different
+            # values and different records coincidentally equal ones —
+            # ChromReadSource's cross-segment dedup needs the absolute id)
+            ro = np.asarray(cols["rec_off"], dtype=np.int64)
+            k = np.searchsorted(poff, ro, side="right") - 1
+            cols["voff"] = (offs[k].astype(np.int64) << 16) \
+                | (ro - poff[k])
+        else:
+            cols["voff"] = np.zeros(0, dtype=np.int64)
         return cols, plain
 
     def fetch(self, chrom: str, beg: int, end: int) -> Iterator[BamRecord]:

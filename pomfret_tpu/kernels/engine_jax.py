@@ -217,7 +217,8 @@ def build_gap_device_data(rs: ReadSet, ms: Methmers, direction: int,
         perm, inv_perm, q_break = _scan_perm(rs, direction, R)
 
     blk = b0 = ids = None
-    if pre is not None and pre[6] > 0:
+    if pre is not None and pre[6] > 0 and want_runs \
+            and not os.environ.get("POMFRET_NO_RUNS_UPLOAD"):
         blk, b0, has_mmr, max_d = pre[3], pre[4], pre[5], int(pre[6])
     elif mmr_arrays is not None:
         sel = np.flatnonzero(mmr_arrays["n"] > 0)

@@ -1,25 +1,29 @@
-"""Distribution-efficiency measurement (SCALING.json).
+"""Distribution-efficiency measurement (SCALING.json v2).
 
 BASELINE.json's scaling target is >=80% efficiency at 4 hosts. Real
-multi-host TPU hardware is not reachable from this environment, but every
-partitioning overhead that could sink that target — round-robin gap skew,
-fixed-width all-gathers, host-0 write serialization, per-process duplicated
-interval/coverage work — is visible on a CPU mesh: this tool runs the
-bench dataset's methphase end-to-end at 1/2/4 jax.distributed processes
-(the same launcher tests/test_multihost_e2e.py pins byte-identity with),
-collects each process's POMFRET_STATS_OUT dump (wall, per-stage seconds,
-gap/read counts, device-wait), and writes SCALING.json:
+multi-host TPU hardware is not reachable from this environment, and
+round 4's wall-based "efficiency lower bound" on the time-shared 2-core
+host was un-interpretable (VERDICT r4 #4) — v2 replaces it with an
+OVERHEAD DECOMPOSITION in which every number is meaningful on this host:
 
-  efficiency_N  = wall_1 / (N * wall_N)  ... classic strong-scaling
-  speedup_N     = wall_1 / wall_N
-  imbalance_N   = max(window_reads) / mean(window_reads) across procs
+- CPU-mesh runs at 1/2/4 jax.distributed processes (the launcher
+  tests/test_multihost_e2e.py pins byte-identity with) measure the
+  partition balance (reads/gaps per proc) and the REAL distribution
+  overheads: all-gather wall seconds + payload bytes (DIST_STATS),
+  host-0 write serialization (writers stage), and per-proc dispatch
+  stats. These costs are workload-determined, not core-count-determined.
+- A real-TPU 1-proc warm run measures the per-host compute wall and the
+  device busy fraction (union of dispatch->drain group intervals /
+  wall).
+- Projected 4-host efficiency = T_comp / (T_comp * imbalance + o) with
+  T_comp = tpu_warm_wall / 4 (each host loads and computes only its own
+  gaps' windows; the work splits by gap with measured imbalance) and
+  o = measured all-gather seconds + host-0 writers seconds. The
+  all-gather term is ALSO projected from payload bytes at 1 GB/s DCN as
+  a cross-check (loopback TCP timing vs bandwidth model).
 
-Caveat recorded in the artifact: the host has few cores, so N CPU-backend
-processes time-share — wall-based efficiency is a LOWER bound; the
-work-split metrics (reads/gaps per proc, device_wait) carry the real
-signal about partition balance.
-
-Usage: python tools/bench_scaling.py [rounds per N, default 2]
+Usage: python tools/bench_scaling.py [rounds per N] [--no-tpu]
+       (BENCH_SCALE selects the dataset, as in bench.py)
 """
 import json
 import os
@@ -102,22 +106,101 @@ def main():
                 "device_wait_s_per_proc": dw,
                 "proc_wall_s": [s["wall_s"] for s in all_stats],
             }
+            results[n]["allgather_s_per_proc"] = [
+                round(s.get("dist", {}).get("allgather_s", 0.0), 3)
+                for s in all_stats]
+            results[n]["allgather_bytes_per_proc"] = [
+                s.get("dist", {}).get("allgather_bytes", 0)
+                for s in all_stats]
+            results[n]["writers_s_host0"] = all_stats[0]["stages"].get(
+                "writers", 0.0)
             if len(reads) > 1 and sum(reads):
                 results[n]["read_imbalance"] = round(
                     max(reads) / (sum(reads) / len(reads)), 3)
                 results[n]["gap_imbalance"] = round(
                     max(gaps) / (sum(gaps) / len(gaps)), 3)
-    w1 = results[1]["wall_s_best"]
-    for n in (2, 4):
-        results[n]["speedup"] = round(w1 / results[n]["wall_s_best"], 3)
-        results[n]["wall_efficiency_lower_bound"] = round(
-            w1 / (n * results[n]["wall_s_best"]), 3)
     out["by_procs"] = {str(k): v for k, v in results.items()}
+
+    # ---- real-TPU per-host compute + device busy fraction (1 proc) ----
+    tpu = None
+    if "--no-tpu" not in sys.argv:
+        tpu = measure_tpu_reference()
+        out["tpu_1proc"] = tpu
+
+    # ---- projected 4-host efficiency by decomposition ----
+    r4 = results.get(4, {})
+    ag_s = max(r4.get("allgather_s_per_proc", [0.0]))
+    ag_bytes = max(r4.get("allgather_bytes_per_proc", [0]))
+    writers_s = r4.get("writers_s_host0", 0.0)
+    imb = r4.get("read_imbalance", 1.0)
+    proj = {
+        "formula": "T_comp / (T_comp * read_imbalance + allgather_s + "
+                   "writers_s_host0); T_comp = tpu_warm_wall_s / 4",
+        "allgather_s_measured_loopback": round(ag_s, 3),
+        "allgather_bytes": int(ag_bytes),
+        "allgather_s_at_1GBps_dcn": round(ag_bytes / 1e9, 4),
+        "writers_s_host0": writers_s,
+        "read_imbalance_4proc": imb,
+    }
+    if tpu is not None:
+        t_comp = tpu["warm_wall_s"] / 4.0
+        proj["t_comp_per_host_s"] = round(t_comp, 3)
+        proj["projected_efficiency_4hosts"] = round(
+            t_comp / (t_comp * imb + ag_s + writers_s), 3)
+        proj["projected_efficiency_4hosts_dcn_model"] = round(
+            t_comp / (t_comp * imb + ag_bytes / 1e9 + writers_s), 3)
+    out["projected_4host"] = proj
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def measure_tpu_reference():
+    """Warm 1-proc methphase on the real chip: wall + device busy fraction
+    (union of the per-group dispatch->drain intervals over the wall; the
+    drain timestamp includes the group's host-side decide, so the fraction
+    is an upper bound — device_wait_s bounds it from below)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return None
+    from bench import build_scale_dataset
+    from pomfret_tpu.parallel import batch as pb
+    from pomfret_tpu.pipeline import CliOpt, main_blockjoin
+    from pomfret_tpu.utils.stats import reset_stages, stage_report
+    bam, vcf, n_gaps = build_scale_dataset()
+    with tempfile.TemporaryDirectory() as od:
+        opt = CliOpt(fn_vcf=vcf, fn_bam=bam,
+                     output_prefix=os.path.join(od, "o"), engine="jax")
+        main_blockjoin(opt)  # warmup
+        pb.DISPATCH_STATS["group_intervals"] = []
+        reset_stages()
+        t0 = time.time()
+        main_blockjoin(opt)
+        wall = time.time() - t0
+    ivs = sorted([iv for iv in pb.DISPATCH_STATS["group_intervals"]
+                  if iv[1] is not None])
+    busy = 0.0
+    cur_lo = cur_hi = None
+    for lo, hi in ivs:
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                busy += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    if cur_hi is not None:
+        busy += cur_hi - cur_lo
+    st = stage_report(2)
+    return {
+        "warm_wall_s": round(wall, 2),
+        "n_groups": len(ivs),
+        "device_busy_fraction_upper": round(min(busy / max(wall, 1e-9),
+                                                1.0), 3),
+        "device_wait_s": st.get("device_wait", 0.0),
+        "stages": st,
+    }
 
 
 if __name__ == "__main__":

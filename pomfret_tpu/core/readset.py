@@ -381,11 +381,17 @@ class ChromReadSource:
                 first = False
                 g0 = g1
 
+        # decompress into the reader's double-buffered arena when the
+        # reader supports it (BAM): each segment's plain buffer reuses
+        # already-touched pages instead of a fresh allocation per segment
+        fkw = {"reuse_buffer": True} if getattr(bam, "fetch_reuse", False) \
+            else {}
+
         def _fetch(seg):
             g0, g1, _first = seg
             return fwc(chrom, g0, g1, config.min_mapq,
                        config.readlen_threshold, MIN_ALN_DE,
-                       config.lo, config.hi)
+                       config.lo, config.hi, **fkw)
 
         # one-deep segment pipeline: the native decode of segment k+1
         # (inflate + bam_window_load, GIL-releasing) runs on a single

@@ -379,7 +379,7 @@ class BamReader:
             return None, None
         return cols, buf
 
-    def _inflate_range(self, b0: int, slice_end: int):
+    def _inflate_range(self, b0: int, slice_end: int, reuse: bool = False):
         """Inflate compressed range [b0, slice_end) with a rolling cache.
 
         Consecutive gap windows overlap heavily (±READBACK halos around
@@ -395,6 +395,26 @@ class BamReader:
         import numpy as _np
         from . import native
         raw = self._bgzf._raw
+
+        if reuse:
+            # chrom-source segment scans: decompress into a thread-local
+            # double-buffered arena (generation alternates per call, so
+            # the PREVIOUS segment's plain view stays valid while this one
+            # is produced — the SEG_PIPE producer contract) and bypass the
+            # span cache entirely (sequential disjoint segments never hit
+            # it, and cached views into a recycled arena would go stale).
+            import threading as _th
+            tl = getattr(self, "_reuse_tl", None)
+            if tl is None:
+                tl = self._reuse_tl = _th.local()
+            gen = getattr(tl, "gen", 0)
+            tl.gen = gen ^ 1
+            res = native.bgzf_inflate_index(
+                raw[b0:slice_end], arena=f"bam_plain_{id(self)}_{gen}")
+            if res is None:
+                return None
+            plain, offs, isize = res
+            return plain, offs.astype(_np.int64) + b0, isize
 
         def inflate(lo, hi):
             res = native.bgzf_inflate_index(raw[lo:hi])
@@ -473,13 +493,23 @@ class BamReader:
             stop = len(plain)
         return plain, start, min(stop, len(plain))
 
+    # feature flag for ChromReadSource: fetch_window_columnar accepts
+    # reuse_buffer= (the CRAM reader's does not)
+    fetch_reuse = True
+
     def fetch_window_columnar(self, chrom: str, beg: int, end: int,
                               min_mapq: int, readlen_threshold: int,
-                              de_max: float, lo: int, hi: int):
+                              de_max: float, lo: int, hi: int,
+                              reuse_buffer: bool = False):
         """Native one-call region fetch + filter + meth decode (see
         io/native bam_window_load). Returns (columns dict, plain buffer) or
         (None, None) when the fast path is unavailable (no native lib, no
-        index, unknown chromosome)."""
+        index, unknown chromosome).
+
+        reuse_buffer: decompress into the thread-local double-buffered
+        arena (returned buffer valid until the next-but-one reuse call on
+        this thread) instead of a fresh allocation + the rolling span
+        cache — the chrom-source segment-scan contract."""
         tid = self.ref_id(chrom)
         if tid < 0:
             return {"n": 0, "has_implicit": False, "qnames": []}, b""
@@ -518,7 +548,7 @@ class BamReader:
             else:
                 se = min(b1, len(raw))
             s_end = max(s_end, se)
-        res = self._inflate_range(b_lo, s_end)
+        res = self._inflate_range(b_lo, s_end, reuse=reuse_buffer)
         if res is None:
             return None, None
         plain, offs, isize = res

@@ -316,10 +316,19 @@ def rans4x8_uncompress(stream: bytes, raw_size: int) -> Optional[bytes]:
     return out.tobytes()
 
 
-def bgzf_inflate_index(comp) -> Optional[Tuple[bytes, np.ndarray, np.ndarray]]:
+def bgzf_inflate_index(comp, arena: Optional[str] = None
+                       ) -> Optional[Tuple[bytes, np.ndarray, np.ndarray]]:
     """Decompress a BGZF byte span and return (plain bytes, block byte
     offsets within `comp`, per-block uncompressed sizes) — the index needed
-    to map virtual offsets into the plain buffer."""
+    to map virtual offsets into the plain buffer.
+
+    arena: name of a thread-local grow-only output buffer to decompress
+    into (the returned plain array is a VIEW of it, valid until this
+    thread's next call with the same name). Sequential chrom-source
+    segments pass alternating generation names so each segment's plain
+    buffer reuses already-touched pages — fresh np.empty per segment meant
+    the allocator handing multi-GB back and forth with the hypervisor
+    (fresh-page inflate ~177 MB/s vs ~1 GB/s warm on these hosts)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -337,7 +346,11 @@ def bgzf_inflate_index(comp) -> Optional[Tuple[bytes, np.ndarray, np.ndarray]]:
     out_offs = np.zeros(n, dtype=np.int64)
     if n > 1:
         np.cumsum(isize[:-1], out=out_offs[1:])
-    out = np.empty(int(isize.sum()), dtype=np.uint8)
+    total = int(isize.sum())
+    if arena is not None:
+        out = _arena(arena, total, np.uint8)[:total]
+    else:
+        out = np.empty(total, dtype=np.uint8)
     r = lib.bgzf_inflate_blocks(_p(comp_a, ctypes.c_uint8), len(comp),
                                 _p(offs, ctypes.c_int64), _p(out_offs, ctypes.c_int64),
                                 _p(isize, ctypes.c_int64), n,

@@ -156,7 +156,9 @@ def main_noise():
     import hashlib
     from pomfret_tpu.pipeline import CliOpt, main_methreport
     rows = []
-    for noise in (0.05, 0.10, 0.15, 0.20, 0.25):
+    levels = [float(x) for x in os.environ.get(
+        "NOISE_LEVELS", "0.05,0.10,0.15,0.20,0.25").split(",")]
+    for noise in levels:
         params = dict(n_blocks=36, block_len=60_000, gap_len=30_000,
                       per_chrom=[{"read_stagger": 180, "cpg_every": 120,
                                   "read_len": 20_000, "noise": noise,

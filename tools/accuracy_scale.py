@@ -183,9 +183,11 @@ def main_noise():
             sys.stderr.write(f"[acc] generated in {time.time()-t0:.0f}s\n")
         with tempfile.TemporaryDirectory() as od:
             prefix = os.path.join(od, "rep")
+            # stride 15k -> 3-4 probe windows per 60 kb block (>=100 over
+            # the 36-block chromosome; 40k yielded only ~1/block)
             opt = CliOpt(fn_vcf=vcf, fn_bam=bam, output_prefix=prefix,
                          engine="jax", chunk_size=50_000,
-                         chunk_stride=40_000)
+                         chunk_stride=15_000)
             t0 = time.time()
             rc = main_methreport(opt)
             assert rc == 0, rc
@@ -205,8 +207,8 @@ def main_noise():
                          "wall_s": round(time.time() - t0, 1)})
             sys.stderr.write(f"[acc] noise={noise}: {rows[-1]}\n")
     _merge_out({"noise_ramp_dense": {
-        "shape": "one 110x chromosome (read_stagger=180), 36 blocks, "
-                 "nocall=0.05, chunk_stride=40k",
+        "shape": "one ~222x chromosome (read_stagger=180), 36 blocks, "
+                 "nocall=0.05, chunk_stride=15k",
         "rows": rows,
     }})
 

@@ -128,15 +128,25 @@ def main():
         out["tpu_1proc"] = tpu
 
     # ---- projected 4-host efficiency by decomposition ----
+    # The per-proc allgather walls include BARRIER SKEW: on a time-shared
+    # host, early-finishing procs sit in the collective waiting for
+    # stragglers that are artifacts of core time-sharing, not of the
+    # partition (real hosts have their own cores; balance is the
+    # read_imbalance column). The LAST-arriving proc's wait (min over
+    # procs) bounds the pure collective cost; the payload-bytes model is
+    # the clean cross-check.
     r4 = results.get(4, {})
-    ag_s = max(r4.get("allgather_s_per_proc", [0.0]))
+    ag_all = r4.get("allgather_s_per_proc", [0.0])
+    ag_s = min(ag_all)
     ag_bytes = max(r4.get("allgather_bytes_per_proc", [0]))
     writers_s = r4.get("writers_s_host0", 0.0)
     imb = r4.get("read_imbalance", 1.0)
     proj = {
         "formula": "T_comp / (T_comp * read_imbalance + allgather_s + "
                    "writers_s_host0); T_comp = tpu_warm_wall_s / 4",
-        "allgather_s_measured_loopback": round(ag_s, 3),
+        "allgather_s_last_arrival": round(ag_s, 3),
+        "allgather_s_per_proc_incl_barrier_skew": [round(x, 3)
+                                                   for x in ag_all],
         "allgather_bytes": int(ag_bytes),
         "allgather_s_at_1GBps_dcn": round(ag_bytes / 1e9, 4),
         "writers_s_host0": writers_s,

@@ -7,9 +7,15 @@ correctness; the hot batch-decode path has a C++/ctypes fast lane (io/native).
 from __future__ import annotations
 
 import struct
+import threading as _threading
 from typing import Iterator, List, Optional, Tuple
 
 from .bgzf import BgzfReader
+
+# generation toggle for the process-global reuse arenas (_inflate_range
+# reuse=True): per-thread so concurrent readers on different threads get
+# independent pairs
+_REUSE_TL = _threading.local()
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 import numpy as _np_mod
@@ -403,14 +409,14 @@ class BamReader:
             # is produced — the SEG_PIPE producer contract) and bypass the
             # span cache entirely (sequential disjoint segments never hit
             # it, and cached views into a recycled arena would go stale).
-            import threading as _th
-            tl = getattr(self, "_reuse_tl", None)
-            if tl is None:
-                tl = self._reuse_tl = _th.local()
-            gen = getattr(tl, "gen", 0)
-            tl.gen = gen ^ 1
+            # The arena pair is PROCESS-global per thread (names do not
+            # key on the reader): every run of a long-lived process — and
+            # the warm rounds of a bench — revisits the same pages even
+            # though each run opens a fresh BamReader.
+            gen = getattr(_REUSE_TL, "gen", 0)
+            _REUSE_TL.gen = gen ^ 1
             res = native.bgzf_inflate_index(
-                raw[b0:slice_end], arena=f"bam_plain_{id(self)}_{gen}")
+                raw[b0:slice_end], arena=f"bam_plain_{gen}")
             if res is None:
                 return None
             plain, offs, isize = res

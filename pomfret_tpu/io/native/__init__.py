@@ -641,7 +641,12 @@ def mer_runs_multi(tasks, R: int, SP: int, CB: int, n_threads: int = 0):
         n_runs[t] = len(rows)
         n_mers[t] = len(mers)
         n_reads[t] = max(len(inv_perm), 1)
-    blk = np.zeros((T, R, CB), dtype=np.uint8)
+    # grow-only arena (~0.3 GB per dense group; consumed by pack_gap_batch
+    # within the same pack_group call). mer_fill_common only writes present
+    # entries, so zero in place — warm-page memset vs fresh calloc pages.
+    blk = _arena("runs_multi_blk", T * R * CB,
+                 np.uint8)[: T * R * CB].reshape(T, R, CB)
+    blk.fill(0)
     b0 = np.zeros((T, R), dtype=np.int32)
     has = np.zeros((T, R), dtype=np.uint8)
     maxd = np.zeros(T, dtype=np.int64)
@@ -712,7 +717,10 @@ def mmr_extract_multi(tasks, n_threads: int = 0):
     lens_all = np.concatenate(lens_parts) if lens_parts \
         else np.zeros(0, dtype=np.uint8)
     n_reads_tot = int(read_base[-1])
-    out_mers = np.empty(base, dtype=np.uint32)
+    # grow-only arena: ~0.5 GB per dense group, fully consumed within the
+    # same pack_group call — a fresh allocation per group was a dominant
+    # source of the fault-storm the virtualized hosts inflict on new pages
+    out_mers = _arena("mmr_multi_mers", base, np.uint32)[:base]
     out_off = np.empty(max(n_reads_tot, 1), dtype=np.int64)
     out_n = np.empty(max(n_reads_tot, 1), dtype=np.int32)
     out_start = np.empty(max(n_reads_tot, 1), dtype=np.uint32)

@@ -810,6 +810,14 @@ def run_jobs_batched(st, bam, jobs, group: int = 0,
                                             lane_multiple=n_dev,
                                             n_permutations=n_permutations,
                                             rngs=rngs)
+        # in-flight groups only need hp/qname/boundary state for the
+        # decide step — drop each window's concat memo (the largest
+        # per-window COPY, ~2 MB on dense windows) now that packing
+        # consumed it. The rare host-fallback path recomputes it from the
+        # reads' slab views, which stay alive (scale-5 RSS thread).
+        for _li, _rs, _mf, _mb in loaded:
+            _rs._calls_concat = None
+            _rs._site_sel_cache = None
         # dispatch asynchronously: the device crunches this group while
         # the host loads and packs the next one (download deferred)
         try:
